@@ -1,0 +1,164 @@
+"""Config system: `KEY:VALUE` .cfg files, parity with the reference's InputInfo.
+
+Reference: core/GraphSegment.cpp:222 (InputInfo::readFromCfgFile) parses a
+single cfg file of `KEY:VALUE` lines with `#` comments into ~35 knobs
+(fields at core/GraphSegment.h:156-203).  We keep the same file format and
+key names so reference cfg files (e.g. gcn_cora_sample.cfg) run unchanged,
+and expose the result as a typed dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+
+def _parse_dash_ints(s: str) -> List[int]:
+    return [int(x) for x in s.split("-") if x != ""]
+
+
+@dataclasses.dataclass
+class RunConfig:
+    """Typed mirror of the reference's InputInfo (core/GraphSegment.h:156)."""
+
+    # model / algorithm selection (reference ALGORITHM string, main.cpp:68-183)
+    algorithm: str = "GCNSAMPLEGPU"
+    # graph
+    vertices: int = 0
+    edge_file: str = ""
+    feature_file: str = ""
+    label_file: str = ""
+    mask_file: str = ""
+    pre_sample_file: str = ""
+    # model shape: e.g. "1433-256-7" → layer_sizes=[1433, 256, 7]
+    layer_sizes: List[int] = dataclasses.field(default_factory=list)
+    # sampling fanout per hop, seed-batch first: "25-10" → [25, 10]
+    # (reference fanout[0] applies to the seed batch, ntsFastSampler.hpp:1003)
+    fanout: List[int] = dataclasses.field(default_factory=lambda: [25, 10])
+    batch_size: int = 1024
+    batch_type: str = "shuffle"  # shuffle|random|sequence|dellow|delhigh|metis
+    epochs: int = 10
+    # optimizer (reference Parameter, NtsScheduler.hpp:680)
+    learn_rate: float = 0.01
+    weight_decay: float = 1e-4
+    decay_rate: float = 0.97
+    decay_epoch: int = 100
+    drop_rate: float = 0.5
+    # pipeline / cache orchestration (NeutronOrch)
+    pipeline_num: int = 4
+    cache_rate: float = 0.0          # hot-vertex embedding cache fraction
+    feature_cache_rate: float = 0.0  # HBM feature cache fraction
+    cache: bool = False
+    cache_type: str = "none"
+    cache_policy: str = "degree"
+    # devices / placement
+    gpu_num: int = 1                 # reference GPU count → TPU chip count
+    process_local: bool = False
+    process_overlap: bool = False
+    with_cuda: bool = True           # "CUDA" knob → run on accelerator
+    # engine details
+    lock_free: bool = True
+    optim_kernel: bool = True
+    up_degree: bool = False          # recompute degrees within sampled subgraph
+    mini_pull: int = 0
+    runs: int = 1
+    time_skip: int = 3
+    batch_norm: bool = False
+    classes: int = 0
+    del_frac: float = 0.0
+    # extras (ours)
+    seed: int = 0
+    dtype: str = "float32"           # compute dtype for activations
+    param_dtype: str = "float32"
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.layer_sizes) - 1
+
+    @property
+    def num_classes(self) -> int:
+        return self.classes if self.classes > 0 else (self.layer_sizes[-1] if self.layer_sizes else 0)
+
+    def resolve_paths(self, base_dir: str) -> "RunConfig":
+        """Make data file paths absolute relative to `base_dir`."""
+        out = dataclasses.replace(self)
+        for f in ("edge_file", "feature_file", "label_file", "mask_file", "pre_sample_file"):
+            p = getattr(out, f)
+            if p and not os.path.isabs(p):
+                setattr(out, f, os.path.normpath(os.path.join(base_dir, p)))
+        return out
+
+
+# cfg KEY → (field, converter). Key names match GraphSegment.cpp:222-347.
+_BOOLS = {"0": False, "1": True, "true": True, "false": False,
+          "TRUE": True, "FALSE": False, "True": True, "False": False}
+
+
+def _to_bool(s: str) -> bool:
+    return _BOOLS.get(s.strip(), bool(int(s)))
+
+
+_KEYMAP = {
+    "ALGORITHM": ("algorithm", str),
+    "VERTICES": ("vertices", int),
+    "EPOCHS": ("epochs", int),
+    "ITERATIONS": ("epochs", int),
+    "LAYERS": ("layer_sizes", _parse_dash_ints),
+    "FANOUT": ("fanout", _parse_dash_ints),
+    "BATCH_SIZE": ("batch_size", int),
+    "BATCH_TYPE": ("batch_type", str),
+    "EDGE_FILE": ("edge_file", str),
+    "FEATURE_FILE": ("feature_file", str),
+    "LABEL_FILE": ("label_file", str),
+    "MASK_FILE": ("mask_file", str),
+    "PRE_SAMPLE_FILE": ("pre_sample_file", str),
+    "LEARN_RATE": ("learn_rate", float),
+    "WEIGHT_DECAY": ("weight_decay", float),
+    "DECAY_RATE": ("decay_rate", float),
+    "DECAY_EPOCH": ("decay_epoch", int),
+    "DROP_RATE": ("drop_rate", float),
+    "PIPELINE_NUM": ("pipeline_num", int),
+    "CACHE_RATE": ("cache_rate", float),
+    "FEATURE_CACHE_RATE": ("feature_cache_rate", float),
+    "CACHE": ("cache", _to_bool),
+    "CACHE_TYPE": ("cache_type", str),
+    "CACHE_POLICY": ("cache_policy", str),
+    "GPU_NUM": ("gpu_num", int),
+    "PROC_LOCAL": ("process_local", _to_bool),
+    "PROC_OVERLAP": ("process_overlap", _to_bool),
+    "PROC_CUDA": ("with_cuda", _to_bool),
+    "CUDA": ("with_cuda", _to_bool),
+    "LOCK_FREE": ("lock_free", _to_bool),
+    "OPTIM_KERNEL": ("optim_kernel", _to_bool),
+    "UP_DEGREE": ("up_degree", _to_bool),
+    "MINI_PULL": ("mini_pull", int),
+    "RUNS": ("runs", int),
+    "TIME_SKIP": ("time_skip", int),
+    "BATCH_NORM": ("batch_norm", _to_bool),
+    "CLASSES": ("classes", int),
+    "DEL_FRAC": ("del_frac", float),
+    "SEED": ("seed", int),
+    "DTYPE": ("dtype", str),
+}
+
+
+def parse_cfg_text(text: str) -> RunConfig:
+    cfg = RunConfig()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        key, val = key.strip(), val.strip()
+        if key in _KEYMAP:
+            field, conv = _KEYMAP[key]
+            setattr(cfg, field, conv(val))
+    return cfg
+
+
+def load_cfg(path: str) -> RunConfig:
+    """Load a reference-format .cfg file; data paths resolved against its dir."""
+    with open(path) as f:
+        cfg = parse_cfg_text(f.read())
+    return cfg.resolve_paths(os.path.dirname(os.path.abspath(path)))

@@ -1,0 +1,102 @@
+"""Synthetic graph generators for tests and benchmarks.
+
+The reference has `GNNDatum::random_generate` (core/ntsDataloador.hpp:835)
+for runs without feature files; we extend that with full synthetic datasets,
+including a power-law generator that matches the degree skew of Reddit-class
+graphs for benchmarking the sampler/cache paths at realistic scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .dataset import Dataset, MASK_TRAIN, MASK_VAL, MASK_TEST
+
+
+def _attach_random_payload(
+    ds: Dataset, feature_dim: int, num_classes: int, rng: np.random.Generator,
+    train_frac: float = 0.66, val_frac: float = 0.1,
+) -> Dataset:
+    v = ds.num_vertices
+    ds.features = rng.standard_normal((v, feature_dim), dtype=np.float32)
+    ds.labels = rng.integers(0, num_classes, size=v).astype(np.int32)
+    masks = np.full(v, MASK_TEST, dtype=np.int32)
+    n_train = int(v * train_frac)
+    n_val = int(v * val_frac)
+    perm = rng.permutation(v)
+    masks[perm[:n_train]] = MASK_TRAIN
+    masks[perm[n_train:n_train + n_val]] = MASK_VAL
+    ds.masks = masks
+    return ds
+
+
+def random_graph_dataset(
+    num_vertices: int,
+    avg_degree: int,
+    feature_dim: int,
+    num_classes: int,
+    seed: int = 0,
+    self_loops: bool = True,
+    name: str = "synthetic-er",
+) -> Dataset:
+    """Erdős–Rényi-style random digraph with uniform degrees."""
+    rng = np.random.default_rng(seed)
+    e = num_vertices * avg_degree
+    src = rng.integers(0, num_vertices, size=e, dtype=np.int64)
+    dst = rng.integers(0, num_vertices, size=e, dtype=np.int64)
+    edges = np.stack([src, dst], axis=1).astype(np.int32)
+    ds = Dataset(num_vertices=num_vertices, edges=edges, name=name)
+    if self_loops:
+        ds = ds.add_self_loops()
+    return _attach_random_payload(ds, feature_dim, num_classes, rng)
+
+
+def powerlaw_graph_dataset(
+    num_vertices: int,
+    avg_degree: int,
+    feature_dim: int,
+    num_classes: int,
+    alpha: float = 0.8,
+    seed: int = 0,
+    self_loops: bool = True,
+    name: str = "synthetic-powerlaw",
+) -> Dataset:
+    """Preferential-attachment-flavoured digraph with skewed in-degrees.
+
+    Destination endpoints are drawn from a Zipf-like distribution so a small
+    vertex set is "hot" — the regime NeutronOrch's hotness-aware cache
+    (core/ntsBaseOp.hpp:409 preSample) is designed for.
+    """
+    rng = np.random.default_rng(seed)
+    e = num_vertices * avg_degree
+    # Zipf-ish sampling via inverse-CDF on ranks.
+    u = rng.random(e)
+    ranks = np.floor(num_vertices * u ** (1.0 / (1.0 - alpha))).astype(np.int64)
+    ranks = np.clip(ranks, 0, num_vertices - 1)
+    # Permute ranks → ids so hot vertices are spread over the id space.
+    perm = rng.permutation(num_vertices)
+    src = perm[ranks]
+    dst = rng.integers(0, num_vertices, size=e, dtype=np.int64)
+    # Make hubs hot on the *in* side too: mirror half the edges.
+    half = e // 2
+    src[:half], dst[:half] = dst[:half].copy(), src[:half].copy()
+    edges = np.stack([src, dst], axis=1).astype(np.int32)
+    ds = Dataset(num_vertices=num_vertices, edges=edges, name=name)
+    if self_loops:
+        ds = ds.add_self_loops()
+    return _attach_random_payload(ds, feature_dim, num_classes, rng)
+
+
+def reddit_like_dataset(seed: int = 0, scale: float = 1.0) -> Dataset:
+    """A Reddit-shaped synthetic benchmark graph.
+
+    Reddit: 232,965 vertices, ~114.6M directed edges (avg deg ~492) — too big
+    for CI; `scale` shrinks vertex count while keeping degree structure. The
+    reference benchmarks GCN/SAGE on Reddit with layers 602-128-41, fanout
+    25-10, batch 10,000 (gcn_reddit_sample.cfg:1-19).
+    """
+    v = max(1024, int(232965 * scale))
+    deg = 50  # sampled workloads only see fanout-bounded neighborhoods
+    return powerlaw_graph_dataset(
+        v, deg, feature_dim=602, num_classes=41, seed=seed, name="reddit-like"
+    )

@@ -1,0 +1,150 @@
+"""GCN / GraphSAGE / GAT forward passes over dense sampled blocks.
+
+Reference model structure (toolkits/ engines):
+  GCN/SAGE layer l (GCN_SAMPLE_ALLGPU.hpp:247-260 vertexForward):
+      Y   = aggregate(block_l, X_l)              # SpMM with gcn/mean weights
+      X'  = dropout(relu(Y · W_l))               # hidden layers
+      X'  = log_softmax(Y · W_last)              # last layer
+  (GCN uses symmetric-norm weights, SAGE uses mean weights — the only
+   difference between the GCN* and GS* engines, GS_SAMPLE_ALLGPU.hpp:296.)
+
+  GAT layer l (GAT_SAMPLE_ALL_GPU.hpp:308-393), two Parameters per layer
+  (W: [in,out], a: [2·out,1], :143-146):
+      H      = X_l · W_l                              # on the hop's src set
+      e      = leaky_relu([H_src ‖ H_dst] · a, 0.2)   # per-edge scalar
+      att    = edge_softmax(e)                        # per-destination
+      X_{l+1} = relu(Σ_k att·H_src)                   # (src half × attention)
+  followed by log_softmax at the loss (GAT_SAMPLE_ALL_GPU.hpp:397-404).
+
+Models are pure functions over a params pytree → jit/grad/shard_map compose
+directly; no op tape is needed (reference NtsContext, core/ntsContext.hpp:95,
+exists only because libtorch autograd can't see the custom graph ops — JAX's
+can, via the custom-VJP ops in sgnn_tpu/ops).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.functional import dropout, log_softmax
+from ..nn.layers import Dense, xavier_uniform_init
+from ..ops.aggregate import (
+    aggregate_edges_to_dst,
+    edge_softmax,
+    gather_aggregate,
+    scatter_src_to_edges,
+)
+from ..sampler.blocks import SampledBatch, SampledBlock
+
+MODEL_FAMILIES = ("gcn", "sage", "gat")
+
+
+class GNNParams(NamedTuple):
+    """Per-layer weights; attn is empty for GCN/SAGE, [2F',1]-style for GAT."""
+
+    weights: Tuple[jax.Array, ...]        # W_l: [in_l, out_l]
+    attn: Tuple[jax.Array, ...]           # GAT a_l: [2*out_l, 1] (else empty)
+
+
+def init_model(
+    key: jax.Array,
+    family: str,
+    layer_sizes: Sequence[int],
+    dtype=jnp.float32,
+) -> GNNParams:
+    assert family in MODEL_FAMILIES, family
+    ws, atts = [], []
+    for i in range(len(layer_sizes) - 1):
+        key, k1, k2 = jax.random.split(key, 3)
+        ws.append(
+            xavier_uniform_init(k1, layer_sizes[i], layer_sizes[i + 1], dtype=dtype)
+        )
+        if family == "gat":
+            atts.append(
+                xavier_uniform_init(k2, 2 * layer_sizes[i + 1], 1, dtype=dtype)
+            )
+    return GNNParams(weights=tuple(ws), attn=tuple(atts))
+
+
+def _gcn_like_layer(
+    w: jax.Array,
+    block: SampledBlock,
+    x: jax.Array,
+    *,
+    is_last: bool,
+    drop_rate: float,
+    train: bool,
+    key: Optional[jax.Array],
+) -> jax.Array:
+    y = gather_aggregate(x, block.nbr, block.weight)      # [D, F_in]
+    y = jnp.dot(y, w.astype(y.dtype), preferred_element_type=y.dtype)
+    if is_last:
+        return log_softmax(y)
+    y = jax.nn.relu(y)
+    if train and drop_rate > 0.0:
+        y = dropout(key, y, drop_rate, train)
+    return y
+
+
+def _gat_layer(
+    w: jax.Array,
+    a: jax.Array,
+    block: SampledBlock,
+    x: jax.Array,
+    *,
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    h = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)  # [S, F']
+    fprime = h.shape[-1]
+    h_src_e = scatter_src_to_edges(h, block.nbr)                   # [D, K, F']
+    h_dst = h[block.seed_in_src]                                   # [D, F']
+    # [H_src ‖ H_dst]·a  ==  H_src·a[:F'] + H_dst·a[F':]  (split the concat)
+    a_src = a[:fprime, 0].astype(h.dtype)
+    a_dst = a[fprime:, 0].astype(h.dtype)
+    score = jnp.einsum("dkf,f->dk", h_src_e, a_src) + (h_dst @ a_dst)[:, None]
+    score = jax.nn.leaky_relu(score, negative_slope)
+    mask = block.weight != 0.0
+    att = edge_softmax(score, mask)
+    out = aggregate_edges_to_dst(h_src_e, att)                     # [D, F']
+    return jax.nn.relu(out)
+
+
+def model_forward(
+    params: GNNParams,
+    family: str,
+    batch: SampledBatch,
+    *,
+    drop_rate: float = 0.0,
+    train: bool = False,
+    dropout_key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Run the L-layer model; returns log-probs [num_seed_pad, classes].
+
+    blocks are consumed input→output: layer l aggregates over
+    batch.blocks[l], whose src set carries X_l (parity with the reference's
+    reversed hop indexing, GAT_SAMPLE_ALL_GPU.hpp:323 `hop = L-2-i`).
+    """
+    n_layers = len(params.weights)
+    assert batch.num_layers == n_layers
+    x = batch.x0
+    keys = (
+        jax.random.split(dropout_key, n_layers)
+        if (train and drop_rate > 0.0 and dropout_key is not None)
+        else [None] * n_layers
+    )
+    for l in range(n_layers):
+        block = batch.blocks[l]
+        is_last = l == n_layers - 1
+        if family == "gat":
+            x = _gat_layer(params.weights[l], params.attn[l], block, x)
+            if is_last:
+                x = log_softmax(x)
+        else:
+            x = _gcn_like_layer(
+                params.weights[l], block, x,
+                is_last=is_last, drop_rate=drop_rate, train=train, key=keys[l],
+            )
+    return x

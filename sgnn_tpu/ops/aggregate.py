@@ -1,0 +1,122 @@
+"""Differentiable graph aggregation ops over dense-fanout sampled blocks.
+
+Reference op library: nts::op graph operators (core/nts*GraphOp.hpp) — e.g.
+`SingleGPUAllSampleGraphOp` (ntsSingleGPUSampleGraphOp.hpp:195, CSC-gather
+SpMM forward / CSR-scatter SpMM backward), `BatchGPUScatterSrc/Dst`,
+`BatchGPUEdgeSoftMax` (ntsPushdownGraphOp.hpp:344-670) with hand-written
+backward passes dispatched by the NtsContext tape (core/ntsContext.hpp:436).
+
+TPU redesign: with the dense [num_dst, fanout] neighbor layout
+(sampler/blocks.py) every op is a regular gather / masked reduction over a
+STATIC fanout axis — XLA fuses the elementwise work, the MXU sees large
+dense matmuls either side, and autodiff needs no op tape: ops are pure
+functions with custom VJPs.  The hand-written VJPs mirror the reference's
+forward-CSC/backward-CSR pairing: forward gathers by source, backward
+scatter-adds by source.
+
+A Pallas fused variant lives in ops/pallas/; this module is the XLA
+reference implementation all kernels are validated against.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ------------------------------------------------------------------ SpMM ----
+@jax.custom_vjp
+def gather_aggregate(x_src: jax.Array, nbr: jax.Array, weight: jax.Array) -> jax.Array:
+    """Weighted neighbor aggregation: out[d] = Σ_k weight[d,k]·x_src[nbr[d,k]].
+
+    The sampled-subgraph SpMM (reference `SingleGPUAllSampleGraphOp::forward`,
+    ntsSingleGPUSampleGraphOp.hpp:195).  Padded slots carry weight 0.
+
+    Args:
+      x_src:  [S, F] source features.
+      nbr:    [D, K] int32 local source indices.
+      weight: [D, K] edge weights (0 ⇒ ignore slot).
+    Returns:
+      [D, F] aggregated destination features.
+    """
+    return _gather_aggregate_fwd_impl(x_src, nbr, weight)
+
+
+def _gather_aggregate_fwd_impl(x_src, nbr, weight):
+    gathered = x_src[nbr]                      # [D, K, F]
+    return jnp.einsum(
+        "dk,dkf->df", weight, gathered,
+        preferred_element_type=x_src.dtype,
+    )
+
+
+def _gather_aggregate_fwd(x_src, nbr, weight):
+    return _gather_aggregate_fwd_impl(x_src, nbr, weight), (x_src, nbr, weight)
+
+
+def _gather_aggregate_bwd(res, g):
+    x_src, nbr, weight = res
+    # dX: scatter-add g[d]·w[d,k] into source rows (reference backward =
+    # transposed SpMM over CSR, ntsSingleGPUSampleGraphOp.hpp:258)
+    contrib = g[:, None, :] * weight[:, :, None]          # [D, K, F]
+    dx = jnp.zeros_like(x_src).at[nbr].add(
+        contrib.astype(x_src.dtype), mode="drop"
+    )
+    # dW: per-edge inner product <g[d], x_src[nbr[d,k]]>
+    dw = jnp.einsum("df,dkf->dk", g, x_src[nbr]).astype(weight.dtype)
+    return dx, None, dw
+
+
+gather_aggregate.defvjp(_gather_aggregate_fwd, _gather_aggregate_bwd)
+
+
+# ------------------------------------------------------- GAT edge ops -------
+def scatter_src_to_edges(x_src: jax.Array, nbr: jax.Array) -> jax.Array:
+    """Vertex→edge scatter of SOURCE features: [D, K, F].
+
+    Reference `BatchGPUScatterSrc` (ntsPushdownGraphOp.hpp:344).  A plain
+    gather here — XLA's autodiff already produces the scatter-add backward.
+    """
+    return x_src[nbr]
+
+
+def scatter_dst_to_edges(x_dst: jax.Array, fanout: int) -> jax.Array:
+    """Vertex→edge scatter of DEST features, broadcast over fanout: [D, K, F].
+
+    Reference `BatchGPUScatterDst` (ntsPushdownGraphOp.hpp:417).
+    """
+    return jnp.broadcast_to(x_dst[:, None, :], (*x_dst.shape[:1], fanout, x_dst.shape[-1]))
+
+
+def edge_softmax(scores: jax.Array, edge_mask: jax.Array) -> jax.Array:
+    """Per-destination softmax over the fanout axis with invalid-slot masking.
+
+    Reference `BatchGPUEdgeSoftMax` (ntsPushdownGraphOp.hpp:578; CUDA
+    block-per-dst kernel ntsCUDADistKernel.cuh:319).  In dense-fanout layout
+    the per-destination edge segment IS axis 1, so segment softmax collapses
+    to a numerically-stable masked softmax — no ragged segments, no custom
+    backward needed (XLA differentiates it exactly).
+
+    Args:
+      scores:    [D, K] raw attention logits.
+      edge_mask: [D, K] bool, True on valid edges.
+    Returns:
+      [D, K] attention weights, 0 on invalid slots; rows with no valid edge
+      are all-zero.
+    """
+    neg = jnp.finfo(scores.dtype).min
+    masked = jnp.where(edge_mask, scores, neg)
+    m = jnp.max(masked, axis=1, keepdims=True)
+    e = jnp.exp(masked - jax.lax.stop_gradient(m))
+    e = jnp.where(edge_mask, e, 0.0)
+    z = jnp.sum(e, axis=1, keepdims=True)
+    return e / jnp.maximum(z, jnp.finfo(scores.dtype).tiny)
+
+
+def aggregate_edges_to_dst(edge_msg: jax.Array, attn: jax.Array) -> jax.Array:
+    """Attention-weighted edge→destination sum: out[d] = Σ_k attn[d,k]·msg[d,k].
+
+    Reference `BatchGPUAggregateDst` (ntsPushdownGraphOp.hpp:670).
+    """
+    return jnp.einsum("dk,dkf->df", attn, edge_msg,
+                      preferred_element_type=edge_msg.dtype)

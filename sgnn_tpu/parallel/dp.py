@@ -1,0 +1,175 @@
+"""Data-parallel training over a device mesh (multi-GPU engine parity).
+
+Reference: GCN/GS/GAT *ALLMULTI/PCMULTI engines — train nids split per
+device (GCN_SAMPLE_ALL_MULTI.hpp:564-575), per-device sampler/stream, NCCL
+AllReduce SUM of gradients each step (Update :367-377 →
+NCCL_Communicator::AllReduce cuda/ntsCUDA.hpp:160); multi-node uses
+MPI_Allreduce (Parameter::all_reduce_to_gradient NtsScheduler.hpp:825).
+
+TPU redesign: `shard_map` over the "data" mesh axis; each device computes
+grads on its own sampled shard, grads are `psum`-reduced over ICI (exact
+parity with the reference's SUM-reduce), and the replicated Adam update
+runs per-device.  Host-side, one sampler stream per device feeds a stacked
+[n_dev, ...] batch pytree; XLA overlaps the psum with backward compute.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models.gnn import model_forward
+from ..nn.functional import masked_accuracy, nll_loss_masked
+from ..utils.logging import get_logger
+
+log = get_logger("sgnn.dp")
+
+
+def make_dp_step(family: str, drop_rate: float, optimizer, mesh: Mesh):
+    """Build the jitted DP train step: per-device grads → psum → update."""
+
+    def local_loss(params, batch, key):
+        def loss_fn(p):
+            logp = model_forward(
+                p, family, batch, drop_rate=drop_rate, train=True,
+                dropout_key=key,
+            )
+            return nll_loss_masked(logp, batch.labels, batch.label_valid), logp
+
+        (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        acc = masked_accuracy(logp, batch.labels, batch.label_valid)
+        return loss, grads, acc
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data")),
+        out_specs=(P(), P(), P("data"), P("data")),
+        check_rep=False,
+    )
+    def dp_step(params, opt_state, batch, key):
+        # leading device axis has local extent 1 inside the shard
+        local_batch = jax.tree.map(lambda x: x[0], batch)
+        loss, grads, acc = local_loss(params, local_batch, key[0])
+        # SUM-reduce like the reference's NCCL/MPI AllReduce (no averaging)
+        grads = jax.lax.psum(grads, "data")
+        new_params, new_opt = optimizer.update(grads, opt_state, params)
+        return new_params, new_opt, loss[None], acc[None]
+
+    return jax.jit(dp_step)
+
+
+def stack_batches(batches):
+    """Stack per-device batch pytrees along a new leading device axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
+class DataParallelTrainer:
+    """Wraps a SampleTrainer to run its model data-parallel over all devices.
+
+    Seed-space split parity with the reference multi-GPU engines: the
+    epoch's shuffled train nids are split contiguously across devices, each
+    device samples and trains its own shard, gradients are summed.
+    """
+
+    def __init__(self, base, mesh: Optional[Mesh] = None) -> None:
+        from .mesh import make_mesh
+
+        self.base = base
+        self.mesh = mesh if mesh is not None else make_mesh(graph=1)
+        self.n_dev = int(np.prod(self.mesh.devices.shape))
+        self.timers = base.timers
+        self._dp_step = make_dp_step(
+            base.family, base.cfg.drop_rate, base.optimizer, self.mesh
+        )
+
+    # ------------------------------------------------------------------
+    def _device_batches(self, nids: np.ndarray, shuffle: bool):
+        """Yield stacked [n_dev, ...] batches, one sampler pass per device."""
+        base = self.base
+        rng = base.sampler.rng
+        nids = np.asarray(nids, dtype=np.int32)
+        if shuffle:
+            nids = rng.permutation(nids)
+        shards = np.array_split(nids, self.n_dev)
+        bs = base.cfg.batch_size
+        n_steps = max((len(s) + bs - 1) // bs for s in shards)
+        for step in range(n_steps):
+            per_dev = []
+            edges = 0
+            for d in range(self.n_dev):
+                seeds = shards[d][step * bs:(step + 1) * bs]
+                dummy = seeds.size == 0
+                if dummy:
+                    seeds = np.zeros(1, dtype=np.int32)
+                batch, ne = base._make_batch(seeds)
+                if dummy:
+                    batch = batch._replace(
+                        label_valid=jnp.zeros_like(batch.label_valid)
+                    ) if hasattr(batch, "_replace") else batch
+                    import dataclasses as _dc
+
+                    batch = _dc.replace(
+                        batch, label_valid=jnp.zeros_like(batch.label_valid)
+                    )
+                else:
+                    edges += ne
+                per_dev.append(batch)
+            yield stack_batches(per_dev), edges
+
+    # ------------------------------------------------------------------
+    def train_epoch(self) -> Tuple[float, float, int]:
+        base = self.base
+        losses, corrects, totals, edges = [], 0, 0, 0
+        for batch, nedges in self._device_batches(base.train_nids, True):
+            base._dropout_key, sub = jax.random.split(base._dropout_key)
+            keys = jax.random.split(sub, self.n_dev)
+            with self.timers.phase("dp_train_step"):
+                base.params, base.opt_state, loss, acc = self._dp_step(
+                    base.params, base.opt_state, batch, keys
+                )
+            losses.append(jnp.mean(loss))
+            acc_sum = jnp.sum(acc, axis=0)
+            corrects += int(acc_sum[0])
+            totals += int(acc_sum[1])
+            edges += nedges
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        return mean_loss, corrects / max(totals, 1), edges
+
+    def evaluate(self, nids: np.ndarray) -> float:
+        return self.base.evaluate(nids)
+
+    def run(self, epochs: Optional[int] = None, eval_every: int = 1):
+        """Same epoch-loop/reporting contract as SampleTrainer.run."""
+        import time
+
+        from ..train.trainer import TrainReport
+
+        base = self.base
+        epochs = epochs if epochs is not None else base.cfg.epochs
+        report = TrainReport([], [], [], [], [], [], self.timers)
+        for ep in range(epochs):
+            t0 = time.perf_counter()
+            loss, tr_acc, edges = self.train_epoch()
+            jax.block_until_ready(base.params.weights[0])
+            dt = time.perf_counter() - t0
+            report.epoch_times.append(dt)
+            report.losses.append(loss)
+            report.train_acc.append(tr_acc)
+            report.edges_per_epoch.append(edges)
+            va = base.evaluate(base.val_nids) if base.val_nids.size else 0.0
+            te = base.evaluate(base.test_nids) if base.test_nids.size else 0.0
+            report.val_acc.append(va)
+            report.test_acc.append(te)
+            log.info(
+                "dp epoch %d (%d dev): loss %.5f train %.4f val %.4f test %.4f "
+                "time %.3fs",
+                ep, self.n_dev, loss, tr_acc, va, te, dt,
+            )
+        return report

@@ -1,0 +1,160 @@
+"""On-device fanout sampling (XLA, jit-compatible, static shapes).
+
+Reference analog: the GPU sampler (`sample_gpu_fast`,
+core/ntsFastSampler.hpp:648 → warp-traverse kernels
+cuda/ntsCUDATransferKernel.cuh:852-1105 with a per-thread LCG `ntsRandom`).
+
+TPU redesign: sampling is expressed as dense vectorised ops under jit —
+uniform position draws with `jax.random`, per-row duplicate masking (sort
+over the static fanout axis), and `jnp.unique(..., size=N)` for the source
+set with a static bound.  The whole-graph CSC lives in HBM as two padded
+arrays.  Compared to the host sampler this keeps the entire
+sample→gather→train step on device with zero host round-trips; duplicates
+within a row are masked rather than redrawn (the reference GPU reservoir
+sampler is exact w/o replacement — accuracy impact is negligible and tested).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .blocks import SampledBatch, SampledBlock, WeightKind
+
+
+def _sample_hop(
+    key: jax.Array,
+    seeds: jax.Array,          # int32 [B] global ids (padded, use dst_valid)
+    dst_valid: jax.Array,      # bool [B]
+    indptr: jax.Array,         # int64/int32 [V+1]
+    indices: jax.Array,        # int32 [E_pad]
+    fanout: int,
+    num_src_pad: int,
+    weight_kind: WeightKind,
+    in_degree: jax.Array,
+    out_degree: jax.Array,
+) -> SampledBlock:
+    b = seeds.shape[0]
+    start = indptr[seeds]
+    deg = (indptr[seeds + 1] - start).astype(jnp.int32)
+    # uniform position draw (with replacement) over each row's degree
+    u = jax.random.uniform(key, (b, fanout))
+    pos = jnp.where(
+        deg[:, None] <= fanout,
+        jnp.broadcast_to(jnp.arange(fanout, dtype=jnp.int32), (b, fanout)),
+        (u * deg[:, None].astype(jnp.float32)).astype(jnp.int32),
+    )
+    valid = (jnp.arange(fanout)[None, :] < deg[:, None]) & dst_valid[:, None]
+    # mask in-row duplicate positions: sort, keep first of each run
+    order = jnp.argsort(pos, axis=1, stable=True)
+    pos_sorted = jnp.take_along_axis(pos, order, axis=1)
+    valid_sorted = jnp.take_along_axis(valid, order, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((b, 1), bool), pos_sorted[:, 1:] != pos_sorted[:, :-1]], axis=1
+    )
+    keep_sorted = valid_sorted & first
+    keep = jnp.zeros_like(valid).at[
+        jnp.arange(b)[:, None], order
+    ].set(keep_sorted)
+    nbr_global = jnp.where(
+        keep, indices[jnp.clip(start[:, None] + pos, 0, indices.shape[0] - 1)], -1
+    )
+    # source set: unique valid neighbors ∪ seeds, static size bound
+    cand = jnp.concatenate(
+        [jnp.where(keep, nbr_global, jnp.iinfo(jnp.int32).max).ravel(),
+         jnp.where(dst_valid, seeds, jnp.iinfo(jnp.int32).max)]
+    )
+    srcs_sorted = jnp.unique(
+        cand, size=num_src_pad, fill_value=jnp.iinfo(jnp.int32).max
+    )
+    src_valid = srcs_sorted != jnp.iinfo(jnp.int32).max
+    num_src = jnp.sum(src_valid)
+    srcs = jnp.where(src_valid, srcs_sorted, 0).astype(jnp.int32)
+    # local reindex: searchsorted over the sorted unique array (sentinel tail
+    # keeps `srcs_sorted` monotone, which searchsorted requires)
+    nbr_local = jnp.where(
+        keep,
+        jnp.searchsorted(
+            srcs_sorted, jnp.maximum(nbr_global, 0).astype(srcs_sorted.dtype)
+        ).astype(jnp.int32),
+        0,
+    )
+    seed_in_src = jnp.searchsorted(
+        srcs_sorted, seeds.astype(srcs_sorted.dtype)
+    ).astype(jnp.int32)
+    seed_in_src = jnp.clip(seed_in_src, 0, num_src_pad - 1)
+    nbr_local = jnp.clip(nbr_local, 0, num_src_pad - 1)
+    # edge weights (sampled-degree mode, GPU-engine parity)
+    if weight_kind == WeightKind.NONE:
+        w = keep.astype(jnp.float32)
+    else:
+        samp_in = jnp.sum(keep, axis=1).astype(jnp.int32)
+        samp_in = jnp.where(samp_in == 0, fanout, samp_in)
+        counts = jnp.zeros(num_src_pad, jnp.int32).at[
+            jnp.where(keep, nbr_local, num_src_pad - 1)
+        ].add(keep.astype(jnp.int32))
+        out_deg = jnp.maximum(counts[nbr_local], 1)
+        w = 1.0 / (
+            jnp.sqrt(out_deg.astype(jnp.float32))
+            * jnp.sqrt(samp_in.astype(jnp.float32))[:, None]
+        )
+        if weight_kind == WeightKind.MEAN:
+            edges_num = jnp.maximum(jnp.sum(keep, axis=1), 1)
+            w = w / edges_num[:, None].astype(jnp.float32)
+        w = jnp.where(keep, w, 0.0)
+    return SampledBlock(
+        nbr=nbr_local,
+        weight=w,
+        srcs=srcs,
+        seeds=seeds,
+        dst_valid=dst_valid,
+        src_valid=src_valid,
+        seed_in_src=seed_in_src,
+    ), num_src
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fanouts", "src_pads", "weight_kind"),
+)
+def device_sample_batch(
+    key: jax.Array,
+    seeds: jax.Array,
+    seed_valid: jax.Array,
+    indptr: jax.Array,
+    indices: jax.Array,
+    in_degree: jax.Array,
+    out_degree: jax.Array,
+    features: jax.Array,
+    labels: jax.Array,
+    fanouts: Tuple[int, ...],
+    src_pads: Tuple[int, ...],
+    weight_kind: WeightKind = WeightKind.GCN,
+) -> SampledBatch:
+    """Sample an L-hop batch fully on device and gather its payload.
+
+    `src_pads[h]` is the static source-set bound for hop h (seed-hop first).
+    Returns blocks in input→output order with features gathered from HBM.
+    """
+    blocks: List[SampledBlock] = []
+    cur_seeds, cur_valid = seeds, seed_valid
+    for h, f in enumerate(fanouts):
+        key, sub = jax.random.split(key)
+        blk, _ = _sample_hop(
+            sub, cur_seeds, cur_valid, indptr, indices, f, src_pads[h],
+            weight_kind, in_degree, out_degree,
+        )
+        blocks.append(blk)
+        cur_seeds, cur_valid = blk.srcs, blk.src_valid
+    blocks.reverse()
+    x0 = jnp.where(
+        blocks[0].src_valid[:, None], features[blocks[0].srcs], 0.0
+    )
+    top = blocks[-1]
+    y = labels[top.seeds].astype(jnp.int32)
+    return SampledBatch(
+        blocks=blocks, x0=x0, labels=y, label_valid=top.dst_valid
+    )

@@ -1,0 +1,22 @@
+"""Native (C++/OpenMP) sampler backend — built on demand, numpy fallback.
+
+Reference analog: FastSampler's OpenMP hop loop (core/ntsFastSampler.hpp:962)
+is C++; our native backend plays the same role for host-side sampling speed.
+Built lazily via `build.ensure_built()`; `lib` stays None (pure-numpy
+fallback in sampler/host.py) if no toolchain is available.
+"""
+
+lib = None
+
+try:  # pragma: no cover - exercised when the C++ lib is built
+    from .build import load_library
+
+    lib = load_library()
+except Exception:
+    lib = None
+
+
+def sample_batch(sampler, seeds):
+    from .bindings import sample_batch as _sb
+
+    return _sb(sampler, seeds, lib)

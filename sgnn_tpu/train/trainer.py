@@ -1,0 +1,244 @@
+"""Mini-batch GNN trainer: sample → transfer → jitted train step.
+
+Reference: the engines' run()/Train()/Forward() skeleton (e.g.
+GCN_SAMPLE_ALLGPU.hpp:268-400): per-epoch shuffle of train nids, a pipeline
+of sample → H2D transfer → forward/backward/update, plus per-split accuracy
+logging and phase timers.
+
+TPU redesign: the whole forward+backward+Adam step is ONE jitted XLA program
+over statically-shaped blocks; pipelining (reference pipeline_num threads ×
+CUDA streams) falls out of JAX's async dispatch — the host sampler prepares
+batch t+1 while the device executes step t, with a 1-deep prefetch queue.
+Gradient DP reduction hooks in via parallel/dp.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import queue
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunConfig
+from ..data.dataset import Dataset, MASK_TRAIN, MASK_VAL, MASK_TEST
+from ..graph.adjacency import Adjacency
+from ..models.gnn import GNNParams, init_model, model_forward
+from ..nn.functional import masked_accuracy, nll_loss_masked
+from ..nn.optim import AdamState, ReferenceAdam
+from ..sampler.blocks import SampledBatch, SampledBlock, WeightKind
+from ..sampler.host import HostSampledBatch, HostSampler
+from ..utils.logging import get_logger
+from ..utils.timing import PhaseTimer
+
+log = get_logger("sgnn.train")
+
+
+@dataclasses.dataclass
+class TrainReport:
+    epoch_times: List[float]
+    train_acc: List[float]
+    val_acc: List[float]
+    test_acc: List[float]
+    losses: List[float]
+    edges_per_epoch: List[int]
+    timers: PhaseTimer
+
+    @property
+    def avg_epoch_time(self) -> float:
+        skip = min(len(self.epoch_times) - 1, 1) if len(self.epoch_times) > 1 else 0
+        times = self.epoch_times[skip:]
+        return float(np.mean(times)) if times else 0.0
+
+
+def host_batch_to_device(hb: HostSampledBatch, x0, y, y_valid) -> SampledBatch:
+    blocks = [
+        SampledBlock(
+            nbr=jnp.asarray(b.nbr),
+            weight=jnp.asarray(b.weight),
+            srcs=jnp.asarray(b.srcs),
+            seeds=jnp.asarray(b.seeds),
+            dst_valid=jnp.asarray(b.dst_valid),
+            src_valid=jnp.asarray(b.src_valid),
+            seed_in_src=jnp.asarray(b.seed_in_src),
+        )
+        for b in hb.blocks
+    ]
+    return SampledBatch(
+        blocks=blocks,
+        x0=jnp.asarray(x0),
+        labels=jnp.asarray(y),
+        label_valid=jnp.asarray(y_valid),
+    )
+
+
+class SampleTrainer:
+    """Single-chip sampled training engine (multi-chip wrapper in parallel/)."""
+
+    def __init__(
+        self,
+        cfg: RunConfig,
+        dataset: Dataset,
+        family: str = "gcn",
+        weight_kind: WeightKind = WeightKind.GCN,
+        degree_mode: str = "global",
+        bias_correction: bool = False,
+        adj: Optional[Adjacency] = None,
+    ) -> None:
+        self.cfg = cfg
+        self.dataset = dataset
+        self.family = family
+        self.adj = adj if adj is not None else Adjacency.from_edges(
+            dataset.edges, dataset.num_vertices
+        )
+        self.train_nids = dataset.nids_with_mask(MASK_TRAIN)
+        self.val_nids = dataset.nids_with_mask(MASK_VAL)
+        self.test_nids = dataset.nids_with_mask(MASK_TEST)
+        wk = WeightKind.NONE if family == "gat" else weight_kind
+        self.sampler = HostSampler(
+            self.adj,
+            fanouts=cfg.fanout,
+            batch_size=cfg.batch_size,
+            weight_kind=wk,
+            degree_mode=degree_mode,
+            seed=cfg.seed,
+        )
+        key = jax.random.PRNGKey(cfg.seed)
+        self.params = init_model(key, family, cfg.layer_sizes)
+        self.optimizer = ReferenceAdam(
+            learn_rate=cfg.learn_rate,
+            weight_decay=cfg.weight_decay,
+            bias_correction=bias_correction,
+            decay_rate=cfg.decay_rate,
+            decay_epoch=cfg.decay_epoch,
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        self._dropout_key = jax.random.PRNGKey(cfg.seed + 1)
+        self.timers = PhaseTimer()
+        self._step_fn = self._build_step()
+        self._eval_fn = self._build_eval()
+
+    # ------------------------------------------------------------- programs
+    def _build_step(self):
+        family, drop_rate = self.family, self.cfg.drop_rate
+        optimizer = self.optimizer
+
+        @jax.jit
+        def step(params: GNNParams, opt_state: AdamState, batch: SampledBatch,
+                 key: jax.Array):
+            def loss_fn(p):
+                logp = model_forward(
+                    p, family, batch,
+                    drop_rate=drop_rate, train=True, dropout_key=key,
+                )
+                return nll_loss_masked(logp, batch.labels, batch.label_valid), logp
+
+            (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            new_params, new_opt = optimizer.update(grads, opt_state, params)
+            acc = masked_accuracy(logp, batch.labels, batch.label_valid)
+            return new_params, new_opt, loss, acc
+
+        return step
+
+    def _build_eval(self):
+        family = self.family
+
+        @jax.jit
+        def evaluate(params: GNNParams, batch: SampledBatch):
+            logp = model_forward(params, family, batch, train=False)
+            return masked_accuracy(logp, batch.labels, batch.label_valid)
+
+        return evaluate
+
+    # ------------------------------------------------------------- batching
+    def _make_batch(self, seeds: np.ndarray) -> Tuple[SampledBatch, int]:
+        with self.timers.phase("sample"):
+            hb = self.sampler.sample(seeds)
+            x0, y, yv = hb.payload(self.dataset.features, self.dataset.labels)
+        with self.timers.phase("transfer"):
+            batch = host_batch_to_device(hb, x0, y, yv)
+        return batch, hb.num_valid_edges()
+
+    def _batch_stream(self, nids: np.ndarray, shuffle: bool):
+        """Prefetching iterator: sample batch t+1 while device runs step t.
+
+        The reference overlaps sampling/transfer/compute with pipeline_num
+        threads + stage mutexes (GCN_SAMPLE_ALLGPU.hpp:286-400); JAX's async
+        dispatch plus one background sampling thread achieves the same
+        overlap with a bounded queue.
+        """
+        q: "queue.Queue" = queue.Queue(maxsize=max(2, self.cfg.pipeline_num))
+        seed_list = list(self.sampler.epoch_seed_batches(nids, shuffle))
+
+        def producer():
+            for seeds in seed_list:
+                q.put(self._make_batch(seeds))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        t.join()
+
+    # ---------------------------------------------------------------- loops
+    def train_epoch(self) -> Tuple[float, float, int]:
+        """One epoch over train nids → (mean loss, train acc, edges sampled)."""
+        losses, corrects, totals, edges = [], 0, 0, 0
+        for batch, nedges in self._batch_stream(self.train_nids, shuffle=True):
+            self._dropout_key, sub = jax.random.split(self._dropout_key)
+            with self.timers.phase("train_step"):
+                self.params, self.opt_state, loss, acc = self._step_fn(
+                    self.params, self.opt_state, batch, sub
+                )
+            losses.append(loss)
+            corrects += int(acc[0])
+            totals += int(acc[1])
+            edges += nedges
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        return mean_loss, corrects / max(totals, 1), edges
+
+    def evaluate(self, nids: np.ndarray) -> float:
+        corrects, totals = 0, 0
+        for batch, _ in self._batch_stream(nids, shuffle=False):
+            with self.timers.phase("eval_step"):
+                acc = self._eval_fn(self.params, batch)
+            corrects += int(acc[0])
+            totals += int(acc[1])
+        return corrects / max(totals, 1)
+
+    def run(self, epochs: Optional[int] = None, eval_every: int = 1) -> TrainReport:
+        """Full training run with per-epoch logging (reference run() parity)."""
+        import time
+
+        epochs = epochs if epochs is not None else self.cfg.epochs
+        report = TrainReport([], [], [], [], [], [], self.timers)
+        for ep in range(epochs):
+            t0 = time.perf_counter()
+            loss, tr_acc, edges = self.train_epoch()
+            jax.block_until_ready(self.params.weights[0])
+            dt = time.perf_counter() - t0
+            report.epoch_times.append(dt)
+            report.losses.append(loss)
+            report.train_acc.append(tr_acc)
+            report.edges_per_epoch.append(edges)
+            if (ep + 1) % eval_every == 0 or ep == epochs - 1:
+                va = self.evaluate(self.val_nids) if self.val_nids.size else 0.0
+                te = self.evaluate(self.test_nids) if self.test_nids.size else 0.0
+            else:
+                va = report.val_acc[-1] if report.val_acc else 0.0
+                te = report.test_acc[-1] if report.test_acc else 0.0
+            report.val_acc.append(va)
+            report.test_acc.append(te)
+            log.info(
+                "epoch %d: loss %.5f train %.4f val %.4f test %.4f time %.3fs edges %d",
+                ep, loss, tr_acc, va, te, dt, edges,
+            )
+        return report

@@ -1,0 +1,145 @@
+"""Op-library tests: dense reference parity + gradient checks.
+
+Strategy per SURVEY.md §4: every sparse/custom op is validated against a
+dense numpy/jnp reference of the same math, and custom VJPs against
+numerical finite differences or jax's own autodiff of the dense form.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgnn_tpu.ops.aggregate import (
+    aggregate_edges_to_dst,
+    edge_softmax,
+    gather_aggregate,
+    scatter_src_to_edges,
+)
+from sgnn_tpu.ops.segment import segment_softmax_coo, spmm_coo
+
+
+def _rand_block(rng, D=16, K=5, S=24, F=8):
+    nbr = rng.integers(0, S, size=(D, K)).astype(np.int32)
+    w = rng.random((D, K)).astype(np.float32)
+    w[rng.random((D, K)) < 0.3] = 0.0  # padded slots
+    x = rng.standard_normal((S, F)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(nbr), jnp.asarray(w)
+
+
+def _dense_adj(nbr, w, S):
+    """Dense [D, S] matrix equivalent of the (nbr, w) block."""
+    D, K = nbr.shape
+    A = np.zeros((D, S), np.float32)
+    for d in range(D):
+        for k in range(K):
+            A[d, nbr[d, k]] += w[d, k]
+    return A
+
+
+def test_gather_aggregate_matches_dense():
+    rng = np.random.default_rng(0)
+    x, nbr, w = _rand_block(rng)
+    out = gather_aggregate(x, nbr, w)
+    A = _dense_adj(np.asarray(nbr), np.asarray(w), x.shape[0])
+    np.testing.assert_allclose(np.asarray(out), A @ np.asarray(x), rtol=1e-5)
+
+
+def test_gather_aggregate_grad_x():
+    rng = np.random.default_rng(1)
+    x, nbr, w = _rand_block(rng)
+    A = jnp.asarray(_dense_adj(np.asarray(nbr), np.asarray(w), x.shape[0]))
+
+    f_sparse = lambda xx: jnp.sum(jnp.sin(gather_aggregate(xx, nbr, w)))
+    f_dense = lambda xx: jnp.sum(jnp.sin(A @ xx))
+    g_sparse = jax.grad(f_sparse)(x)
+    g_dense = jax.grad(f_dense)(x)
+    np.testing.assert_allclose(np.asarray(g_sparse), np.asarray(g_dense),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gather_aggregate_grad_w():
+    rng = np.random.default_rng(2)
+    x, nbr, w = _rand_block(rng, D=6, K=3, S=10, F=4)
+
+    f = lambda ww: jnp.sum(gather_aggregate(x, nbr, ww) ** 2)
+    g = jax.grad(f)(w)
+    # finite differences
+    eps = 1e-3
+    w_np = np.asarray(w)
+    for d, k in [(0, 0), (3, 2), (5, 1)]:
+        wp, wm = w_np.copy(), w_np.copy()
+        wp[d, k] += eps
+        wm[d, k] -= eps
+        num = (f(jnp.asarray(wp)) - f(jnp.asarray(wm))) / (2 * eps)
+        assert np.isclose(np.asarray(g)[d, k], num, rtol=1e-2, atol=1e-2)
+
+
+def test_edge_softmax_masked():
+    rng = np.random.default_rng(3)
+    scores = jnp.asarray(rng.standard_normal((8, 5)).astype(np.float32))
+    mask = jnp.asarray(rng.random((8, 5)) > 0.4)
+    att = edge_softmax(scores, mask)
+    a = np.asarray(att)
+    m = np.asarray(mask)
+    # rows with any valid edge sum to 1; invalid slots are exactly 0
+    sums = a.sum(axis=1)
+    for d in range(8):
+        if m[d].any():
+            assert np.isclose(sums[d], 1.0, rtol=1e-5)
+        assert (a[d][~m[d]] == 0).all()
+
+
+def test_edge_softmax_grad_finite():
+    scores = jnp.asarray(np.random.default_rng(4).standard_normal((4, 3)).astype(np.float32))
+    mask = jnp.asarray(np.array([[1, 1, 0], [1, 0, 0], [1, 1, 1], [0, 0, 0]], bool))
+    g = jax.grad(lambda s: jnp.sum(edge_softmax(s, mask) ** 2))(scores)
+    assert np.isfinite(np.asarray(g)).all()
+    # fully-masked row gets zero gradient
+    assert (np.asarray(g)[3] == 0).all()
+
+
+def test_spmm_coo_matches_dense():
+    rng = np.random.default_rng(5)
+    S, D, E, F = 20, 12, 60, 7
+    src = jnp.asarray(rng.integers(0, S, E).astype(np.int32))
+    dst = jnp.asarray(rng.integers(0, D, E).astype(np.int32))
+    w = jnp.asarray(rng.random(E).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((S, F)).astype(np.float32))
+    out = spmm_coo(x, src, dst, w, D)
+    A = np.zeros((D, S), np.float32)
+    for e in range(E):
+        A[dst[e], src[e]] += w[e]
+    np.testing.assert_allclose(np.asarray(out), A @ np.asarray(x), rtol=1e-4,
+                               atol=1e-5)
+    # VJP parity with dense
+    gd = jax.grad(lambda xx: jnp.sum(spmm_coo(xx, src, dst, w, D) ** 2))(x)
+    gdd = jax.grad(lambda xx: jnp.sum((jnp.asarray(A) @ xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gdd), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_segment_softmax_coo():
+    rng = np.random.default_rng(6)
+    E, D = 30, 6
+    dst = jnp.asarray(rng.integers(0, D, E).astype(np.int32))
+    scores = jnp.asarray(rng.standard_normal(E).astype(np.float32))
+    valid = jnp.asarray(rng.random(E) > 0.2)
+    att = segment_softmax_coo(scores, dst, valid, D)
+    a, d_np, v_np = np.asarray(att), np.asarray(dst), np.asarray(valid)
+    for seg in range(D):
+        sel = (d_np == seg) & v_np
+        if sel.any():
+            assert np.isclose(a[sel].sum(), 1.0, rtol=1e-5)
+    assert (a[~v_np] == 0).all()
+
+
+def test_scatter_and_aggregate_consistency():
+    """gather_aggregate == scatter→(weight·msg)→aggregate chaining."""
+    rng = np.random.default_rng(7)
+    x, nbr, w = _rand_block(rng)
+    direct = gather_aggregate(x, nbr, w)
+    msgs = scatter_src_to_edges(x, nbr)
+    chained = aggregate_edges_to_dst(msgs, w)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(chained),
+                               rtol=1e-5)

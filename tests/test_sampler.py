@@ -1,0 +1,194 @@
+"""Sampler tests: shape invariants, correctness of local reindexing,
+weight parity, determinism, and device/host agreement."""
+
+import numpy as np
+import pytest
+
+from sgnn_tpu.graph.adjacency import Adjacency
+from sgnn_tpu.sampler.blocks import WeightKind
+from sgnn_tpu.sampler.host import HostSampler
+
+
+@pytest.fixture(scope="module")
+def adj(tiny_ds):
+    return Adjacency.from_edges(tiny_ds.edges, tiny_ds.num_vertices)
+
+
+def _check_batch_invariants(adj, sampler, hb, seeds):
+    blocks = hb.blocks            # input→output order
+    top = blocks[-1]
+    np.testing.assert_array_equal(top.seeds[: len(seeds)], seeds)
+    for b in blocks:
+        # every valid edge points at a valid local src whose global id is a
+        # true in-neighbor of the seed
+        valid = b.weight != 0
+        assert b.nbr.max() < b.num_src
+        for d in range(min(b.num_dst, 20)):
+            dst_g = b.seeds[d]
+            nbrs = set(adj.neighbors(dst_g).tolist())
+            for k in np.nonzero(valid[d])[0]:
+                src_g = b.srcs[b.nbr[d, k]]
+                assert src_g in nbrs, (dst_g, src_g)
+        # seed_in_src maps back to the seed's own global id
+        for d in range(min(b.num_dst, 20)):
+            assert b.srcs[b.seed_in_src[d]] == b.seeds[d]
+        # without-replacement over edge positions: a src repeats at most its
+        # parallel-edge multiplicity
+        from collections import Counter
+
+        for d in range(min(b.num_dst, 20)):
+            mult = Counter(adj.neighbors(b.seeds[d]).tolist())
+            picked = Counter(b.srcs[b.nbr[d][valid[d]]].tolist())
+            for s, c in picked.items():
+                assert c <= mult[s]
+
+
+def test_shapes_and_reindex(adj):
+    sampler = HostSampler(adj, fanouts=[5, 3], batch_size=64, seed=1,
+                          use_native=False)
+    seeds = np.arange(64, dtype=np.int32)
+    hb = sampler.sample(seeds)
+    assert len(hb.blocks) == 2
+    _check_batch_invariants(adj, sampler, hb, seeds)
+    # hop chaining: block[l-1] (closer to input) dsts == block[l] srcs
+    inner, outer = hb.blocks[0], hb.blocks[1]
+    np.testing.assert_array_equal(
+        inner.seeds[: inner.num_dst], outer.srcs[: outer.num_src]
+    )
+
+
+def test_static_shapes_across_batches(adj):
+    sampler = HostSampler(adj, fanouts=[5, 3], batch_size=64, seed=1,
+                          use_native=False)
+    shapes = set()
+    for seeds in sampler.epoch_seed_batches(np.arange(300, dtype=np.int32)):
+        hb = sampler.sample(seeds)
+        shapes.add(tuple((b.nbr.shape, b.srcs.shape) for b in hb.blocks))
+    assert len(shapes) == 1  # single XLA program for the whole epoch
+
+
+def test_determinism(adj):
+    s1 = HostSampler(adj, fanouts=[4], batch_size=32, seed=42, use_native=False)
+    s2 = HostSampler(adj, fanouts=[4], batch_size=32, seed=42, use_native=False)
+    seeds = np.arange(32, dtype=np.int32)
+    b1, b2 = s1.sample(seeds), s2.sample(seeds)
+    np.testing.assert_array_equal(b1.blocks[0].nbr, b2.blocks[0].nbr)
+    np.testing.assert_array_equal(b1.blocks[0].weight, b2.blocks[0].weight)
+
+
+def test_fanout_clamp_small_degree(adj):
+    """Vertices with degree <= fanout take ALL neighbors (reference
+    ntsFastSampler.hpp:1041-1049 non-random branch)."""
+    sampler = HostSampler(adj, fanouts=[1000], batch_size=16, seed=0,
+                          use_native=False)
+    seeds = np.arange(16, dtype=np.int32)
+    hb = sampler.sample(seeds)
+    b = hb.blocks[0]
+    valid_counts = (b.weight[:16] != 0).sum(axis=1)
+    np.testing.assert_array_equal(valid_counts, adj.in_degree[seeds])
+
+
+def test_gcn_weight_values(adj):
+    sampler = HostSampler(
+        adj, fanouts=[1000], batch_size=8, weight_kind=WeightKind.GCN,
+        degree_mode="global", seed=0, use_native=False,
+    )
+    seeds = np.arange(8, dtype=np.int32)
+    hb = sampler.sample(seeds)
+    b = hb.blocks[0]
+    valid = b.weight != 0
+    for d in range(8):
+        for k in np.nonzero(valid[d])[0]:
+            src_g = b.srcs[b.nbr[d, k]]
+            expect = 1.0 / (
+                np.sqrt(max(adj.out_degree[src_g], 1))
+                * np.sqrt(max(adj.in_degree[b.seeds[d]], 1))
+            )
+            assert np.isclose(b.weight[d, k], expect, rtol=1e-5)
+
+
+def test_mean_weight_values(adj):
+    sampler = HostSampler(
+        adj, fanouts=[3], batch_size=8, weight_kind=WeightKind.MEAN,
+        degree_mode="sampled", seed=0, use_native=False,
+    )
+    hb = sampler.sample(np.arange(8, dtype=np.int32))
+    b = hb.blocks[0]
+    valid = b.weight != 0
+    # mean weight = sym-norm(sampled degrees) / edges_num  (get_mean_weight
+    # kernel parity, cuda/ntsCUDATransferKernel.cuh:319-341)
+    samp_in = valid.sum(axis=1)
+    for d in range(8):
+        if samp_in[d] == 0:
+            continue
+        ks = np.nonzero(valid[d])[0]
+        counts = np.bincount(b.nbr[d][valid[d]], minlength=b.srcs.size)
+        for k in ks:
+            out_d = counts[b.nbr[d, k]]
+            # out-degree within hop counts all rows; recompute globally
+        # weights in a row must sum to <= 1 (mean normalisation)
+        assert b.weight[d].sum() <= 1.0 + 1e-5
+
+
+def test_payload_gather(adj, tiny_ds):
+    sampler = HostSampler(adj, fanouts=[4, 2], batch_size=16, seed=3,
+                          use_native=False)
+    seeds = np.arange(16, dtype=np.int32)
+    hb = sampler.sample(seeds)
+    x0, y, yv = hb.payload(tiny_ds.features, tiny_ds.labels)
+    b0 = hb.blocks[0]
+    assert x0.shape == (b0.srcs.shape[0], tiny_ds.features.shape[1])
+    np.testing.assert_array_equal(
+        x0[: b0.num_src], tiny_ds.features[b0.srcs[: b0.num_src]]
+    )
+    assert (x0[b0.num_src:] == 0).all()
+    np.testing.assert_array_equal(y[:16], tiny_ds.labels[seeds])
+
+
+def test_device_sampler_agrees_semantically(adj, tiny_ds):
+    """Device sampler: invariants only (draws differ from host sampler)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgnn_tpu.sampler.blocks import pad_to
+    from sgnn_tpu.sampler.device import device_sample_batch
+
+    indptr = jnp.asarray(adj.indptr)
+    indices = jnp.asarray(adj.indices)
+    seeds = jnp.arange(32, dtype=jnp.int32)
+    valid = jnp.ones(32, bool)
+    fanouts = (4, 3)
+    src_pads = (pad_to(32 * 5, 128), pad_to(32 * 5 * 4, 128))
+    batch = device_sample_batch(
+        jax.random.PRNGKey(0), seeds, valid, indptr, indices,
+        jnp.asarray(adj.in_degree), jnp.asarray(adj.out_degree),
+        jnp.asarray(tiny_ds.features), jnp.asarray(tiny_ds.labels),
+        fanouts, src_pads,
+    )
+    assert len(batch.blocks) == 2
+    top = batch.blocks[-1]
+    np.testing.assert_array_equal(np.asarray(top.seeds)[:32], np.arange(32))
+    for b in batch.blocks:
+        nbr = np.asarray(b.nbr)
+        w = np.asarray(b.weight)
+        srcs = np.asarray(b.srcs)
+        sv = np.asarray(b.src_valid)
+        seeds_np = np.asarray(b.seeds)
+        dv = np.asarray(b.dst_valid)
+        valid_e = w != 0
+        from collections import Counter
+
+        for d in range(min(20, int(dv.sum()))):
+            nbr_mult = Counter(adj.neighbors(seeds_np[d]).tolist())
+            for k in np.nonzero(valid_e[d])[0]:
+                assert srcs[nbr[d, k]] in nbr_mult
+            # without-replacement over edge POSITIONS: a src may repeat only
+            # up to its parallel-edge multiplicity (reference samples
+            # positions, ntsFastSampler.hpp:1028-1040)
+            picked = Counter(srcs[nbr[d][valid_e[d]]].tolist())
+            for s, c in picked.items():
+                assert c <= nbr_mult[s], (seeds_np[d], s, c, nbr_mult[s])
+        # seed_in_src correctness
+        sis = np.asarray(b.seed_in_src)
+        for d in range(min(20, int(dv.sum()))):
+            assert srcs[sis[d]] == seeds_np[d]
