@@ -1,0 +1,149 @@
+#!/usr/bin/env python3
+"""Benchmark driver: GraphSAGE f25-10 edges/s/chip (BASELINE.json metric).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N, ...}
+
+Workloads:
+  1. PRIMARY — GraphSAGE mean-aggregator, 2 layers, fanout 25-10,
+     batch 10,000 on a Reddit-shaped synthetic graph (232,965 vertices,
+     feature dim 602, 41 classes — gcn_reddit_sample.cfg parity).  Value =
+     sampled edges consumed per second per chip (median epoch).
+  2. ANCHOR — GCN on real Cora (layers 1433-256-7, fanout 25-10, batch
+     1024), matching the reference's only executable-grounded number:
+     avg epoch 0.428 s on 80-thread CPU + 1 GPU (log/cora_gcn/output.log).
+     vs_baseline = 0.428 / our_avg_epoch_time  (>1 ⇒ faster than reference).
+
+Flags: --smoke (tiny CPU-sized run), --scale S, --epochs N, --cpu.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_reddit_sage(scale: float, epochs: int, batch_size: int) -> dict:
+    import numpy as np
+
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.data.synthetic import reddit_like_dataset
+    from sgnn_tpu.train.trainer import SampleTrainer
+    from sgnn_tpu.sampler.blocks import WeightKind
+
+    t0 = time.perf_counter()
+    ds = reddit_like_dataset(seed=0, scale=scale)
+    log(f"[bench] reddit-like: {ds.num_vertices} V, {ds.num_edges} E "
+        f"({time.perf_counter() - t0:.1f}s to build)")
+    cfg = RunConfig(
+        layer_sizes=[602, 128, 41],
+        fanout=[25, 10],
+        batch_size=batch_size,
+        epochs=epochs,
+        learn_rate=0.01,
+        drop_rate=0.5,
+        vertices=ds.num_vertices,
+    )
+    trainer = SampleTrainer(
+        cfg, ds, family="sage", weight_kind=WeightKind.MEAN,
+        degree_mode="sampled",
+    )
+    report = trainer.run(epochs=epochs, eval_every=10**9)
+    # median of post-warmup epochs (first epoch pays compilation)
+    times = report.epoch_times[1:] or report.epoch_times
+    edges = report.edges_per_epoch[1:] or report.edges_per_epoch
+    eps = [e / t for e, t in zip(edges, times)]
+    med = float(np.median(eps))
+    log(f"[bench] sage epochs: {[round(t, 3) for t in report.epoch_times]} "
+        f"edges/epoch {edges[0] if edges else 0} → {med:,.0f} edges/s")
+    log(f"[bench] timers: {trainer.timers.summary()}")
+    return {
+        "edges_per_sec": med,
+        "epoch_time": float(np.median(times)),
+        "final_train_acc": report.train_acc[-1],
+    }
+
+
+def bench_cora_gcn(epochs: int) -> dict:
+    import numpy as np
+
+    from sgnn_tpu.config import load_cfg
+    from sgnn_tpu.data.nts_format import load_from_config
+    from sgnn_tpu.train.trainer import SampleTrainer
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_cfg(os.path.join(here, "configs", "gcn_cora_sample.cfg"))
+    cfg.epochs = epochs
+    ds = load_from_config(cfg)
+    trainer = SampleTrainer(cfg, ds, family="gcn", degree_mode="sampled")
+    report = trainer.run(epochs=epochs, eval_every=10**9)
+    times = report.epoch_times[1:] or report.epoch_times
+    avg = float(np.mean(times))
+    log(f"[bench] cora epochs: {[round(t, 3) for t in report.epoch_times]} "
+        f"final train acc {report.train_acc[-1]:.4f}")
+    return {"avg_epoch_time": avg, "final_train_acc": report.train_acc[-1]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny CPU-sized run")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=10000)
+    ap.add_argument("--skip-cora", action="store_true")
+    args = ap.parse_args()
+
+    if args.smoke or args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    if args.smoke:
+        args.scale, args.epochs, args.batch = 0.02, 2, 512
+
+    import jax
+
+    dev = jax.devices()[0]
+    log(f"[bench] backend={jax.default_backend()} device={dev}")
+
+    sage = bench_reddit_sage(args.scale, args.epochs, args.batch)
+    if args.skip_cora:
+        cora = {"avg_epoch_time": float("nan"), "final_train_acc": float("nan")}
+        vs_baseline = 0.0
+    else:
+        cora = bench_cora_gcn(max(args.epochs, 5))
+        # reference anchor: 0.428 s avg epoch (BASELINE.md)
+        vs_baseline = 0.428045 / cora["avg_epoch_time"]
+
+    result = {
+        "metric": "reddit_sage_f25-10_edges_per_sec_per_chip",
+        "value": round(sage["edges_per_sec"], 1),
+        "unit": "edges/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "detail": {
+            "sage_epoch_time_s": round(sage["epoch_time"], 4),
+            "sage_final_train_acc": round(sage["final_train_acc"], 4),
+            "cora_gcn_avg_epoch_s": round(cora["avg_epoch_time"], 4),
+            "cora_gcn_final_train_acc": round(cora["final_train_acc"], 4),
+            "reference_cora_avg_epoch_s": 0.428045,
+            "vs_baseline_meaning": "ref_cora_epoch_time / ours (>1 = faster)",
+            "scale": args.scale,
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

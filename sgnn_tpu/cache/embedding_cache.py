@@ -1,0 +1,154 @@
+"""HBM-resident hot-vertex embedding cache with bounded-staleness weights.
+
+Reference (the NeutronOrch core, GCN_SAMPLE_PD_CACHE.hpp): a CPU helper
+thread computes the bottom GNN layer for "hot" vertices per super-batch —
+full-neighborhood aggregation over GLOBAL features (PushDownBatchOp,
+ntsPushdownGraphOp.hpp:108, no grad) followed by `y = X0·W` using a weight
+snapshot popped from `shared_W_queue` (:818, one version per super-batch =
+bounded staleness); results are pushed to the GPU
+(move_embedding_to_gpu, ntsDataloador.hpp:591) and spliced into layer-1
+activations (load_share_embedding, :938) while the GPU sampler omits the
+bottom-layer expansion of cached vertices (sample_gpu_fast_omit,
+ntsFastSampler.hpp:711).
+
+TPU redesign: no second processor — the win is re-expressed as WORK REUSE on
+one chip.  The hot set is fixed after pre-sampling, so the hot vertices'
+full in-neighborhoods form a STATIC padded COO built once; the refresh is a
+single jitted program
+    cache_emb = segment_sum(features[src]·w) @ W_snapshot
+(one compile, MXU-shaped) run once per super-batch.  Each hot vertex's
+bottom layer is computed once per super-batch instead of once per pipeline
+batch it appears in, and the sampler skips expanding it entirely (the
+dominant sampling + gather cost).  Staleness semantics are identical: the
+W snapshot is taken at the super-batch boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.adjacency import Adjacency
+from ..sampler.blocks import WeightKind, pad_to
+from ..ops.segment import spmm_coo
+
+
+class StalenessQueue:
+    """Bounded-staleness weight versioning (reference shared_W_queue +
+    cpu_version/gpu_version guards, NtsScheduler.hpp:696/:997-1029).
+
+    Depth-1 queue: `push` publishes the current trained W at a super-batch
+    boundary; `get` returns the newest published version (the refresh
+    program then runs at most one super-batch behind the trained weights).
+    """
+
+    def __init__(self) -> None:
+        self._w = None
+        self.version = -1
+
+    def push(self, w) -> None:
+        self._w = w
+        self.version += 1
+
+    def get(self):
+        assert self._w is not None, "no W version published yet"
+        return self._w, self.version
+
+
+@dataclasses.dataclass
+class EmbeddingCache:
+    """Static hot-set COO + device cache array + vertex→slot map."""
+
+    cache_ids: np.ndarray          # [C] global ids of hot vertices
+    cache_map_host: np.ndarray     # [V] int32, slot or -1
+    coo_src: jax.Array             # [E_pad] int32 global src ids
+    coo_slot: jax.Array            # [E_pad] int32 destination cache slot
+    coo_w: jax.Array               # [E_pad] f32 edge weight (0 = padding)
+    cache_emb: Optional[jax.Array]  # [C, H] current cached embeddings
+    cache_map: jax.Array           # [V] int32 device copy of the slot map
+    version: int = -1
+
+    @property
+    def num_cached(self) -> int:
+        return int(self.cache_ids.shape[0])
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def build(
+        adj: Adjacency,
+        cache_ids: np.ndarray,
+        weight_kind: WeightKind,
+        pad_multiple: int = 512,
+    ) -> "EmbeddingCache":
+        """Build the static full-neighborhood COO for the hot set.
+
+        Reference parity: PushDown aggregation uses the FULL in-neighborhood
+        of each hot vertex over global features with the model's edge-weight
+        scheme (CPU_sg sampled with fanout=-1 semantics).
+        """
+        v = adj.num_vertices
+        cache_map = np.full(v, -1, dtype=np.int32)
+        cache_map[cache_ids] = np.arange(cache_ids.size, dtype=np.int32)
+        srcs, slots = [], []
+        for slot, vid in enumerate(cache_ids):
+            nbr = adj.neighbors(int(vid))
+            srcs.append(nbr)
+            slots.append(np.full(nbr.size, slot, dtype=np.int32))
+        src = np.concatenate(srcs) if srcs else np.zeros(0, np.int32)
+        slot = np.concatenate(slots) if slots else np.zeros(0, np.int32)
+        dstv = cache_ids[slot] if slot.size else np.zeros(0, np.int32)
+        if weight_kind == WeightKind.GCN:
+            w = adj.gcn_edge_weight(src, dstv)
+        elif weight_kind == WeightKind.MEAN:
+            w = adj.gcn_edge_weight(src, dstv) / np.maximum(
+                adj.in_degree[dstv], 1
+            )
+        else:  # GAT pushdown approximates with mean aggregation (reference
+            # PD-cache engines reuse the plain PushDown op for GAT too)
+            w = 1.0 / np.maximum(adj.in_degree[dstv], 1).astype(np.float32)
+        e_pad = pad_to(max(src.size, 1), pad_multiple)
+        src_p = np.zeros(e_pad, np.int32)
+        slot_p = np.zeros(e_pad, np.int32)
+        w_p = np.zeros(e_pad, np.float32)
+        src_p[: src.size] = src
+        slot_p[: slot.size] = slot
+        w_p[: w.size] = w
+        return EmbeddingCache(
+            cache_ids=cache_ids.astype(np.int32),
+            cache_map_host=cache_map,
+            coo_src=jnp.asarray(src_p),
+            coo_slot=jnp.asarray(slot_p),
+            coo_w=jnp.asarray(w_p),
+            cache_emb=None,
+            cache_map=jnp.asarray(cache_map),
+        )
+
+    # ------------------------------------------------------------------
+    def make_refresh_fn(self):
+        """Jitted refresh: features → aggregate hot neighborhoods → ·W."""
+        num_slots = self.num_cached
+
+        @jax.jit
+        def refresh(features, w0, coo_src, coo_slot, coo_w):
+            agg = spmm_coo(features, coo_src, coo_slot, coo_w, num_slots)
+            return jnp.dot(agg, w0, preferred_element_type=agg.dtype)
+
+        return refresh
+
+    def refresh(self, features: jax.Array, w0: jax.Array, version: int) -> None:
+        """Run the refresh program (async dispatch; no host sync)."""
+        if self._refresh_fn is None:
+            raise RuntimeError
+        self.cache_emb = self._refresh_fn(
+            features, w0, self.coo_src, self.coo_slot, self.coo_w
+        )
+        self.version = version
+
+    _refresh_fn = None
+
+    def init_refresh(self) -> None:
+        self._refresh_fn = self.make_refresh_fn()

@@ -1,0 +1,116 @@
+"""Hotness pre-sampling: rank vertices by expected sampling frequency.
+
+Reference: nts::op::preSample (core/ntsBaseOp.hpp:409/:427) — per super-batch,
+propagate visit counts L-1 hops from the train vertices over the full CSC
+(get_most_neighbor :267/:332), sort by count, take the top cache_rate
+fraction as the hot-vertex cache; persists the result to a
+`<edge>.pre_sample_b{B}_f{fanouts}_p{P}.bin` file and reloads it on later
+runs (:432-541).  nts_local_shuffle (:73/:145) keeps super-batch membership
+stable across epochs while still shuffling within each super-batch.
+
+TPU redesign: the count propagation is a sparse matvec over the transposed
+adjacency — expressed as numpy bincount passes (host, runs once), with the
+same fanout-clamped expected-visit model.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..graph.adjacency import Adjacency
+from ..utils.logging import get_logger
+
+log = get_logger("sgnn.cache")
+
+_MAGIC = 0x53474E4E  # "SGNN"
+
+
+def hotness_scores(
+    adj: Adjacency,
+    train_nids: np.ndarray,
+    fanouts: Sequence[int],
+) -> np.ndarray:
+    """Expected visit counts per vertex under fanout sampling from train nids.
+
+    Hop h spreads each destination's count over its in-neighbors, scaled by
+    min(fanout_h, deg)/deg (the probability mass fanout sampling puts on each
+    in-edge) — the same counting model as the reference's preSample BFS.
+    """
+    v = adj.num_vertices
+    counts = np.zeros(v, dtype=np.float64)
+    frontier = np.zeros(v, dtype=np.float64)
+    frontier[train_nids] = 1.0
+    deg = np.maximum(adj.in_degree.astype(np.float64), 1.0)
+    total = np.zeros(v, dtype=np.float64)
+    for f in fanouts:
+        # per-dst mass pushed to each in-edge
+        scale = np.minimum(float(f), deg) / deg
+        per_edge = (frontier * scale)  # [V] mass per in-edge of each dst
+        # scatter to sources: for each edge (src -> dst): src += per_edge[dst]
+        dst_of_edge = np.repeat(
+            np.arange(v, dtype=np.int64), np.diff(adj.indptr).astype(np.int64)
+        )
+        contrib = per_edge[dst_of_edge]
+        nxt = np.bincount(adj.indices.astype(np.int64), weights=contrib,
+                          minlength=v)
+        total += nxt
+        frontier = nxt
+    return total
+
+
+def presample_hotness(
+    adj: Adjacency,
+    train_nids: np.ndarray,
+    fanouts: Sequence[int],
+    cache_rate: float,
+    edge_file: Optional[str] = None,
+    batch_size: int = 0,
+) -> np.ndarray:
+    """Top cache_rate·V hottest vertex ids, with .bin persistence parity.
+
+    Cache file name mirrors the reference's
+    `<edge>.pre_sample_b{B}_f{fanouts}_p1.bin` convention
+    (ntsBaseOp.hpp:432); our format: [magic, n] uint32 header + ids.
+    """
+    n_cache = int(adj.num_vertices * cache_rate)
+    if n_cache == 0:
+        return np.zeros(0, dtype=np.int32)
+    path = None
+    if edge_file:
+        fan_s = "-".join(str(f) for f in fanouts)
+        path = f"{edge_file}.sgnn_pre_sample_b{batch_size}_f{fan_s}.bin"
+        if os.path.exists(path):
+            raw = np.fromfile(path, dtype="<u4")
+            if raw.size >= 2 and raw[0] == _MAGIC and raw[1] == raw.size - 2:
+                ids = raw[2:].astype(np.int32)
+                log.info("presample: loaded %d hot ids from %s", ids.size, path)
+                return ids[:n_cache]
+    scores = hotness_scores(adj, train_nids, fanouts)
+    order = np.argsort(-scores, kind="stable")
+    ids = order[:n_cache].astype(np.int32)
+    if path:
+        np.concatenate(
+            [np.array([_MAGIC, ids.size], dtype="<u4"), ids.astype("<u4")]
+        ).tofile(path)
+        log.info("presample: wrote %d hot ids to %s", ids.size, path)
+    return ids
+
+
+def super_batch_stable_shuffle(
+    nids: np.ndarray, super_batch_size: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Shuffle WITHIN super-batches, keeping membership stable across epochs.
+
+    Reference nts_local_shuffle (ntsBaseOp.hpp:73/:145): the hot-vertex cache
+    is planned per super-batch, so epoch shuffling must not move vertices
+    between super-batches.
+    """
+    out = np.array(nids, copy=True)
+    for s in range(0, len(out), super_batch_size):
+        seg = out[s:s + super_batch_size]
+        rng.shuffle(seg)
+        out[s:s + super_batch_size] = seg
+    return out

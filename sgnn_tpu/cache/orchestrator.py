@@ -1,0 +1,181 @@
+"""PD-cache training orchestration: super-batch pipeline + hot-vertex reuse.
+
+Reference flow (GCN_SAMPLE_PD_CACHE_impl::run, toolkits/
+GCN_SAMPLE_PD_CACHE.hpp:671-871 — see SURVEY.md §3.2): pre-sample hotness →
+plan super-batches (batch·pipeline_num) → CPU helper thread computes hot
+vertices' bottom layer with a staleness-bounded W per super-batch while the
+GPU pipeline trains with a cache-omitting sampler and splices cached rows
+into layer-1 activations.
+
+TPU redesign (see cache/embedding_cache.py): one chip, work-reuse instead of
+processor split — per super-batch the jitted refresh program recomputes the
+whole hot cache from a STATIC hot-set COO using the newest published W0
+(bounded staleness: published at super-batch boundaries, so training within
+a super-batch uses a cache at most one version old — exactly the reference's
+shared_W_queue discipline), the sampler omits cached bottom-hop expansions,
+and the model overlays cached rows at layer 0.  JAX async dispatch overlaps
+the refresh with the host's sampling of the next batches.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunConfig
+from ..data.dataset import Dataset
+from ..sampler.blocks import WeightKind
+from ..train.trainer import SampleTrainer
+from ..utils.logging import get_logger
+from .embedding_cache import EmbeddingCache, StalenessQueue
+from .hotness import presample_hotness, super_batch_stable_shuffle
+
+log = get_logger("sgnn.cache")
+
+
+class CachedSampleTrainer(SampleTrainer):
+    """SampleTrainer + NeutronOrch hot-vertex embedding cache."""
+
+    def __init__(
+        self,
+        cfg: RunConfig,
+        dataset: Dataset,
+        family: str = "gcn",
+        weight_kind: WeightKind = WeightKind.GCN,
+        degree_mode: str = "sampled",
+        bias_correction: bool = False,
+        adj=None,
+    ) -> None:
+        super().__init__(
+            cfg, dataset, family=family, weight_kind=weight_kind,
+            degree_mode=degree_mode, bias_correction=bias_correction, adj=adj,
+        )
+        assert self.features_on_device, (
+            "PD-cache requires device-resident features (HBM) in this build"
+        )
+        cache_rate = cfg.cache_rate if cfg.cache_rate > 0 else 0.1
+        self.super_batch_size = cfg.batch_size * max(cfg.pipeline_num, 1)
+        cache_ids = presample_hotness(
+            self.adj, self.train_nids, cfg.fanout, cache_rate,
+            edge_file=cfg.edge_file or None, batch_size=cfg.batch_size,
+        )
+        agg_kind = weight_kind if family != "gat" else WeightKind.MEAN
+        self.cache = EmbeddingCache.build(self.adj, cache_ids, agg_kind)
+        self.cache.init_refresh()
+        self.w_queue = StalenessQueue()
+        self.cache_hits = 0
+        self.cache_lookups = 0
+        self._cache_active = False  # toggled on for training batches only
+        log.info(
+            "PD-cache: %d hot vertices (%.1f%%), %d hot-set edges",
+            self.cache.num_cached,
+            100.0 * self.cache.num_cached / max(self.adj.num_vertices, 1),
+            int(np.asarray(self.cache.coo_w != 0).sum()),
+        )
+
+    # ------------------------------------------------------------- programs
+    def _build_step(self):
+        family, drop_rate = self.family, self.cfg.drop_rate
+        optimizer = self.optimizer
+
+        @jax.jit
+        def step(params, opt_state, batch, key, features, labels, cache_emb):
+            batch_m = self._materialize(batch, features, labels)
+
+            def loss_fn(p):
+                from ..models.gnn import model_forward
+                from ..nn.functional import nll_loss_masked
+
+                logp = model_forward(
+                    p, family, batch_m, drop_rate=drop_rate, train=True,
+                    dropout_key=key, cache_emb=cache_emb,
+                )
+                return (
+                    nll_loss_masked(logp, batch_m.labels, batch_m.label_valid),
+                    logp,
+                )
+
+            from ..nn.functional import masked_accuracy
+
+            (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            new_params, new_opt = optimizer.update(grads, opt_state, params)
+            acc = masked_accuracy(logp, batch_m.labels, batch_m.label_valid)
+            return new_params, new_opt, loss, acc
+
+        return step
+
+    # ------------------------------------------------------------- batching
+    def _make_batch(self, seeds: np.ndarray):
+        if not self._cache_active:
+            return super()._make_batch(seeds)
+        with self.timers.phase("sample"):
+            hb = self.sampler.sample(seeds, omit_map=self.cache.cache_map_host)
+            b0 = hb.blocks[0]
+            slots = self.cache.cache_map_host[np.maximum(b0.seeds, 0)]
+            mask = (slots >= 0) & b0.dst_valid
+            self.cache_hits += int(mask.sum())
+            self.cache_lookups += int(b0.dst_valid.sum())
+            top = hb.blocks[-1]
+            x0 = np.zeros((1, 1), np.float32)
+            y = np.zeros((top.seeds.shape[0],), np.int32)
+            yv = top.dst_valid
+        with self.timers.phase("transfer"):
+            from ..train.trainer import host_batch_to_device
+            import dataclasses
+
+            batch = host_batch_to_device(hb, x0, y, yv)
+            batch = dataclasses.replace(
+                batch,
+                cache_mask=jnp.asarray(mask),
+                cache_slot=jnp.asarray(np.maximum(slots, 0).astype(np.int32)),
+            )
+        return batch, hb.num_valid_edges()
+
+    # ---------------------------------------------------------------- loops
+    def _refresh_cache(self) -> None:
+        """Super-batch boundary: publish W0, refresh the hot cache (async)."""
+        with self.timers.phase("cache_refresh"):
+            self.w_queue.push(self.params.weights[0])
+            w0, version = self.w_queue.get()
+            self.cache.refresh(self.dev_features, w0, version)
+
+    def train_epoch(self) -> Tuple[float, float, int]:
+        losses, corrects, totals, edges = [], 0, 0, 0
+        nids = super_batch_stable_shuffle(
+            self.train_nids, self.super_batch_size, self.sampler.rng
+        )
+        self._cache_active = True
+        try:
+            sb_step = 0
+            for i, (batch, nedges) in enumerate(
+                self._batch_stream(nids, shuffle=False)
+            ):
+                if i % max(self.cfg.pipeline_num, 1) == 0:
+                    # super-batch boundary (reference shared_W_queue push,
+                    # GCN_SAMPLE_PD_CACHE.hpp:603-606)
+                    self._refresh_cache()
+                self._dropout_key, sub = jax.random.split(self._dropout_key)
+                with self.timers.phase("train_step"):
+                    self.params, self.opt_state, loss, acc = self._step_fn(
+                        self.params, self.opt_state, batch, sub,
+                        self.dev_features, self.dev_labels,
+                        self.cache.cache_emb,
+                    )
+                losses.append(loss)
+                corrects += int(acc[0])
+                totals += int(acc[1])
+                edges += nedges
+                sb_step += 1
+        finally:
+            self._cache_active = False
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        return mean_loss, corrects / max(totals, 1), edges
+
+    @property
+    def cache_hit_rate(self) -> float:
+        return self.cache_hits / max(self.cache_lookups, 1)

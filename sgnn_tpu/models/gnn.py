@@ -69,26 +69,6 @@ def init_model(
     return GNNParams(weights=tuple(ws), attn=tuple(atts))
 
 
-def _gcn_like_layer(
-    w: jax.Array,
-    block: SampledBlock,
-    x: jax.Array,
-    *,
-    is_last: bool,
-    drop_rate: float,
-    train: bool,
-    key: Optional[jax.Array],
-) -> jax.Array:
-    y = gather_aggregate(x, block.nbr, block.weight)      # [D, F_in]
-    y = jnp.dot(y, w.astype(y.dtype), preferred_element_type=y.dtype)
-    if is_last:
-        return log_softmax(y)
-    y = jax.nn.relu(y)
-    if train and drop_rate > 0.0:
-        y = dropout(key, y, drop_rate, train)
-    return y
-
-
 def _gat_layer(
     w: jax.Array,
     a: jax.Array,
@@ -96,6 +76,7 @@ def _gat_layer(
     x: jax.Array,
     *,
     negative_slope: float = 0.2,
+    pre_act: bool = True,
 ) -> jax.Array:
     h = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)  # [S, F']
     fprime = h.shape[-1]
@@ -109,7 +90,7 @@ def _gat_layer(
     mask = block.weight != 0.0
     att = edge_softmax(score, mask)
     out = aggregate_edges_to_dst(h_src_e, att)                     # [D, F']
-    return jax.nn.relu(out)
+    return out if pre_act else jax.nn.relu(out)
 
 
 def model_forward(
@@ -120,6 +101,7 @@ def model_forward(
     drop_rate: float = 0.0,
     train: bool = False,
     dropout_key: Optional[jax.Array] = None,
+    cache_emb: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Run the L-layer model; returns log-probs [num_seed_pad, classes].
 
@@ -135,16 +117,51 @@ def model_forward(
         if (train and drop_rate > 0.0 and dropout_key is not None)
         else [None] * n_layers
     )
+    use_cache = (
+        cache_emb is not None
+        and batch.cache_mask is not None
+        and n_layers > 1
+    )
     for l in range(n_layers):
         block = batch.blocks[l]
         is_last = l == n_layers - 1
         if family == "gat":
-            x = _gat_layer(params.weights[l], params.attn[l], block, x)
+            pre = _gat_layer(
+                params.weights[l], params.attn[l], block, x, pre_act=True
+            )
+            if l == 0 and use_cache:
+                pre = _merge_cache(pre, batch, cache_emb)
+            # reference GAT applies relu at EVERY layer (X[i+1]=relu(nbr),
+            # GAT_SAMPLE_ALL_GPU.hpp:389) and log_softmax at the loss (:397)
+            x = jax.nn.relu(pre)
             if is_last:
                 x = log_softmax(x)
         else:
-            x = _gcn_like_layer(
-                params.weights[l], block, x,
-                is_last=is_last, drop_rate=drop_rate, train=train, key=keys[l],
-            )
+            y = gather_aggregate(x, block.nbr, block.weight)
+            y = jnp.dot(y, params.weights[l].astype(y.dtype),
+                        preferred_element_type=y.dtype)
+            if l == 0 and use_cache:
+                y = _merge_cache(y, batch, cache_emb)
+            if is_last:
+                x = log_softmax(y)
+            else:
+                x = jax.nn.relu(y)
+                if train and drop_rate > 0.0 and keys[l] is not None:
+                    x = dropout(keys[l], x, drop_rate, train)
     return x
+
+
+def _merge_cache(pre_act: jax.Array, batch: SampledBatch,
+                 cache_emb: jax.Array) -> jax.Array:
+    """Overlay cached hot-vertex pre-activations onto layer-0 output.
+
+    Reference: load_share_embedding overwrites cached rows of Y·W before
+    relu/dropout (GCN_SAMPLE_PD_CACHE.hpp:938; CUDA kernel
+    dev_load_share_embedding, ntsCUDATransferKernel.cuh:344).  Cached rows
+    are constants w.r.t. autodiff (reference PushDownOp sets
+    requires_grad_(false), ntsPushdownGraphOp.hpp:122).
+    """
+    rows = jax.lax.stop_gradient(
+        cache_emb[jnp.maximum(batch.cache_slot, 0)].astype(pre_act.dtype)
+    )
+    return jnp.where(batch.cache_mask[:, None], rows, pre_act)

