@@ -137,9 +137,21 @@ def model_forward(
             if is_last:
                 x = log_softmax(x)
         else:
-            y = gather_aggregate(x, block.nbr, block.weight)
-            y = jnp.dot(y, params.weights[l].astype(y.dtype),
-                        preferred_element_type=y.dtype)
+            w = params.weights[l]
+            # Aggregation is linear, so agg(X)·W == agg(X·W); when the layer
+            # SHRINKS the feature dim (in > out), transforming first cuts the
+            # gathered [D, K, F] intermediate and HBM traffic by in/out and
+            # feeds the MXU one large dense matmul over the src set.  The
+            # reference is locked into SpMM-then-GEMM by its op tape; this
+            # reordering is a TPU-side win its design can't express.
+            if w.shape[0] > w.shape[1]:
+                xw = jnp.dot(x, w.astype(x.dtype),
+                             preferred_element_type=x.dtype)
+                y = gather_aggregate(xw, block.nbr, block.weight)
+            else:
+                y = gather_aggregate(x, block.nbr, block.weight)
+                y = jnp.dot(y, w.astype(y.dtype),
+                            preferred_element_type=y.dtype)
             if l == 0 and use_cache:
                 y = _merge_cache(y, batch, cache_emb)
             if is_last:

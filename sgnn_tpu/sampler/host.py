@@ -206,8 +206,14 @@ class HostSampler:
             idg = np.maximum(self.adj.in_degree[seeds], 1)
             w = 1.0 / (np.sqrt(od) * np.sqrt(idg)[:, None])
         if self.weight_kind == WeightKind.MEAN:
-            edges_num = np.maximum(valid.sum(axis=1), 1)
-            w = w / edges_num[:, None]
+            # sampled mode divides by the sampled edge count (GPU
+            # get_mean_weight kernel); global mode by the global in-degree
+            # (CPU Mean branch, ntsFastSampler.hpp:1117)
+            if self.degree_mode == "sampled":
+                div = np.maximum(valid.sum(axis=1), 1)
+            else:
+                div = np.maximum(self.adj.in_degree[seeds], 1)
+            w = w / div[:, None]
         return np.where(valid, w, 0.0).astype(np.float32)
 
     def _finalize(self, hops: List[dict], nseed: int) -> "HostSampledBatch":
@@ -220,7 +226,9 @@ class HostSampler:
                 raise RuntimeError(
                     f"src overflow: {ns} > {plan.num_src_pad}; raise pad cap"
                 )
-            w = self._hop_weights(hop)
+            w = hop.get("weight")
+            if w is None:  # native path precomputes weights in C++
+                w = self._hop_weights(hop)
             nbr = np.zeros((plan.num_dst_pad, plan.fanout), dtype=np.int32)
             wgt = np.zeros((plan.num_dst_pad, plan.fanout), dtype=np.float32)
             seeds_p = np.zeros(plan.num_dst_pad, dtype=np.int32)

@@ -16,7 +16,7 @@ except Exception:
     lib = None
 
 
-def sample_batch(sampler, seeds):
+def sample_batch(sampler, seeds, omit_map=None):
     from .bindings import sample_batch as _sb
 
-    return _sb(sampler, seeds, lib)
+    return _sb(sampler, seeds, omit_map, lib)

@@ -1,0 +1,127 @@
+"""ctypes bindings: drive the native sampler, reuse the host sampler's
+weight/padding logic so numpy and native paths share one finalizer."""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional
+
+import numpy as np
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+class _Workspace:
+    """Per-sampler reusable buffers (bitmap, lookup, srcs)."""
+
+    def __init__(self, num_vertices: int) -> None:
+        self.bitmap = np.zeros(((num_vertices + 63) // 64,), dtype=np.uint64)
+        self.lookup = np.zeros(num_vertices, dtype=np.int32)
+        self.srcs = np.zeros(num_vertices, dtype=np.int32)
+
+
+def sample_batch(sampler, batch_seeds: np.ndarray,
+                 omit_map: Optional[np.ndarray], lib) -> "object":
+    """Native analogue of HostSampler._sample_numpy (same hop-dict contract)."""
+    adj = sampler.adj
+    if not hasattr(sampler, "_native_ws"):
+        sampler._native_ws = _Workspace(adj.num_vertices)
+    ws: _Workspace = sampler._native_ws
+    indptr = np.ascontiguousarray(adj.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(adj.indices, dtype=np.int32)
+    omit_arr = None
+    if omit_map is not None:
+        omit_arr = np.ascontiguousarray(omit_map, dtype=np.int32)
+
+    hops = []
+    seeds = np.ascontiguousarray(batch_seeds, dtype=np.int32)
+    nseed = seeds.shape[0]
+    last = len(sampler.plans) - 1
+    for h, plan in enumerate(sampler.plans):
+        assert plan.fanout <= 1024, "native sampler supports fanout <= 1024"
+        n = seeds.shape[0]
+        nbr_global = np.empty((n, plan.fanout), dtype=np.int32)
+        valid_u8 = np.empty((n, plan.fanout), dtype=np.uint8)
+        ws.bitmap[:] = 0
+        use_omit = omit_arr if (omit_arr is not None and h == last) else None
+        lib.sgnn_sample_hop(
+            _ptr(indptr, ctypes.c_int64),
+            _ptr(indices, ctypes.c_int32),
+            adj.num_vertices,
+            _ptr(seeds, ctypes.c_int32),
+            n,
+            plan.fanout,
+            _ptr(use_omit, ctypes.c_int32) if use_omit is not None else None,
+            np.uint64(sampler.rng.integers(0, 2**63, dtype=np.int64)),
+            _ptr(nbr_global, ctypes.c_int32),
+            _ptr(valid_u8, ctypes.c_uint8),
+            _ptr(ws.bitmap, ctypes.c_uint64),
+        )
+        # srcs = sampled neighbors ∪ seeds (sorted unique via bitmap scan)
+        lib.sgnn_bitmap_add(
+            _ptr(ws.bitmap, ctypes.c_uint64), _ptr(seeds, ctypes.c_int32), n
+        )
+        n_src = lib.sgnn_collect_srcs(
+            _ptr(ws.bitmap, ctypes.c_uint64),
+            adj.num_vertices,
+            _ptr(ws.srcs, ctypes.c_int32),
+            _ptr(ws.lookup, ctypes.c_int32),
+        )
+        srcs = ws.srcs[:n_src].copy()
+        nbr_local = np.empty_like(nbr_global)
+        lib.sgnn_reindex(
+            _ptr(nbr_global, ctypes.c_int32),
+            _ptr(valid_u8, ctypes.c_uint8),
+            nbr_global.size,
+            _ptr(ws.lookup, ctypes.c_int32),
+            _ptr(nbr_local, ctypes.c_int32),
+        )
+        valid = valid_u8.astype(bool)
+        seed_in_src = ws.lookup[seeds]
+        weight = _native_weights(
+            sampler, lib, nbr_local, valid_u8, seeds, srcs, plan.fanout
+        )
+        hops.append(
+            dict(
+                seeds=seeds, nbr_global=np.where(valid, nbr_global, -1),
+                nbr_local=nbr_local, valid=valid, srcs=srcs,
+                seed_in_src=seed_in_src, plan=plan, weight=weight,
+            )
+        )
+        seeds = srcs
+    return sampler._finalize(hops, nseed)
+
+
+_MODE = {  # (WeightKind.value, degree_mode) → sgnn_weights mode enum
+    ("gcn", "sampled"): 0,
+    ("mean", "sampled"): 1,
+    ("gcn", "global"): 2,
+    ("mean", "global"): 3,
+}
+
+
+def _native_weights(sampler, lib, nbr_local, valid_u8, seeds, srcs, fanout):
+    mode = _MODE.get((sampler.weight_kind.value, sampler.degree_mode), 4)
+    if sampler.weight_kind.value == "none":
+        mode = 4
+    n_dst = seeds.shape[0]
+    weight = np.empty((n_dst, fanout), dtype=np.float32)
+    adj = sampler.adj
+    out_deg = np.ascontiguousarray(adj.out_degree, dtype=np.int32)
+    in_deg = np.ascontiguousarray(adj.in_degree, dtype=np.int32)
+    lib.sgnn_weights(
+        _ptr(nbr_local, ctypes.c_int32),
+        _ptr(valid_u8, ctypes.c_uint8),
+        n_dst,
+        fanout,
+        srcs.shape[0],
+        _ptr(out_deg, ctypes.c_int32),
+        _ptr(in_deg, ctypes.c_int32),
+        _ptr(srcs, ctypes.c_int32),
+        _ptr(seeds, ctypes.c_int32),
+        mode,
+        _ptr(weight, ctypes.c_float),
+    )
+    return weight

@@ -192,3 +192,70 @@ def test_device_sampler_agrees_semantically(adj, tiny_ds):
         sis = np.asarray(b.seed_in_src)
         for d in range(min(20, int(dv.sum()))):
             assert srcs[sis[d]] == seeds_np[d]
+
+
+# ---------------------------------------------------------------- native ----
+def _native_available():
+    from sgnn_tpu.sampler import native
+
+    return native.lib is not None
+
+
+@pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
+def test_native_sampler_invariants(adj, tiny_ds):
+    s = HostSampler(adj, fanouts=[5, 3], batch_size=64, seed=1,
+                    use_native=True)
+    assert s.use_native
+    seeds = np.arange(64, dtype=np.int32)
+    hb = s.sample(seeds)
+    _check_batch_invariants(adj, s, hb, seeds)
+    inner, outer = hb.blocks[0], hb.blocks[1]
+    np.testing.assert_array_equal(
+        inner.seeds[: inner.num_dst], outer.srcs[: outer.num_src]
+    )
+
+
+@pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
+def test_native_fanout_clamp_and_weights(adj):
+    s = HostSampler(adj, fanouts=[1000], batch_size=16, seed=0,
+                    use_native=True)
+    seeds = np.arange(16, dtype=np.int32)
+    hb = s.sample(seeds)
+    b = hb.blocks[0]
+    valid_counts = (b.weight[:16] != 0).sum(axis=1)
+    np.testing.assert_array_equal(valid_counts, adj.in_degree[seeds])
+    # weights identical to the numpy path for the same sampled edges
+    for d in range(16):
+        for k in np.nonzero(b.weight[d] != 0)[0]:
+            src_g = b.srcs[b.nbr[d, k]]
+            expect = 1.0 / (
+                np.sqrt(max(adj.out_degree[src_g], 1))
+                * np.sqrt(max(adj.in_degree[b.seeds[d]], 1))
+            )
+            assert np.isclose(b.weight[d, k], expect, rtol=1e-5)
+
+
+@pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
+def test_native_deterministic(adj):
+    a = HostSampler(adj, fanouts=[4, 2], batch_size=32, seed=9,
+                    use_native=True)
+    b = HostSampler(adj, fanouts=[4, 2], batch_size=32, seed=9,
+                    use_native=True)
+    seeds = np.arange(32, dtype=np.int32)
+    ba, bb = a.sample(seeds), b.sample(seeds)
+    for x, y in zip(ba.blocks, bb.blocks):
+        np.testing.assert_array_equal(x.nbr, y.nbr)
+        np.testing.assert_array_equal(x.srcs, y.srcs)
+        np.testing.assert_array_equal(x.weight, y.weight)
+
+
+@pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
+def test_native_omit(adj):
+    omit = np.full(adj.num_vertices, -1, dtype=np.int32)
+    omit[::2] = 1
+    s = HostSampler(adj, fanouts=[4, 3], batch_size=32, seed=0,
+                    use_native=True)
+    hb = s.sample(np.arange(32, dtype=np.int32), omit_map=omit)
+    b0 = hb.blocks[0]
+    cached = omit[np.maximum(b0.seeds, 0)] >= 0
+    assert not (b0.weight[cached & b0.dst_valid] != 0).any()

@@ -105,9 +105,13 @@ def test_dp_grad_sum_matches_single_device(tiny_ds):
     gb = jax.grad(loss_fn)(base.params, bb)
     gsum = jax.tree.map(lambda x, y: x + y, ga, gb)
     exp_p, _ = base.optimizer.update(gsum, base.opt_state, base.params)
-    # tolerance note: psum reduction order vs manual x+y differs in float32,
-    # and Adam's m/√v amplifies it on near-zero-grad elements; a sum-vs-mean
-    # bug would show ~30%+ deviation, so 2% catches real errors
+    # tolerance note: psum reduction order vs manual x+y differs in float32;
+    # on elements whose summed grad ≈ 0 Adam's m/√v turns the sign of that
+    # noise into a fixed ±2·α·0.316 update difference.  A sum-vs-mean bug
+    # would shift EVERY element ~30%; so require near-equality on ≥99% of
+    # elements and bounded mean deviation instead of elementwise allclose.
     for got, exp in zip(new_p.weights, exp_p.weights):
-        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
-                                   rtol=2e-2, atol=1e-4)
+        g, e = np.asarray(got), np.asarray(exp)
+        close = np.isclose(g, e, rtol=2e-2, atol=1e-4)
+        assert close.mean() > 0.99, f"only {close.mean():.3f} close"
+        assert np.abs(g - e).mean() < 1e-3
