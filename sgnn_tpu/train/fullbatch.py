@@ -1,0 +1,268 @@
+"""Full-batch (whole-graph) training — the NeutronStar-lineage path.
+
+Reference: the single-node and distributed full-graph op families
+(SingleCPU*/SingleGPU*/Dist* graph ops, core/ntsSingleCPUGraphOp.hpp,
+ntsDistCPUGraphOp.hpp) driven by Gemini's push/pull engines
+(core/graph.hpp:2535-4331).  The sample-based engines superseded these for
+training speed, but the capability remains part of the framework.
+
+TPU redesign: the whole graph is ONE padded COO; a full-batch epoch is a
+single jitted program (L× spmm_coo + dense matmuls + masked loss).
+Multi-chip: vertex-range sharding over the mesh "graph" axis with
+all_gather halo exchange (parallel/halo.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunConfig
+from ..data.dataset import Dataset, MASK_TRAIN, MASK_VAL, MASK_TEST
+from ..graph.adjacency import Adjacency
+from ..models.gnn import GNNParams, init_model
+from ..nn.functional import log_softmax, nll_loss_masked
+from ..nn.optim import ReferenceAdam
+from ..ops.segment import segment_softmax_coo, spmm_coo
+from ..sampler.blocks import WeightKind, pad_to
+from ..utils.logging import get_logger
+
+log = get_logger("sgnn.full")
+
+
+def build_coo(
+    adj: Adjacency, weight_kind: WeightKind, pad_multiple: int = 512
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-graph (src, dst, weight) arrays, padded with weight-0 edges."""
+    v = adj.num_vertices
+    dst = np.repeat(np.arange(v, dtype=np.int32),
+                    np.diff(adj.indptr).astype(np.int64))
+    src = adj.indices.astype(np.int32)
+    if weight_kind == WeightKind.GCN:
+        w = adj.gcn_edge_weight(src, dst)
+    elif weight_kind == WeightKind.MEAN:
+        w = adj.gcn_edge_weight(src, dst) / np.maximum(adj.in_degree[dst], 1)
+    else:
+        w = np.ones(src.size, np.float32)
+    e_pad = pad_to(src.size, pad_multiple)
+    pad = e_pad - src.size
+    if pad:
+        src = np.concatenate([src, np.zeros(pad, np.int32)])
+        dst = np.concatenate([dst, np.zeros(pad, np.int32)])
+        w = np.concatenate([w, np.zeros(pad, np.float32)])
+    return src, dst, w.astype(np.float32)
+
+
+def full_forward(
+    params: GNNParams,
+    family: str,
+    x: jax.Array,
+    src: jax.Array,
+    dst: jax.Array,
+    w_edge: jax.Array,
+    num_vertices: int,
+) -> jax.Array:
+    """L-layer whole-graph forward (GCN/SAGE via SpMM; GAT via COO softmax)."""
+    h = x
+    n_layers = len(params.weights)
+    valid = w_edge != 0
+    for l in range(n_layers):
+        wl = params.weights[l]
+        if family == "gat":
+            ht = jnp.dot(h, wl, preferred_element_type=h.dtype)
+            f = ht.shape[-1]
+            a_src = params.attn[l][:f, 0]
+            a_dst = params.attn[l][f:, 0]
+            score = ht[src] @ a_src + ht[dst] @ a_dst
+            score = jax.nn.leaky_relu(score, 0.2)
+            att = segment_softmax_coo(score, dst, valid, num_vertices)
+            h = spmm_coo(ht, src, dst, att, num_vertices)
+            h = jax.nn.relu(h)
+            if l == n_layers - 1:
+                h = log_softmax(h)
+        else:
+            if wl.shape[0] > wl.shape[1]:  # transform-first (see models/gnn)
+                h = spmm_coo(
+                    jnp.dot(h, wl, preferred_element_type=h.dtype),
+                    src, dst, w_edge, num_vertices,
+                )
+            else:
+                h = jnp.dot(
+                    spmm_coo(h, src, dst, w_edge, num_vertices), wl,
+                    preferred_element_type=h.dtype,
+                )
+            if l == n_layers - 1:
+                h = log_softmax(h)
+            else:
+                h = jax.nn.relu(h)
+    return h
+
+
+class FullBatchTrainer:
+    """Whole-graph training engine; optional vertex-sharded multi-chip mode."""
+
+    def __init__(
+        self,
+        cfg: RunConfig,
+        dataset: Dataset,
+        family: str = "gcn",
+        weight_kind: WeightKind = WeightKind.GCN,
+        mesh=None,
+        adj: Optional[Adjacency] = None,
+    ) -> None:
+        self.cfg = cfg
+        self.dataset = dataset
+        self.family = family
+        self.adj = adj or Adjacency.from_edges(dataset.edges, dataset.num_vertices)
+        wk = WeightKind.NONE if family == "gat" else weight_kind
+        src, dst, w = build_coo(self.adj, wk)
+        self.mesh = mesh
+        self.x = jnp.asarray(dataset.features)
+        self.y = jnp.asarray(dataset.labels.astype(np.int32))
+        self.train_mask = jnp.asarray(dataset.masks == MASK_TRAIN)
+        self.val_mask = jnp.asarray(dataset.masks == MASK_VAL)
+        self.test_mask = jnp.asarray(dataset.masks == MASK_TEST)
+        self.params = init_model(
+            jax.random.PRNGKey(cfg.seed), family, cfg.layer_sizes
+        )
+        self.optimizer = ReferenceAdam(
+            learn_rate=cfg.learn_rate, weight_decay=cfg.weight_decay,
+            bias_correction=True,  # full-batch engines used the CPU Adam
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        if mesh is None:
+            self.src, self.dst, self.w = (
+                jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
+            )
+            self._step = self._build_single_step()
+        else:
+            self._init_sharded(src, dst, w)
+
+    # ------------------------------------------------------------- singles
+    def _build_single_step(self):
+        family, v = self.family, self.adj.num_vertices
+        optimizer = self.optimizer
+
+        @jax.jit
+        def step(params, opt_state, x, y, mask, src, dst, w):
+            def loss_fn(p):
+                logp = full_forward(p, family, x, src, dst, w, v)
+                return nll_loss_masked(logp, y, mask), logp
+
+            (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            new_p, new_o = optimizer.update(grads, opt_state, params)
+            pred = jnp.argmax(logp, axis=-1)
+            return new_p, new_o, loss, pred
+
+        return step
+
+    # ------------------------------------------------------------- sharded
+    def _init_sharded(self, src, dst, w):
+        from .. import parallel
+        from ..parallel.halo import shard_graph
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        import functools
+
+        n = int(np.prod(self.mesh.devices.shape))
+        self.sharded = shard_graph(self.adj, n, np.asarray(w[: self.adj.num_edges]))
+        rows = self.sharded.rows_per_shard
+        v = self.adj.num_vertices
+        vpad = rows * n
+        # pad vertex-indexed arrays to shard boundary
+        def padv(a, fill=0):
+            out = np.full((vpad, *a.shape[1:]), fill, dtype=a.dtype)
+            out[:v] = np.asarray(a)
+            return jnp.asarray(out)
+
+        self.x = padv(self.dataset.features)
+        self.y = padv(self.dataset.labels.astype(np.int32))
+        self.train_mask = padv(np.asarray(self.dataset.masks == MASK_TRAIN))
+        self.val_mask = padv(np.asarray(self.dataset.masks == MASK_VAL))
+        self.test_mask = padv(np.asarray(self.dataset.masks == MASK_TEST))
+        family = self.family
+        optimizer = self.optimizer
+        n_layers = len(self.params.weights)
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P("graph"), P("graph"), P("graph"),
+                      P("graph"), P("graph"), P("graph")),
+            out_specs=(P(), P(), P(), P("graph")),
+        )
+        def step(params, opt_state, x, y, mask, src, dstl, w_edge):
+            from ..parallel.halo import sharded_aggregate
+
+            def loss_fn(p):
+                h = x
+                for l in range(n_layers):
+                    wl = p.weights[l]
+                    if wl.shape[0] > wl.shape[1]:
+                        h = sharded_aggregate(
+                            jnp.dot(h, wl, preferred_element_type=h.dtype),
+                            src[0], dstl[0], w_edge[0],
+                        )
+                    else:
+                        h = jnp.dot(
+                            sharded_aggregate(h, src[0], dstl[0], w_edge[0]),
+                            wl, preferred_element_type=h.dtype,
+                        )
+                    h = log_softmax(h) if l == n_layers - 1 else jax.nn.relu(h)
+                # masked NLL over the local shard, reduced globally
+                picked = jnp.take_along_axis(
+                    h, y[:, None].astype(jnp.int32), axis=1
+                )[:, 0]
+                local_sum = jnp.sum(jnp.where(mask, -picked, 0.0))
+                local_n = jnp.sum(mask)
+                total = jax.lax.psum(local_sum, "graph")
+                count = jax.lax.psum(local_n, "graph")
+                return total / jnp.maximum(count, 1), h
+
+            (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads = jax.lax.psum(grads, "graph")
+            new_p, new_o = optimizer.update(grads, opt_state, params)
+            pred = jnp.argmax(logp, axis=-1)
+            return new_p, new_o, loss, pred
+
+        self._step = jax.jit(step)
+
+    # ---------------------------------------------------------------- run
+    def train_epoch(self) -> Tuple[float, float, float, float]:
+        if self.mesh is None:
+            self.params, self.opt_state, loss, pred = self._step(
+                self.params, self.opt_state, self.x, self.y, self.train_mask,
+                self.src, self.dst, self.w,
+            )
+        else:
+            self.params, self.opt_state, loss, pred = self._step(
+                self.params, self.opt_state, self.x, self.y, self.train_mask,
+                self.sharded.src, self.sharded.dst_local, self.sharded.weight,
+            )
+        correct = pred == self.y
+
+        def acc(mask):
+            m = np.asarray(mask)
+            return float(np.asarray(correct)[m].mean()) if m.any() else 0.0
+
+        return float(loss), acc(self.train_mask), acc(self.val_mask), acc(self.test_mask)
+
+    def run(self, epochs: Optional[int] = None):
+        epochs = epochs or self.cfg.epochs
+        hist = []
+        for ep in range(epochs):
+            t0 = time.perf_counter()
+            loss, tr, va, te = self.train_epoch()
+            jax.block_until_ready(self.params.weights[0])
+            dt = time.perf_counter() - t0
+            hist.append(dict(loss=loss, train=tr, val=va, test=te, time=dt))
+            log.info(
+                "full epoch %d: loss %.5f train %.4f val %.4f test %.4f (%.3fs)",
+                ep, loss, tr, va, te, dt,
+            )
+        return hist
