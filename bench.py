@@ -30,12 +30,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_reddit_sage(scale: float, epochs: int, batch_size: int) -> dict:
+def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
+                      host_sampler: bool = False) -> dict:
     import numpy as np
 
     from sgnn_tpu.config import RunConfig
     from sgnn_tpu.data.synthetic import reddit_like_dataset
-    from sgnn_tpu.train.trainer import SampleTrainer
     from sgnn_tpu.sampler.blocks import WeightKind
 
     t0 = time.perf_counter()
@@ -51,10 +51,21 @@ def bench_reddit_sage(scale: float, epochs: int, batch_size: int) -> dict:
         drop_rate=0.5,
         vertices=ds.num_vertices,
     )
-    trainer = SampleTrainer(
-        cfg, ds, family="sage", weight_kind=WeightKind.MEAN,
-        degree_mode="sampled",
-    )
+    if host_sampler:
+        from sgnn_tpu.train.trainer import SampleTrainer
+
+        trainer = SampleTrainer(
+            cfg, ds, family="sage", weight_kind=WeightKind.MEAN,
+            degree_mode="sampled",
+        )
+    else:
+        # GSSAMPLEALLGPU analog: sampling fused into the device program;
+        # host ships only seed ids per step
+        from sgnn_tpu.train.device_trainer import DeviceSampleTrainer
+
+        trainer = DeviceSampleTrainer(
+            cfg, ds, family="sage", weight_kind=WeightKind.MEAN,
+        )
     report = trainer.run(epochs=epochs, eval_every=10**9)
     # median of post-warmup epochs (first epoch pays compilation)
     times = report.epoch_times[1:] or report.epoch_times
@@ -99,7 +110,16 @@ def main():
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--batch", type=int, default=10000)
     ap.add_argument("--skip-cora", action="store_true")
+    ap.add_argument("--host-sampler", action="store_true",
+                    help="use the host C++ sampler path instead of on-device")
     args = ap.parse_args()
+
+    # persistent XLA compile cache: first-run compiles of the big programs
+    # are minutes over the tunnel; later runs hit the cache
+    cache_dir = os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", "/root/.cache/sgnn_jax_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
 
     if args.smoke or args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -117,7 +137,8 @@ def main():
     dev = jax.devices()[0]
     log(f"[bench] backend={jax.default_backend()} device={dev}")
 
-    sage = bench_reddit_sage(args.scale, args.epochs, args.batch)
+    sage = bench_reddit_sage(args.scale, args.epochs, args.batch,
+                             host_sampler=args.host_sampler)
     if args.skip_cora:
         cora = {"avg_epoch_time": float("nan"), "final_train_acc": float("nan")}
         vs_baseline = 0.0

@@ -1,0 +1,180 @@
+"""Fully on-device training: sampling + gather + train in ONE XLA program.
+
+Reference: the *ALLGPU engines (GCN_SAMPLE_ALLGPU.hpp:268-400) — GPU-resident
+graph topology, GPU sampling kernels, zero host round-trips inside the
+pipeline (the CPU only orchestrates streams).
+
+TPU redesign: the whole-graph CSC (int32 indptr/indices), features and
+labels live in HBM; each train step receives ONLY the seed ids (a few KB)
+and runs sample → unique/reindex → weight → L-layer forward/backward → Adam
+as a single jitted program.  Besides being the idiomatic TPU design, this
+makes throughput independent of host→device bandwidth (the dense block
+upload of the host-sampler path is ~MBs/batch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunConfig
+from ..data.dataset import Dataset
+from ..graph.adjacency import Adjacency
+from ..models.gnn import init_model, model_forward
+from ..nn.functional import masked_accuracy, nll_loss_masked
+from ..nn.optim import ReferenceAdam
+from ..sampler.blocks import WeightKind, pad_to
+from ..sampler.device import device_sample_batch
+from .trainer import SampleTrainer, TrainReport
+from ..utils.logging import get_logger
+
+log = get_logger("sgnn.dev")
+
+
+class DeviceSampleTrainer(SampleTrainer):
+    """SampleTrainer variant with on-device sampling (ALLGPU-engine analog)."""
+
+    def __init__(
+        self,
+        cfg: RunConfig,
+        dataset: Dataset,
+        family: str = "gcn",
+        weight_kind: WeightKind = WeightKind.GCN,
+        degree_mode: str = "sampled",  # device sampling always sampled-degree
+        bias_correction: bool = False,
+        adj: Optional[Adjacency] = None,
+    ) -> None:
+        super().__init__(
+            cfg, dataset, family=family, weight_kind=weight_kind,
+            degree_mode="sampled", bias_correction=bias_correction, adj=adj,
+            features_on_device=True,
+        )
+        v_pad = pad_to(self.adj.num_vertices, 128)
+        # int32 CSC in HBM (indices padded to 128)
+        indptr = self.adj.indptr.astype(np.int32)
+        self.dev_indptr = jnp.asarray(
+            np.concatenate([indptr, np.full(v_pad + 1 - indptr.size,
+                                            indptr[-1], np.int32)])
+        )
+        e_pad = pad_to(max(self.adj.num_edges, 1), 128)
+        idx = np.zeros(e_pad, np.int32)
+        idx[: self.adj.num_edges] = self.adj.indices
+        self.dev_indices = jnp.asarray(idx)
+        self.dev_in_deg = jnp.asarray(self.adj.in_degree.astype(np.int32))
+        self.dev_out_deg = jnp.asarray(self.adj.out_degree.astype(np.int32))
+        self.weight_kind = (
+            WeightKind.NONE if family == "gat" else weight_kind
+        )
+        # static per-hop source bounds (same plan rule as the host sampler)
+        self.seed_pad = pad_to(cfg.batch_size, 128)
+        self.src_pads = tuple(p.num_src_pad for p in self.sampler.plans)
+        self._dev_step = self._build_device_step()
+        self._dev_eval = self._build_device_eval()
+        self._sample_key = jax.random.PRNGKey(cfg.seed + 17)
+
+    # ------------------------------------------------------------- programs
+    def _build_device_step(self):
+        family, drop_rate = self.family, self.cfg.drop_rate
+        optimizer = self.optimizer
+        fanouts = tuple(self.cfg.fanout)
+        src_pads = self.src_pads
+        wk = self.weight_kind
+
+        @jax.jit
+        def step(params, opt_state, seeds, seed_valid, skey, dkey,
+                 indptr, indices, in_deg, out_deg, features, labels):
+            batch = device_sample_batch(
+                skey, seeds, seed_valid, indptr, indices, in_deg, out_deg,
+                features, labels, fanouts, src_pads, wk,
+            )
+
+            def loss_fn(p):
+                logp = model_forward(
+                    p, family, batch, drop_rate=drop_rate, train=True,
+                    dropout_key=dkey,
+                )
+                return (
+                    nll_loss_masked(logp, batch.labels, batch.label_valid),
+                    logp,
+                )
+
+            (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            new_p, new_o = optimizer.update(grads, opt_state, params)
+            acc = masked_accuracy(logp, batch.labels, batch.label_valid)
+            n_edges = sum(jnp.sum(b.weight != 0) for b in batch.blocks)
+            return new_p, new_o, loss, acc, n_edges
+
+        return step
+
+    def _build_device_eval(self):
+        family = self.family
+        fanouts = tuple(self.cfg.fanout)
+        src_pads = self.src_pads
+        wk = self.weight_kind
+
+        @jax.jit
+        def evaluate(params, seeds, seed_valid, skey,
+                     indptr, indices, in_deg, out_deg, features, labels):
+            batch = device_sample_batch(
+                skey, seeds, seed_valid, indptr, indices, in_deg, out_deg,
+                features, labels, fanouts, src_pads, wk,
+            )
+            logp = model_forward(params, family, batch, train=False)
+            return masked_accuracy(logp, batch.labels, batch.label_valid)
+
+        return evaluate
+
+    # --------------------------------------------------------------- loops
+    def _seed_batches(self, nids: np.ndarray, shuffle: bool):
+        nids = np.asarray(nids, dtype=np.int32)
+        if shuffle:
+            nids = self.sampler.rng.permutation(nids)
+        for i in range(0, nids.shape[0], self.cfg.batch_size):
+            chunk = nids[i:i + self.cfg.batch_size]
+            seeds = np.zeros(self.seed_pad, np.int32)
+            seeds[: chunk.size] = chunk
+            valid = np.zeros(self.seed_pad, bool)
+            valid[: chunk.size] = True
+            yield jnp.asarray(seeds), jnp.asarray(valid)
+
+    def train_epoch(self) -> Tuple[float, float, int]:
+        # device-array accumulation only — one host sync per epoch, so XLA's
+        # async dispatch keeps step t+1 enqueued while t executes (the
+        # reference needs pipeline_num threads + streams for this overlap)
+        losses, accs, edge_counts = [], [], []
+        for seeds, valid in self._seed_batches(self.train_nids, True):
+            self._sample_key, sk = jax.random.split(self._sample_key)
+            self._dropout_key, dk = jax.random.split(self._dropout_key)
+            with self.timers.phase("device_step"):
+                (self.params, self.opt_state, loss, acc, ne) = self._dev_step(
+                    self.params, self.opt_state, seeds, valid, sk, dk,
+                    self.dev_indptr, self.dev_indices, self.dev_in_deg,
+                    self.dev_out_deg, self.dev_features, self.dev_labels,
+                )
+            losses.append(loss)
+            accs.append(acc)
+            edge_counts.append(ne)
+        if not losses:
+            return 0.0, 0.0, 0
+        mean_loss = float(jnp.mean(jnp.stack(losses)))
+        acc_sum = np.asarray(jnp.sum(jnp.stack(accs), axis=0))
+        edges = int(np.asarray(jnp.sum(jnp.stack(edge_counts))))
+        return mean_loss, int(acc_sum[0]) / max(int(acc_sum[1]), 1), edges
+
+    def evaluate(self, nids: np.ndarray) -> float:
+        corrects, totals = 0, 0
+        for seeds, valid in self._seed_batches(nids, False):
+            self._sample_key, sk = jax.random.split(self._sample_key)
+            with self.timers.phase("device_eval"):
+                acc = self._dev_eval(
+                    self.params, seeds, valid, sk,
+                    self.dev_indptr, self.dev_indices, self.dev_in_deg,
+                    self.dev_out_deg, self.dev_features, self.dev_labels,
+                )
+            corrects += int(acc[0])
+            totals += int(acc[1])
+        return corrects / max(totals, 1)

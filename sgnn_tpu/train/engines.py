@@ -33,6 +33,7 @@ class EngineSpec:
     cache_on_device: bool = True  # GS_SAMPLE_CACHE: refresh on accelerator
     multi_device: bool = False  # data-parallel over mesh
     bias_correction: bool = False  # CPU engines use bias-corrected Adam
+    device_sampling: bool = False  # ALLGPU engines: sample on-accelerator
 
 
 def _spec(name, family, wk, degree_mode="sampled", **kw) -> EngineSpec:
@@ -48,14 +49,14 @@ ENGINES = {
         _spec("GCNSAMPLESINGLE", "gcn", WeightKind.GCN, "global",
               bias_correction=True),
         _spec("GCNSAMPLEGPU", "gcn", WeightKind.GCN, "global"),
-        _spec("GCNSAMPLEALLGPU", "gcn", WeightKind.GCN),
+        _spec("GCNSAMPLEALLGPU", "gcn", WeightKind.GCN, device_sampling=True),
         _spec("GCNSAMPLEPDCACHE", "gcn", WeightKind.GCN, use_cache=True,
               cache_on_device=False),
         _spec("GCNSAMPLEALLMULTI", "gcn", WeightKind.GCN, multi_device=True),
         _spec("GCNSAMPLEPCMULTI", "gcn", WeightKind.GCN, use_cache=True,
               cache_on_device=False, multi_device=True),
         # GraphSAGE family (mean aggregator)
-        _spec("GSSAMPLEALLGPU", "sage", WeightKind.MEAN),
+        _spec("GSSAMPLEALLGPU", "sage", WeightKind.MEAN, device_sampling=True),
         _spec("GSSAMPLECACHE", "sage", WeightKind.MEAN, use_cache=True,
               cache_on_device=True),
         _spec("GSSAMPLEPDCACHE", "sage", WeightKind.MEAN, use_cache=True,
@@ -63,7 +64,7 @@ ENGINES = {
         _spec("GSSAMPLEPCMULTI", "sage", WeightKind.MEAN, use_cache=True,
               cache_on_device=False, multi_device=True),
         # GAT family (attention weights computed by the model itself)
-        _spec("GATSAMPLEALLGPU", "gat", WeightKind.NONE),
+        _spec("GATSAMPLEALLGPU", "gat", WeightKind.NONE, device_sampling=True),
         _spec("GATSAMPLEPDCACHE", "gat", WeightKind.NONE, use_cache=True,
               cache_on_device=False),
         _spec("GATSAMPLEALLMULTI", "gat", WeightKind.NONE, multi_device=True),
@@ -95,6 +96,15 @@ def run_engine(cfg: RunConfig, dataset: Dataset, epochs: Optional[int] = None):
             family=spec.family,
             weight_kind=spec.weight_kind,
             degree_mode=spec.degree_mode,
+            bias_correction=spec.bias_correction,
+        )
+    elif spec.device_sampling and not spec.multi_device:
+        from .device_trainer import DeviceSampleTrainer
+
+        trainer = DeviceSampleTrainer(
+            cfg, dataset,
+            family=spec.family,
+            weight_kind=spec.weight_kind,
             bias_correction=spec.bias_correction,
         )
     else:

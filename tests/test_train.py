@@ -115,3 +115,29 @@ def test_dp_grad_sum_matches_single_device(tiny_ds):
         close = np.isclose(g, e, rtol=2e-2, atol=1e-4)
         assert close.mean() > 0.99, f"only {close.mean():.3f} close"
         assert np.abs(g - e).mean() < 1e-3
+
+
+def test_device_trainer_learns_cora(cora):
+    """Fully on-device pipeline (ALLGPU analog) reaches GCN accuracy."""
+    from sgnn_tpu.config import load_cfg
+    from sgnn_tpu.train.device_trainer import DeviceSampleTrainer
+
+    cfg = load_cfg("/root/repo/configs/gcn_cora_sample.cfg")
+    cfg.epochs = 5
+    tr = DeviceSampleTrainer(cfg, cora, family="gcn")
+    report = tr.run(5)
+    assert report.train_acc[-1] > 0.85, report.train_acc
+    assert report.val_acc[-1] > 0.75, report.val_acc
+
+
+def test_device_trainer_engine_dispatch(tiny_ds):
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.train import run_engine
+
+    cfg = RunConfig(
+        algorithm="GSSAMPLEALLGPU", layer_sizes=[32, 16, 5], fanout=[4, 3],
+        batch_size=64, epochs=2, vertices=tiny_ds.num_vertices,
+        drop_rate=0.0,
+    )
+    r = run_engine(cfg, tiny_ds)
+    assert r.losses[-1] < r.losses[0]
