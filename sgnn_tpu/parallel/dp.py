@@ -37,16 +37,20 @@ def make_dp_step(family: str, drop_rate: float, optimizer, mesh: Mesh,
 
     `materialize(batch, features, labels)` optionally gathers x0/labels from
     device-resident arrays inside the program (trainer._materialize).
+    The returned step also accepts `cache_emb` (replicated hot-vertex cache,
+    reference PC_MULTI: cache shards NCCL-AllGathered to every device,
+    ntsDataloador.hpp:735-762 — on a mesh the replicated array plays that
+    role); pass None when the cache is off.
     """
 
-    def local_loss(params, batch, key, features, labels):
+    def local_loss(params, batch, key, features, labels, cache_emb):
         if materialize is not None:
             batch = materialize(batch, features, labels)
 
         def loss_fn(p):
             logp = model_forward(
                 p, family, batch, drop_rate=drop_rate, train=True,
-                dropout_key=key,
+                dropout_key=key, cache_emb=cache_emb,
             )
             return nll_loss_masked(logp, batch.labels, batch.label_valid), logp
 
@@ -57,14 +61,14 @@ def make_dp_step(family: str, drop_rate: float, optimizer, mesh: Mesh,
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P("data"), P("data"), P(), P()),
+        in_specs=(P(), P(), P("data"), P("data"), P(), P(), P()),
         out_specs=(P(), P(), P("data"), P("data")),
     )
-    def dp_step(params, opt_state, batch, key, features, labels):
+    def dp_step(params, opt_state, batch, key, features, labels, cache_emb):
         # leading device axis has local extent 1 inside the shard
         local_batch = jax.tree.map(lambda x: x[0], batch)
         loss, grads, acc = local_loss(params, local_batch, key[0], features,
-                                      labels)
+                                      labels, cache_emb)
         # SUM-reduce like the reference's NCCL/MPI AllReduce (no averaging)
         grads = jax.lax.psum(grads, "data")
         new_params, new_opt = optimizer.update(grads, opt_state, params)
@@ -93,6 +97,8 @@ class DataParallelTrainer:
         self.mesh = mesh if mesh is not None else make_mesh(graph=1)
         self.n_dev = int(np.prod(self.mesh.devices.shape))
         self.timers = base.timers
+        # PC_MULTI composition: base may be a CachedSampleTrainer
+        self.cached = hasattr(base, "cache")
         self._dp_step = make_dp_step(
             base.family, base.cfg.drop_rate, base.optimizer, self.mesh,
             materialize=base._materialize,
@@ -133,19 +139,34 @@ class DataParallelTrainer:
     def train_epoch(self) -> Tuple[float, float, int]:
         base = self.base
         losses, corrects, totals, edges = [], 0, 0, 0
-        for batch, nedges in self._device_batches(base.train_nids, True):
-            base._dropout_key, sub = jax.random.split(base._dropout_key)
-            keys = jax.random.split(sub, self.n_dev)
-            with self.timers.phase("dp_train_step"):
-                base.params, base.opt_state, loss, acc = self._dp_step(
-                    base.params, base.opt_state, batch, keys,
-                    base.dev_features, base.dev_labels,
-                )
-            losses.append(jnp.mean(loss))
-            acc_sum = jnp.sum(acc, axis=0)
-            corrects += int(acc_sum[0])
-            totals += int(acc_sum[1])
-            edges += nedges
+        if self.cached:
+            base._cache_active = True
+        try:
+            for i, (batch, nedges) in enumerate(
+                self._device_batches(base.train_nids, True)
+            ):
+                cache_emb = None
+                if self.cached:
+                    # super-batch boundary refresh (one version per SB, as in
+                    # the single-chip orchestrator)
+                    if i % max(base.cfg.pipeline_num, 1) == 0:
+                        base._refresh_cache()
+                    cache_emb = base.cache.cache_emb
+                base._dropout_key, sub = jax.random.split(base._dropout_key)
+                keys = jax.random.split(sub, self.n_dev)
+                with self.timers.phase("dp_train_step"):
+                    base.params, base.opt_state, loss, acc = self._dp_step(
+                        base.params, base.opt_state, batch, keys,
+                        base.dev_features, base.dev_labels, cache_emb,
+                    )
+                losses.append(jnp.mean(loss))
+                acc_sum = jnp.sum(acc, axis=0)
+                corrects += int(acc_sum[0])
+                totals += int(acc_sum[1])
+                edges += nedges
+        finally:
+            if self.cached:
+                base._cache_active = False
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         return mean_loss, corrects / max(totals, 1), edges
 

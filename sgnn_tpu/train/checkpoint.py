@@ -1,0 +1,141 @@
+"""Checkpoint / resume for training state.
+
+Reference status (SURVEY.md §5): NO model checkpointing — only a generic
+dump/restore_vertex_array pair (core/graph.hpp:528/:563, unused by engines)
+and the pre-sample cache file.  This module supplies real checkpointing as
+the survey's designated improvement: params + optimizer moments + epoch +
+RNG keys, via orbax (async-capable, multi-host-safe), with a plain-numpy
+fallback writer so checkpoints work without orbax too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..utils.logging import get_logger
+
+log = get_logger("sgnn.ckpt")
+
+
+def _flatten_state(trainer) -> Dict[str, Any]:
+    return {
+        "params": trainer.params,
+        "opt_state": trainer.opt_state,
+        "dropout_key": trainer._dropout_key,
+    }
+
+
+class CheckpointManager:
+    """Save/restore training state under `directory/step_N/`."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3) -> None:
+        self.directory = os.path.abspath(directory)
+        self.max_to_keep = max_to_keep
+        os.makedirs(self.directory, exist_ok=True)
+        try:
+            import orbax.checkpoint as ocp
+
+            self._ocp = ocp
+            self._mgr = ocp.CheckpointManager(
+                self.directory,
+                options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+            )
+        except Exception:  # orbax unavailable → numpy fallback
+            self._ocp = None
+            self._mgr = None
+
+    # ------------------------------------------------------------------
+    def save(self, step: int, trainer) -> None:
+        state = _flatten_state(trainer)
+        if self._mgr is not None:
+            self._mgr.save(
+                step, args=self._ocp.args.StandardSave(state)
+            )
+            self._mgr.wait_until_finished()
+        else:
+            self._numpy_save(step, state)
+        log.info("checkpoint saved: step %d → %s", step, self.directory)
+
+    def restore(self, trainer, step: Optional[int] = None) -> Optional[int]:
+        """Restore into the trainer in place; returns the restored step."""
+        if self._mgr is not None:
+            if step is None:
+                step = self._mgr.latest_step()
+            if step is None:
+                return None
+            state = _flatten_state(trainer)
+            restored = self._mgr.restore(
+                step, args=self._ocp.args.StandardRestore(state)
+            )
+        else:
+            step, restored = self._numpy_restore(step, trainer)
+            if step is None:
+                return None
+        trainer.params = jax.tree.map(lambda x: x, restored["params"])
+        trainer.opt_state = restored["opt_state"]
+        trainer._dropout_key = restored["dropout_key"]
+        log.info("checkpoint restored: step %s", step)
+        return step
+
+    # ------------------------------------------------- numpy fallback ----
+    def _numpy_save(self, step: int, state) -> None:
+        d = os.path.join(self.directory, f"step_{step}")
+        os.makedirs(d, exist_ok=True)
+        leaves, treedef = jax.tree.flatten(state)
+        np.savez(
+            os.path.join(d, "state.npz"),
+            **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+        )
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump({"num_leaves": len(leaves), "step": step}, f)
+        # prune old steps
+        steps = sorted(
+            int(n.split("_")[1]) for n in os.listdir(self.directory)
+            if n.startswith("step_")
+        )
+        for s in steps[: -self.max_to_keep]:
+            import shutil
+
+            shutil.rmtree(os.path.join(self.directory, f"step_{s}"),
+                          ignore_errors=True)
+
+    def _numpy_restore(self, step, trainer):
+        steps = sorted(
+            int(n.split("_")[1]) for n in os.listdir(self.directory)
+            if n.startswith("step_")
+        )
+        if not steps:
+            return None, None
+        step = step if step is not None else steps[-1]
+        d = os.path.join(self.directory, f"step_{step}")
+        data = np.load(os.path.join(d, "state.npz"))
+        template = _flatten_state(trainer)
+        leaves, treedef = jax.tree.flatten(template)
+        new_leaves = [
+            jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))
+        ]
+        return step, jax.tree.unflatten(treedef, new_leaves)
+
+
+def run_with_checkpointing(
+    trainer, directory: str, epochs: int, save_every: int = 1,
+    resume: bool = True,
+):
+    """Epoch loop with periodic checkpointing and automatic resume."""
+    mgr = CheckpointManager(directory)
+    start = 0
+    if resume:
+        restored = mgr.restore(trainer)
+        if restored is not None:
+            start = restored + 1
+    for ep in range(start, epochs):
+        loss, acc, edges = trainer.train_epoch()
+        log.info("epoch %d: loss %.5f train %.4f", ep, loss, acc)
+        if (ep + 1) % save_every == 0 or ep == epochs - 1:
+            mgr.save(ep, trainer)
+    return trainer

@@ -1,0 +1,82 @@
+"""Aux subsystem tests: checkpoint/resume, OGB converter round-trip,
+profiling counters."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sgnn_tpu.config import RunConfig
+from sgnn_tpu.train.trainer import SampleTrainer
+
+
+@pytest.fixture()
+def trainer(tiny_ds):
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=64,
+                    epochs=2, drop_rate=0.0, vertices=tiny_ds.num_vertices)
+    return SampleTrainer(cfg, tiny_ds, family="gcn")
+
+
+def test_checkpoint_roundtrip(tmp_path, trainer, tiny_ds):
+    from sgnn_tpu.train.checkpoint import CheckpointManager
+
+    trainer.train_epoch()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, trainer)
+    w_before = np.asarray(trainer.params.weights[0]).copy()
+    trainer.train_epoch()  # mutate
+    assert not np.allclose(np.asarray(trainer.params.weights[0]), w_before)
+    step = mgr.restore(trainer, 0)
+    assert step == 0
+    np.testing.assert_allclose(
+        np.asarray(trainer.params.weights[0]), w_before, rtol=1e-6
+    )
+
+
+def test_checkpoint_latest_and_prune(tmp_path, trainer):
+    from sgnn_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "c2"), max_to_keep=2)
+    for s in range(4):
+        trainer.train_epoch()
+        mgr.save(s, trainer)
+    step = mgr.restore(trainer)  # latest
+    assert step == 3
+
+
+def test_ogb_export_reload_roundtrip(tmp_path, tiny_ds):
+    """export_nts_format output reloads bit-identically via the NTS readers."""
+    from sgnn_tpu.data.ogb import export_nts_format
+    from sgnn_tpu.data.nts_format import load_nts_dataset
+
+    base = export_nts_format(tiny_ds, str(tmp_path), prefix="toy")
+    ds2 = load_nts_dataset(
+        edge_file=f"{base}.{tiny_ds.num_vertices}.edge.self",
+        feature_file=f"{base}.featuretable",
+        label_file=f"{base}.labeltable",
+        mask_file=f"{base}.mask",
+        num_vertices=tiny_ds.num_vertices,
+        feature_dim=tiny_ds.feature_dim,
+    )
+    np.testing.assert_array_equal(ds2.edges, tiny_ds.edges)
+    np.testing.assert_allclose(ds2.features, tiny_ds.features, rtol=1e-6)
+    np.testing.assert_array_equal(ds2.labels, tiny_ds.labels)
+    np.testing.assert_array_equal(ds2.masks, tiny_ds.masks)
+
+
+def test_counters():
+    from sgnn_tpu.utils.profiling import Counters
+
+    c = Counters()
+    c.add("sampled", 100)
+    c.add("hits", 25)
+    assert c.ratio("hits", "sampled") == 0.25
+    assert "hits=25" in c.summary()
+
+
+def test_memory_stats_shape():
+    from sgnn_tpu.utils.profiling import device_memory_stats
+
+    stats = device_memory_stats()
+    # CPU backend may not expose memory stats; only check the contract
+    assert stats is None or isinstance(stats, dict)

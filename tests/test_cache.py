@@ -144,3 +144,19 @@ def test_cached_trainer_cora_accuracy(cora):
     assert trainer.cache_hit_rate > 0.05, trainer.cache_hit_rate
     assert report.train_acc[-1] > 0.88, report.train_acc
     assert report.val_acc[-1] > 0.78, report.val_acc
+
+
+def test_pc_multi_cache_plus_dp(cora):
+    """PC_MULTI: PD-cache composed with data parallelism over the mesh."""
+    from sgnn_tpu.config import load_cfg
+    from sgnn_tpu.train import run_engine
+
+    cfg = load_cfg("/root/repo/configs/gcn_cora_sample.cfg")
+    cfg.algorithm = "GCNSAMPLEPCMULTI"
+    cfg.epochs = 6
+    cfg.edge_file = ""
+    r = run_engine(cfg, cora)
+    # 1605 train nids / 8 devices ⇒ one summed update per epoch, so progress
+    # per EPOCH is slower than single-chip; require clear learning
+    assert r.val_acc[-1] > 0.70, r.val_acc
+    assert r.losses[-1] < r.losses[0] * 0.6
