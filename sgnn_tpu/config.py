@@ -68,6 +68,8 @@ class RunConfig:
     classes: int = 0
     del_frac: float = 0.0
     # extras (ours)
+    remat: bool = False              # sublinear activation memory (ref
+    #                                  SubLinearMemCostNNOP analog)
     seed: int = 0
     dtype: str = "float32"           # compute dtype for activations
     param_dtype: str = "float32"
@@ -140,6 +142,8 @@ _KEYMAP = {
     "DEL_FRAC": ("del_frac", float),
     "SEED": ("seed", int),
     "DTYPE": ("dtype", str),
+    "REMAT": ("remat", _to_bool),
+    "SUBLINEAR": ("remat", _to_bool),
 }
 
 

@@ -102,6 +102,7 @@ def model_forward(
     train: bool = False,
     dropout_key: Optional[jax.Array] = None,
     cache_emb: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Run the L-layer model; returns log-probs [num_seed_pad, classes].
 
@@ -122,12 +123,19 @@ def model_forward(
         and batch.cache_mask is not None
         and n_layers > 1
     )
+    # Sublinear activation memory (reference SubLinearMemCostNNOP,
+    # ntsSubLinearNNOP.hpp:32): rematerialise hidden layers in backward
+    # instead of storing their activations — jax.checkpoint does exactly
+    # the recomputation that op stubs out.
+    gat_layer = (
+        jax.checkpoint(_gat_layer, static_argnums=()) if remat else _gat_layer
+    )
     for l in range(n_layers):
         block = batch.blocks[l]
         is_last = l == n_layers - 1
         if family == "gat":
-            pre = _gat_layer(
-                params.weights[l], params.attn[l], block, x, pre_act=True
+            pre = gat_layer(
+                params.weights[l], params.attn[l], block, x
             )
             if l == 0 and use_cache:
                 pre = _merge_cache(pre, batch, cache_emb)
@@ -138,20 +146,25 @@ def model_forward(
                 x = log_softmax(x)
         else:
             w = params.weights[l]
+
             # Aggregation is linear, so agg(X)·W == agg(X·W); when the layer
             # SHRINKS the feature dim (in > out), transforming first cuts the
             # gathered [D, K, F] intermediate and HBM traffic by in/out and
             # feeds the MXU one large dense matmul over the src set.  The
             # reference is locked into SpMM-then-GEMM by its op tape; this
             # reordering is a TPU-side win its design can't express.
-            if w.shape[0] > w.shape[1]:
-                xw = jnp.dot(x, w.astype(x.dtype),
-                             preferred_element_type=x.dtype)
-                y = gather_aggregate(xw, block.nbr, block.weight)
-            else:
-                y = gather_aggregate(x, block.nbr, block.weight)
-                y = jnp.dot(y, w.astype(y.dtype),
-                            preferred_element_type=y.dtype)
+            def agg_linear(w_, x_, nbr_, wgt_):
+                if w_.shape[0] > w_.shape[1]:
+                    xw = jnp.dot(x_, w_.astype(x_.dtype),
+                                 preferred_element_type=x_.dtype)
+                    return gather_aggregate(xw, nbr_, wgt_)
+                y_ = gather_aggregate(x_, nbr_, wgt_)
+                return jnp.dot(y_, w_.astype(y_.dtype),
+                               preferred_element_type=y_.dtype)
+
+            if remat and not is_last:
+                agg_linear = jax.checkpoint(agg_linear)
+            y = agg_linear(w, x, block.nbr, block.weight)
             if l == 0 and use_cache:
                 y = _merge_cache(y, batch, cache_emb)
             if is_last:

@@ -1,0 +1,59 @@
+"""Min/max neighbor aggregation and edge-tensor views.
+
+Reference: `SingleCPUDstAggregateOpMin/Max` and `DistAggregateDstMin/Max`
+(core/ntsSingleCPUGraphOp.hpp:34-439, ntsDistCPUGraphOp.hpp) — elementwise
+min/max over each destination's in-edge messages, with the usual
+subgradient convention (gradient flows to the arg-extreme edge).  In the
+dense-fanout layout these are masked reductions over axis 1, which XLA
+differentiates correctly (min/max VJP routes cotangents to the selected
+elements) — no custom backward needed.
+
+`edge_view` replaces the reference's `ntsEdgeTensor` (NtsEdgeTensor.hpp:22)
+per-destination edge-major views: in dense layout the view IS the
+[D, K, F] tensor.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_min(x_src: jax.Array, nbr: jax.Array, edge_mask: jax.Array) -> jax.Array:
+    """out[d] = min_k x_src[nbr[d,k]] over valid slots; +inf-free: rows with
+    no valid edge return 0."""
+    gathered = x_src[nbr]                                  # [D, K, F]
+    big = jnp.asarray(jnp.finfo(x_src.dtype).max, x_src.dtype)
+    masked = jnp.where(edge_mask[:, :, None], gathered, big)
+    out = jnp.min(masked, axis=1)
+    any_valid = jnp.any(edge_mask, axis=1)[:, None]
+    return jnp.where(any_valid, out, 0.0)
+
+
+def gather_max(x_src: jax.Array, nbr: jax.Array, edge_mask: jax.Array) -> jax.Array:
+    gathered = x_src[nbr]
+    small = jnp.asarray(jnp.finfo(x_src.dtype).min, x_src.dtype)
+    masked = jnp.where(edge_mask[:, :, None], gathered, small)
+    out = jnp.max(masked, axis=1)
+    any_valid = jnp.any(edge_mask, axis=1)[:, None]
+    return jnp.where(any_valid, out, 0.0)
+
+
+def segment_min_coo(x, src, dst, valid, num_dst):
+    """COO full-graph min (reference DistAggregateDstMin)."""
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    msgs = jnp.where(valid[:, None], x[src], big)
+    out = jax.ops.segment_min(msgs, dst, num_segments=num_dst)
+    return jnp.where(jnp.isfinite(out) & (out < big), out, 0.0)
+
+
+def segment_max_coo(x, src, dst, valid, num_dst):
+    small = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
+    msgs = jnp.where(valid[:, None], x[src], small)
+    out = jax.ops.segment_max(msgs, dst, num_segments=num_dst)
+    return jnp.where(jnp.isfinite(out) & (out > small), out, 0.0)
+
+
+def edge_view(x_src: jax.Array, nbr: jax.Array) -> jax.Array:
+    """Edge-major [D, K, F] view of source features (ntsEdgeTensor parity)."""
+    return x_src[nbr]

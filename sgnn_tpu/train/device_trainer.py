@@ -80,6 +80,7 @@ class DeviceSampleTrainer(SampleTrainer):
     def _build_device_step(self):
         family, drop_rate = self.family, self.cfg.drop_rate
         optimizer = self.optimizer
+        remat = self.cfg.remat
         fanouts = tuple(self.cfg.fanout)
         src_pads = self.src_pads
         wk = self.weight_kind
@@ -95,7 +96,7 @@ class DeviceSampleTrainer(SampleTrainer):
             def loss_fn(p):
                 logp = model_forward(
                     p, family, batch, drop_rate=drop_rate, train=True,
-                    dropout_key=dkey,
+                    dropout_key=dkey, remat=remat,
                 )
                 return (
                     nll_loss_masked(logp, batch.labels, batch.label_valid),
@@ -146,7 +147,9 @@ class DeviceSampleTrainer(SampleTrainer):
         # async dispatch keeps step t+1 enqueued while t executes (the
         # reference needs pipeline_num threads + streams for this overlap)
         losses, accs, edge_counts = [], [], []
-        for seeds, valid in self._seed_batches(self.train_nids, True):
+        for seeds, valid in self._seed_batches(
+            self._epoch_order(self.train_nids), False
+        ):
             self._sample_key, sk = jax.random.split(self._sample_key)
             self._dropout_key, dk = jax.random.split(self._dropout_key)
             with self.timers.phase("device_step"):

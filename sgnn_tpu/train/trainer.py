@@ -104,6 +104,16 @@ class SampleTrainer:
         self.train_nids = dataset.nids_with_mask(MASK_TRAIN)
         self.val_nids = dataset.nids_with_mask(MASK_VAL)
         self.test_nids = dataset.nids_with_mask(MASK_TEST)
+        # BATCH_TYPE semantics (reference parses these at GraphSegment.cpp:304
+        # but never consumes them — implemented for real here):
+        # dellow/delhigh drop the DEL_FRAC lowest/highest-degree train seeds.
+        bt = cfg.batch_type.lower()
+        if bt in ("dellow", "delhigh") and cfg.del_frac > 0:
+            order = np.argsort(self.adj.in_degree[self.train_nids],
+                               kind="stable")
+            k = int(len(self.train_nids) * cfg.del_frac)
+            keep = order[k:] if bt == "dellow" else order[: len(order) - k]
+            self.train_nids = np.sort(self.train_nids[keep])
         wk = WeightKind.NONE if family == "gat" else weight_kind
         self.sampler = HostSampler(
             self.adj,
@@ -158,6 +168,7 @@ class SampleTrainer:
     def _build_step(self):
         family, drop_rate = self.family, self.cfg.drop_rate
         optimizer = self.optimizer
+        remat = self.cfg.remat
 
         @jax.jit
         def step(params: GNNParams, opt_state: AdamState, batch: SampledBatch,
@@ -168,6 +179,7 @@ class SampleTrainer:
                 logp = model_forward(
                     p, family, batch_m,
                     drop_rate=drop_rate, train=True, dropout_key=key,
+                    remat=remat,
                 )
                 return (
                     nll_loss_masked(logp, batch_m.labels, batch_m.label_valid),
@@ -236,10 +248,21 @@ class SampleTrainer:
         t.join()
 
     # ---------------------------------------------------------------- loops
+    def _epoch_order(self, nids: np.ndarray) -> np.ndarray:
+        """Seed ordering per BATCH_TYPE: shuffle|sequence|random(+replace)."""
+        bt = self.cfg.batch_type.lower()
+        if bt == "sequence":
+            return nids
+        if bt == "random":
+            return self.sampler.rng.choice(nids, size=len(nids), replace=True)
+        return self.sampler.rng.permutation(nids)
+
     def train_epoch(self) -> Tuple[float, float, int]:
         """One epoch over train nids → (mean loss, train acc, edges sampled)."""
         losses, corrects, totals, edges = [], 0, 0, 0
-        for batch, nedges in self._batch_stream(self.train_nids, shuffle=True):
+        for batch, nedges in self._batch_stream(
+            self._epoch_order(self.train_nids), shuffle=False
+        ):
             self._dropout_key, sub = jax.random.split(self._dropout_key)
             with self.timers.phase("train_step"):
                 self.params, self.opt_state, loss, acc = self._step_fn(

@@ -143,3 +143,74 @@ def test_scatter_and_aggregate_consistency():
     chained = aggregate_edges_to_dst(msgs, w)
     np.testing.assert_allclose(np.asarray(direct), np.asarray(chained),
                                rtol=1e-5)
+
+
+def test_gather_min_max():
+    from sgnn_tpu.ops.reductions import gather_max, gather_min
+
+    rng = np.random.default_rng(8)
+    x, nbr, w = _rand_block(rng, D=10, K=4, S=15, F=6)
+    mask = w != 0
+    mx = gather_max(x, nbr, mask)
+    mn = gather_min(x, nbr, mask)
+    xm, nm, mm = np.asarray(x), np.asarray(nbr), np.asarray(mask)
+    for d in range(10):
+        ks = np.nonzero(mm[d])[0]
+        if ks.size == 0:
+            assert (np.asarray(mx)[d] == 0).all()
+            continue
+        rows = xm[nm[d, ks]]
+        np.testing.assert_allclose(np.asarray(mx)[d], rows.max(0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(mn)[d], rows.min(0), rtol=1e-6)
+
+
+def test_gather_max_grad_routes_to_argmax():
+    from sgnn_tpu.ops.reductions import gather_max
+
+    x = jnp.asarray([[1.0], [5.0], [3.0]])
+    nbr = jnp.asarray([[0, 1, 2]])
+    mask = jnp.ones((1, 3), bool)
+    g = jax.grad(lambda xx: gather_max(xx, nbr, mask).sum())(x)
+    np.testing.assert_allclose(np.asarray(g).ravel(), [0.0, 1.0, 0.0])
+
+
+def test_segment_min_max_coo():
+    from sgnn_tpu.ops.reductions import segment_max_coo, segment_min_coo
+
+    x = jnp.asarray([[1.0], [4.0], [-2.0]])
+    src = jnp.asarray([0, 1, 2, 1], dtype=jnp.int32)
+    dst = jnp.asarray([0, 0, 1, 1], dtype=jnp.int32)
+    valid = jnp.asarray([True, True, True, False])
+    mx = segment_max_coo(x, src, dst, valid, 2)
+    mn = segment_min_coo(x, src, dst, valid, 2)
+    np.testing.assert_allclose(np.asarray(mx).ravel(), [4.0, -2.0])
+    np.testing.assert_allclose(np.asarray(mn).ravel(), [1.0, -2.0])
+
+
+def test_remat_same_results():
+    """jax.checkpoint path (SubLinearMemCostNNOP analog) is numerically
+    identical to the stored-activation path."""
+    from sgnn_tpu.models.gnn import init_model, model_forward
+    from sgnn_tpu.graph.adjacency import Adjacency
+    from sgnn_tpu.sampler.host import HostSampler
+    from sgnn_tpu.train.trainer import host_batch_to_device
+    from sgnn_tpu.data.synthetic import random_graph_dataset
+
+    ds = random_graph_dataset(200, 6, 16, 4, seed=11)
+    adj = Adjacency.from_edges(ds.edges, ds.num_vertices)
+    s = HostSampler(adj, [3, 2], 32, seed=0, use_native=False)
+    hb = s.sample(np.arange(32, dtype=np.int32))
+    x0, y, yv = hb.payload(ds.features, ds.labels)
+    batch = host_batch_to_device(hb, x0, y, yv)
+    params = init_model(jax.random.PRNGKey(0), "gcn", [16, 8, 4])
+
+    def loss(p, remat):
+        logp = model_forward(p, "gcn", batch, remat=remat)
+        from sgnn_tpu.nn.functional import nll_loss_masked
+
+        return nll_loss_masked(logp, batch.labels, batch.label_valid)
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(g0.weights, g1.weights):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)

@@ -93,7 +93,7 @@ def test_dp_grad_sum_matches_single_device(tiny_ds):
     keys = jax.random.split(jax.random.PRNGKey(0), 2)
 
     new_p, _, loss, acc = step(base.params, base.opt_state, stacked, keys,
-                               base.dev_features, base.dev_labels)
+                               base.dev_features, base.dev_labels, None)
 
     # manual: summed grads over both shards, one optimizer update
     def loss_fn(p, b):
