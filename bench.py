@@ -39,9 +39,24 @@ def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
     from sgnn_tpu.sampler.blocks import WeightKind
 
     t0 = time.perf_counter()
-    ds = reddit_like_dataset(seed=0, scale=scale)
+    cache_dir = "/root/.cache/sgnn_datasets"
+    os.makedirs(cache_dir, exist_ok=True)
+    cache_f = os.path.join(cache_dir, f"reddit_like_s{scale}_seed0.npz")
+    if os.path.exists(cache_f):
+        from sgnn_tpu.data.dataset import Dataset
+
+        z = np.load(cache_f)
+        ds = Dataset(
+            num_vertices=int(z["num_vertices"]), edges=z["edges"],
+            features=z["features"], labels=z["labels"], masks=z["masks"],
+            name="reddit-like",
+        )
+    else:
+        ds = reddit_like_dataset(seed=0, scale=scale)
+        np.savez(cache_f, num_vertices=ds.num_vertices, edges=ds.edges,
+                 features=ds.features, labels=ds.labels, masks=ds.masks)
     log(f"[bench] reddit-like: {ds.num_vertices} V, {ds.num_edges} E "
-        f"({time.perf_counter() - t0:.1f}s to build)")
+        f"({time.perf_counter() - t0:.1f}s to build/load)")
     cfg = RunConfig(
         layer_sizes=[602, 128, 41],
         fanout=[25, 10],

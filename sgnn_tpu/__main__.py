@@ -1,0 +1,67 @@
+"""CLI entry point: `python -m sgnn_tpu <config.cfg>`.
+
+Reference: the `nts` binary (toolkits/main.cpp:44) — reads a KEY:VALUE cfg,
+loads the graph, dispatches on ALGORITHM, runs training, prints per-epoch
+accuracy and phase timers.  Same contract here, plus --epochs/--device
+overrides and optional checkpointing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="sgnn_tpu", description="TPU-native sample-based GNN training"
+    )
+    ap.add_argument("config", help="KEY:VALUE .cfg file (reference format)")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--algorithm", default=None,
+                    help="override the cfg ALGORITHM string")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from sgnn_tpu.config import load_cfg
+    from sgnn_tpu.data.nts_format import load_from_config
+    from sgnn_tpu.train import run_engine
+    from sgnn_tpu.utils.logging import get_logger
+
+    log = get_logger("sgnn.cli")
+    cfg = load_cfg(args.config)
+    if args.algorithm:
+        cfg.algorithm = args.algorithm
+    if args.epochs is not None:
+        cfg.epochs = args.epochs
+    log.info(
+        "ALGORITHM=%s layers=%s fanout=%s batch=%d epochs=%d",
+        cfg.algorithm, cfg.layer_sizes, cfg.fanout, cfg.batch_size, cfg.epochs,
+    )
+    ds = load_from_config(cfg)
+    log.info("dataset: %s — %d vertices, %d edges", ds.name, ds.num_vertices,
+             ds.num_edges)
+    report = run_engine(cfg, ds)
+    # end-of-run summary (reference run() timer dump parity)
+    log.info("avg epoch time: %.4fs", report.avg_epoch_time)
+    log.info("phase timers: %s", report.timers.summary())
+    if report.train_acc:
+        log.info(
+            "final: train %.4f val %.4f test %.4f loss %.5f",
+            report.train_acc[-1], report.val_acc[-1], report.test_acc[-1],
+            report.losses[-1],
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
