@@ -145,13 +145,12 @@ class CachedSampleTrainer(SampleTrainer):
             self.cache.refresh(self.dev_features, w0, version)
 
     def train_epoch(self) -> Tuple[float, float, int]:
-        losses, corrects, totals, edges = [], 0, 0, 0
+        losses, accs, edges = [], [], 0
         nids = super_batch_stable_shuffle(
             self.train_nids, self.super_batch_size, self.sampler.rng
         )
         self._cache_active = True
         try:
-            sb_step = 0
             for i, (batch, nedges) in enumerate(
                 self._batch_stream(nids, shuffle=False)
             ):
@@ -167,14 +166,15 @@ class CachedSampleTrainer(SampleTrainer):
                         self.cache.cache_emb,
                     )
                 losses.append(loss)
-                corrects += int(acc[0])
-                totals += int(acc[1])
+                accs.append(acc)
                 edges += nedges
-                sb_step += 1
         finally:
             self._cache_active = False
-        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
-        return mean_loss, corrects / max(totals, 1), edges
+        if not losses:
+            return 0.0, 0.0, 0
+        mean_loss = float(jnp.mean(jnp.stack(losses)))
+        acc_sum = np.asarray(jnp.sum(jnp.stack(accs), axis=0))
+        return mean_loss, int(acc_sum[0]) / max(int(acc_sum[1]), 1), edges
 
     @property
     def cache_hit_rate(self) -> float:

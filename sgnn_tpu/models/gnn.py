@@ -143,7 +143,8 @@ def model_forward(
             # GAT_SAMPLE_ALL_GPU.hpp:389) and log_softmax at the loss (:397)
             x = jax.nn.relu(pre)
             if is_last:
-                x = log_softmax(x)
+                # classification head in f32 regardless of compute dtype
+                x = log_softmax(x.astype(jnp.float32))
         else:
             w = params.weights[l]
 
@@ -168,7 +169,8 @@ def model_forward(
             if l == 0 and use_cache:
                 y = _merge_cache(y, batch, cache_emb)
             if is_last:
-                x = log_softmax(y)
+                # classification head in f32 regardless of compute dtype
+                x = log_softmax(y.astype(jnp.float32))
             else:
                 x = jax.nn.relu(y)
                 if train and drop_rate > 0.0 and keys[l] is not None:

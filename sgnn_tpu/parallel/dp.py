@@ -138,7 +138,7 @@ class DataParallelTrainer:
     # ------------------------------------------------------------------
     def train_epoch(self) -> Tuple[float, float, int]:
         base = self.base
-        losses, corrects, totals, edges = [], 0, 0, 0
+        losses, corrects, edges = [], [], 0
         if self.cached:
             base._cache_active = True
         try:
@@ -159,16 +159,19 @@ class DataParallelTrainer:
                         base.params, base.opt_state, batch, keys,
                         base.dev_features, base.dev_labels, cache_emb,
                     )
+                # device-array accumulation: no host sync inside the loop so
+                # async dispatch keeps the next step enqueued
                 losses.append(jnp.mean(loss))
-                acc_sum = jnp.sum(acc, axis=0)
-                corrects += int(acc_sum[0])
-                totals += int(acc_sum[1])
+                corrects.append(jnp.sum(acc, axis=0))
                 edges += nedges
         finally:
             if self.cached:
                 base._cache_active = False
-        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
-        return mean_loss, corrects / max(totals, 1), edges
+        if not losses:
+            return 0.0, 0.0, 0
+        mean_loss = float(jnp.mean(jnp.stack(losses)))
+        acc_sum = np.asarray(jnp.sum(jnp.stack(corrects), axis=0))
+        return mean_loss, int(acc_sum[0]) / max(int(acc_sum[1]), 1), edges
 
     def evaluate(self, nids: np.ndarray) -> float:
         return self.base.evaluate(nids)

@@ -25,6 +25,27 @@ import jax.numpy as jnp
 from .blocks import SampledBatch, SampledBlock, WeightKind
 
 
+def _edge_weights(keep, nbr_local, num_src_pad, fanout, weight_kind):
+    """Edge weights, sampled-degree mode (GPU-engine parity: UpdateDegree +
+    get_weight/get_mean_weight kernels, cuda/ntsCUDATransferKernel.cuh)."""
+    if weight_kind == WeightKind.NONE:
+        return keep.astype(jnp.float32)
+    samp_in = jnp.sum(keep, axis=1).astype(jnp.int32)
+    samp_in = jnp.where(samp_in == 0, fanout, samp_in)
+    counts = jnp.zeros(num_src_pad, jnp.int32).at[
+        jnp.where(keep, nbr_local, num_src_pad - 1)
+    ].add(keep.astype(jnp.int32))
+    out_deg = jnp.maximum(counts[nbr_local], 1)
+    w = 1.0 / (
+        jnp.sqrt(out_deg.astype(jnp.float32))
+        * jnp.sqrt(samp_in.astype(jnp.float32))[:, None]
+    )
+    if weight_kind == WeightKind.MEAN:
+        edges_num = jnp.maximum(jnp.sum(keep, axis=1), 1)
+        w = w / edges_num[:, None].astype(jnp.float32)
+    return jnp.where(keep, w, 0.0)
+
+
 def _sample_hop(
     key: jax.Array,
     seeds: jax.Array,          # int32 [B] global ids (padded, use dst_valid)
@@ -36,6 +57,7 @@ def _sample_hop(
     weight_kind: WeightKind,
     in_degree: jax.Array,
     out_degree: jax.Array,
+    identity_srcs: bool = False,
 ) -> SampledBlock:
     b = seeds.shape[0]
     start = indptr[seeds]
@@ -62,12 +84,29 @@ def _sample_hop(
     nbr_global = jnp.where(
         keep, indices[jnp.clip(start[:, None] + pos, 0, indices.shape[0] - 1)], -1
     )
+    num_vertices = indptr.shape[0] - 1
+    if identity_srcs:
+        # Bottom hop whose source bound is the whole vertex set: the local
+        # index space IS the global id space, so dedup/reindex (and the
+        # caller's feature re-gather) are identity operations — skip them.
+        assert num_src_pad == num_vertices
+        srcs = jax.lax.broadcasted_iota(jnp.int32, (num_src_pad,), 0)
+        block = SampledBlock(
+            nbr=jnp.maximum(nbr_global, 0),
+            weight=_edge_weights(keep, jnp.maximum(nbr_global, 0),
+                                 num_src_pad, fanout, weight_kind),
+            srcs=srcs,
+            seeds=seeds,
+            dst_valid=dst_valid,
+            src_valid=jnp.ones((num_src_pad,), bool),
+            seed_in_src=seeds,
+        )
+        return block, jnp.asarray(num_src_pad, jnp.int32)
     # source set: unique(valid neighbors ∪ seeds) WITHOUT sorting — a
     # 2.75M-element device sort per hop dominated the step; instead scatter a
     # presence bitmap over [V], prefix-sum it into dense ranks, and scatter
     # the ids into their rank slots (the device analogue of the reference's
     # bitmap + src_index_array reindex, ntsFastSampler.hpp:1062-1080).
-    num_vertices = indptr.shape[0] - 1
     presence = jnp.zeros(num_vertices, jnp.int32)
     presence = presence.at[jnp.where(keep, nbr_global, seeds[0])].max(
         keep.astype(jnp.int32), mode="drop"
@@ -95,24 +134,7 @@ def _sample_hop(
     )
     seed_in_src = jnp.clip(lookup[seeds], 0, num_src_pad - 1)
     nbr_local = jnp.clip(nbr_local, 0, num_src_pad - 1)
-    # edge weights (sampled-degree mode, GPU-engine parity)
-    if weight_kind == WeightKind.NONE:
-        w = keep.astype(jnp.float32)
-    else:
-        samp_in = jnp.sum(keep, axis=1).astype(jnp.int32)
-        samp_in = jnp.where(samp_in == 0, fanout, samp_in)
-        counts = jnp.zeros(num_src_pad, jnp.int32).at[
-            jnp.where(keep, nbr_local, num_src_pad - 1)
-        ].add(keep.astype(jnp.int32))
-        out_deg = jnp.maximum(counts[nbr_local], 1)
-        w = 1.0 / (
-            jnp.sqrt(out_deg.astype(jnp.float32))
-            * jnp.sqrt(samp_in.astype(jnp.float32))[:, None]
-        )
-        if weight_kind == WeightKind.MEAN:
-            edges_num = jnp.maximum(jnp.sum(keep, axis=1), 1)
-            w = w / edges_num[:, None].astype(jnp.float32)
-        w = jnp.where(keep, w, 0.0)
+    w = _edge_weights(keep, nbr_local, num_src_pad, fanout, weight_kind)
     return SampledBlock(
         nbr=nbr_local,
         weight=w,
@@ -149,18 +171,32 @@ def device_sample_batch(
     """
     blocks: List[SampledBlock] = []
     cur_seeds, cur_valid = seeds, seed_valid
+    num_vertices = indptr.shape[0] - 1
+    bottom_identity = False
     for h, f in enumerate(fanouts):
         key, sub = jax.random.split(key)
+        # bottom hop covering the whole vertex set → identity local space,
+        # and x0 is the feature matrix itself (no re-gather)
+        identity = (
+            h == len(fanouts) - 1
+            and src_pads[h] == num_vertices
+            and features.shape[0] == num_vertices
+        )
         blk, _ = _sample_hop(
             sub, cur_seeds, cur_valid, indptr, indices, f, src_pads[h],
-            weight_kind, in_degree, out_degree,
+            weight_kind, in_degree, out_degree, identity_srcs=identity,
         )
         blocks.append(blk)
         cur_seeds, cur_valid = blk.srcs, blk.src_valid
+        bottom_identity = identity
     blocks.reverse()
-    x0 = jnp.where(
-        blocks[0].src_valid[:, None], features[blocks[0].srcs], 0.0
-    )
+    if bottom_identity:
+        x0 = features
+    else:
+        rows = features[blocks[0].srcs]
+        x0 = jnp.where(
+            blocks[0].src_valid[:, None], rows, jnp.zeros((), rows.dtype)
+        )
     top = blocks[-1]
     y = labels[top.seeds].astype(jnp.int32)
     return SampledBatch(

@@ -64,6 +64,19 @@ class DeviceSampleTrainer(SampleTrainer):
         idx = np.zeros(e_pad, np.int32)
         idx[: self.adj.num_edges] = self.adj.indices
         self.dev_indices = jnp.asarray(idx)
+        # pad features/labels to v_pad rows so the bottom hop can use the
+        # identity-srcs fast path (x0 = the feature matrix, no re-gather)
+        v = self.adj.num_vertices
+        if v_pad > v:
+            feat_pad = np.zeros((v_pad - v, dataset.features.shape[1]),
+                                dataset.features.dtype)
+            self.dev_features = jnp.concatenate(
+                [self.dev_features, jnp.asarray(
+                    feat_pad, dtype=self.dev_features.dtype)], axis=0
+            )
+            self.dev_labels = jnp.concatenate(
+                [self.dev_labels, jnp.zeros(v_pad - v, jnp.int32)]
+            )
         self.dev_in_deg = jnp.asarray(self.adj.in_degree.astype(np.int32))
         self.dev_out_deg = jnp.asarray(self.adj.out_degree.astype(np.int32))
         self.weight_kind = (

@@ -134,8 +134,12 @@ class SampleTrainer:
                 and dataset.features.nbytes < 4 << 30
             )
         self.features_on_device = features_on_device
+        # compute dtype: bf16 halves feature-gather HBM traffic; params and
+        # the loss head stay f32 (DTYPE cfg key)
+        self.compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         if features_on_device:
-            self.dev_features = jnp.asarray(dataset.features)
+            self.dev_features = jnp.asarray(dataset.features,
+                                            dtype=self.compute_dtype)
             self.dev_labels = jnp.asarray(dataset.labels.astype(np.int32))
         else:
             self.dev_features = None
@@ -161,7 +165,8 @@ class SampleTrainer:
         if not self.features_on_device:
             return batch
         b0, top = batch.blocks[0], batch.blocks[-1]
-        x0 = jnp.where(b0.src_valid[:, None], features[b0.srcs], 0.0)
+        rows = features[b0.srcs]
+        x0 = jnp.where(b0.src_valid[:, None], rows, jnp.zeros((), rows.dtype))
         y = labels[top.seeds]
         return dataclasses.replace(batch, x0=x0, labels=y)
 
@@ -259,7 +264,7 @@ class SampleTrainer:
 
     def train_epoch(self) -> Tuple[float, float, int]:
         """One epoch over train nids → (mean loss, train acc, edges sampled)."""
-        losses, corrects, totals, edges = [], 0, 0, 0
+        losses, accs, edges = [], [], 0
         for batch, nedges in self._batch_stream(
             self._epoch_order(self.train_nids), shuffle=False
         ):
@@ -269,12 +274,16 @@ class SampleTrainer:
                     self.params, self.opt_state, batch, sub,
                     self.dev_features, self.dev_labels,
                 )
+            # device-array accumulation — one host sync per epoch keeps
+            # async dispatch pipelining host sampling with device compute
             losses.append(loss)
-            corrects += int(acc[0])
-            totals += int(acc[1])
+            accs.append(acc)
             edges += nedges
-        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
-        return mean_loss, corrects / max(totals, 1), edges
+        if not losses:
+            return 0.0, 0.0, 0
+        mean_loss = float(jnp.mean(jnp.stack(losses)))
+        acc_sum = np.asarray(jnp.sum(jnp.stack(accs), axis=0))
+        return mean_loss, int(acc_sum[0]) / max(int(acc_sum[1]), 1), edges
 
     def evaluate(self, nids: np.ndarray) -> float:
         corrects, totals = 0, 0

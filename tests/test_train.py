@@ -141,3 +141,19 @@ def test_device_trainer_engine_dispatch(tiny_ds):
     )
     r = run_engine(cfg, tiny_ds)
     assert r.losses[-1] < r.losses[0]
+
+
+def test_bf16_compute_mode(cora):
+    """DTYPE:bfloat16 halves feature memory and still learns."""
+    import jax.numpy as jnp
+
+    from sgnn_tpu.config import load_cfg
+    from sgnn_tpu.train.device_trainer import DeviceSampleTrainer
+
+    cfg = load_cfg("/root/repo/configs/gcn_cora_sample.cfg")
+    cfg.dtype = "bfloat16"
+    cfg.epochs = 3
+    tr = DeviceSampleTrainer(cfg, cora, family="gcn")
+    assert tr.dev_features.dtype == jnp.bfloat16
+    report = tr.run(3)
+    assert report.train_acc[-1] > 0.60, report.train_acc
