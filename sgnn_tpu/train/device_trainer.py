@@ -87,6 +87,9 @@ class DeviceSampleTrainer(SampleTrainer):
         self.src_pads = tuple(p.num_src_pad for p in self.sampler.plans)
         self._dev_step = self._build_device_step()
         self._dev_eval = self._build_device_eval()
+        self._epoch_fn = self._build_epoch_fn()
+        # one fused epoch program by default; per-step mode for debugging
+        self.fused_epoch = True
         self._sample_key = jax.random.PRNGKey(cfg.seed + 17)
 
     # ------------------------------------------------------------- programs
@@ -124,6 +127,61 @@ class DeviceSampleTrainer(SampleTrainer):
 
         return step
 
+    def _build_epoch_fn(self):
+        """Whole epoch as ONE program: lax.scan over stacked seed batches.
+
+        With on-device sampling there is no host work between steps, so the
+        entire epoch (sample → train → Adam, ×n_steps) compiles into a
+        single XLA while-loop — one dispatch per epoch, zero host round
+        trips, and the compiler overlaps adjacent steps' gathers/compute.
+        """
+        family, drop_rate = self.family, self.cfg.drop_rate
+        optimizer = self.optimizer
+        remat = self.cfg.remat
+        fanouts = tuple(self.cfg.fanout)
+        src_pads = self.src_pads
+        wk = self.weight_kind
+
+        @jax.jit
+        def epoch(params, opt_state, seeds_all, valid_all, key,
+                  indptr, indices, in_deg, out_deg, features, labels):
+            def body(carry, xs):
+                params, opt_state, key = carry
+                seeds, valid = xs
+                key, sk, dk = jax.random.split(key, 3)
+                batch = device_sample_batch(
+                    sk, seeds, valid, indptr, indices, in_deg, out_deg,
+                    features, labels, fanouts, src_pads, wk,
+                )
+
+                def loss_fn(p):
+                    logp = model_forward(
+                        p, family, batch, drop_rate=drop_rate, train=True,
+                        dropout_key=dk, remat=remat,
+                    )
+                    return (
+                        nll_loss_masked(logp, batch.labels, batch.label_valid),
+                        logp,
+                    )
+
+                (loss, logp), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                new_p, new_o = optimizer.update(grads, opt_state, params)
+                acc = masked_accuracy(logp, batch.labels, batch.label_valid)
+                n_edges = sum(jnp.sum(b.weight != 0) for b in batch.blocks)
+                return (new_p, new_o, key), (loss, acc, n_edges)
+
+            (params, opt_state, _), (losses, accs, edges) = jax.lax.scan(
+                body, (params, opt_state, key), (seeds_all, valid_all)
+            )
+            return (
+                params, opt_state, jnp.mean(losses),
+                jnp.sum(accs, axis=0), jnp.sum(edges),
+            )
+
+        return epoch
+
     def _build_device_eval(self):
         family = self.family
         fanouts = tuple(self.cfg.fanout)
@@ -156,6 +214,8 @@ class DeviceSampleTrainer(SampleTrainer):
             yield jnp.asarray(seeds), jnp.asarray(valid)
 
     def train_epoch(self) -> Tuple[float, float, int]:
+        if self.fused_epoch:
+            return self._train_epoch_fused()
         # device-array accumulation only — one host sync per epoch, so XLA's
         # async dispatch keeps step t+1 enqueued while t executes (the
         # reference needs pipeline_num threads + streams for this overlap)
@@ -180,6 +240,33 @@ class DeviceSampleTrainer(SampleTrainer):
         acc_sum = np.asarray(jnp.sum(jnp.stack(accs), axis=0))
         edges = int(np.asarray(jnp.sum(jnp.stack(edge_counts))))
         return mean_loss, int(acc_sum[0]) / max(int(acc_sum[1]), 1), edges
+
+    def _train_epoch_fused(self) -> Tuple[float, float, int]:
+        """One XLA program for the whole epoch (scan over seed batches)."""
+        nids = self._epoch_order(self.train_nids)
+        seeds_l, valid_l = [], []
+        for seeds, valid in self._seed_batches(nids, False):
+            seeds_l.append(seeds)
+            valid_l.append(valid)
+        if not seeds_l:
+            return 0.0, 0.0, 0
+        seeds_all = jnp.stack(seeds_l)
+        valid_all = jnp.stack(valid_l)
+        self._sample_key, key = jax.random.split(self._sample_key)
+        with self.timers.phase("device_epoch"):
+            (self.params, self.opt_state, loss, acc_sum, edges) = (
+                self._epoch_fn(
+                    self.params, self.opt_state, seeds_all, valid_all, key,
+                    self.dev_indptr, self.dev_indices, self.dev_in_deg,
+                    self.dev_out_deg, self.dev_features, self.dev_labels,
+                )
+            )
+            acc_np = np.asarray(acc_sum)
+        return (
+            float(loss),
+            int(acc_np[0]) / max(int(acc_np[1]), 1),
+            int(np.asarray(edges)),
+        )
 
     def evaluate(self, nids: np.ndarray) -> float:
         corrects, totals = 0, 0
