@@ -135,6 +135,10 @@ def main():
         "JAX_COMPILATION_CACHE_DIR", "/root/.cache/sgnn_jax_cache"
     )
     os.makedirs(cache_dir, exist_ok=True)
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.smoke or args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"

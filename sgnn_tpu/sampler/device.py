@@ -70,17 +70,18 @@ def _sample_hop(
         (u * deg[:, None].astype(jnp.float32)).astype(jnp.int32),
     )
     valid = (jnp.arange(fanout)[None, :] < deg[:, None]) & dst_valid[:, None]
-    # mask in-row duplicate positions: sort, keep first of each run
-    order = jnp.argsort(pos, axis=1, stable=True)
-    pos_sorted = jnp.take_along_axis(pos, order, axis=1)
-    valid_sorted = jnp.take_along_axis(valid, order, axis=1)
-    first = jnp.concatenate(
-        [jnp.ones((b, 1), bool), pos_sorted[:, 1:] != pos_sorted[:, :-1]], axis=1
-    )
-    keep_sorted = valid_sorted & first
-    keep = jnp.zeros_like(valid).at[
-        jnp.arange(b)[:, None], order
-    ].set(keep_sorted)
+    # mask in-row duplicate positions WITHOUT sort/scatter: slot k is a dup
+    # iff an earlier slot j<k drew the same position — an O(K²) pairwise
+    # compare that is pure vectorised VPU work (K ≤ fanout ≤ ~25), far
+    # cheaper on TPU than the argsort + 2.3M-element scatter-back it
+    # replaces.
+    eq = pos[:, None, :] == pos[:, :, None]          # [B, K(k), K(j)]
+    earlier = (
+        jax.lax.broadcasted_iota(jnp.int32, (fanout, fanout), 1)
+        < jax.lax.broadcasted_iota(jnp.int32, (fanout, fanout), 0)
+    )  # earlier[k, j] = j < k
+    dup = jnp.any(eq & earlier[None], axis=2)
+    keep = valid & ~dup
     nbr_global = jnp.where(
         keep, indices[jnp.clip(start[:, None] + pos, 0, indices.shape[0] - 1)], -1
     )
