@@ -161,3 +161,35 @@ def test_bf16_compute_mode(cora):
     assert tr.dev_features.dtype == jnp.bfloat16
     report = tr.run(3)
     assert report.train_acc[-1] > 0.60, report.train_acc
+
+
+def test_batch_type_modes(tiny_ds):
+    """BATCH_TYPE orderings: sequence deterministic, dellow filters seeds."""
+    from sgnn_tpu.config import RunConfig
+
+    base_kwargs = dict(layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=32,
+                       epochs=1, drop_rate=0.0, vertices=tiny_ds.num_vertices)
+    t_seq = SampleTrainer(RunConfig(batch_type="sequence", **base_kwargs),
+                          tiny_ds, family="gcn")
+    order1 = t_seq._epoch_order(t_seq.train_nids)
+    order2 = t_seq._epoch_order(t_seq.train_nids)
+    np.testing.assert_array_equal(order1, order2)  # sequence = stable
+
+    t_shuf = SampleTrainer(RunConfig(batch_type="shuffle", **base_kwargs),
+                           tiny_ds, family="gcn")
+    o1 = t_shuf._epoch_order(t_shuf.train_nids)
+    assert sorted(o1.tolist()) == sorted(t_shuf.train_nids.tolist())
+
+    t_del = SampleTrainer(
+        RunConfig(batch_type="dellow", del_frac=0.2, **base_kwargs),
+        tiny_ds, family="gcn",
+    )
+    n_all = len(t_seq.train_nids)
+    assert len(t_del.train_nids) == n_all - int(n_all * 0.2)
+    # removed seeds are the lowest-degree ones
+    from sgnn_tpu.graph.adjacency import Adjacency
+
+    adj = Adjacency.from_edges(tiny_ds.edges, tiny_ds.num_vertices)
+    kept_min = adj.in_degree[t_del.train_nids].min()
+    removed = np.setdiff1d(t_seq.train_nids, t_del.train_nids)
+    assert adj.in_degree[removed].max() <= kept_min + 1  # ties allowed
