@@ -5,12 +5,20 @@ kernels, cuda/ntsCUDAFuseKernel.cuh:78 `aggregate_kernel_from_src_with_
 weight` and the cuSPARSE SpMM path, ntsCUDAGraphOP.cu:425), as a TPU
 Mosaic kernel.
 
-Why a kernel: XLA lowers `x[nbr] * w → sum(axis=1)` through an HBM-
-materialised [D, K, F] gather (3·D·K·F floats of traffic).  This kernel
-streams the K needed rows per destination tile straight into VMEM scratch
-with double-buffered async DMA and accumulates there — ~D·K·F read +
-D·F write, i.e. ~3× less HBM traffic on the aggregation, which is the
-bandwidth-bound hot op of sampled GNN training.
+Hypothesis: XLA lowers `x[nbr] * w → sum(axis=1)` through an HBM-
+materialised [D, K, F] gather (3·D·K·F floats of traffic); streaming the K
+rows per destination tile into VMEM with double-buffered async DMA and
+accumulating in-register should cut that ~3×.
+
+MEASURED OUTCOME (TPU v5e, D=S=233k, K=10, F=128): XLA 20.5 ms vs this
+kernel 67.8 ms.  XLA's native dynamic-gather path fuses the weighting /
+reduction well enough that it runs near the random-access bandwidth limit,
+while per-row 512-byte DMAs here are issue-rate-bound (~34M DMAs/s).  The
+kernel is kept as a correct, tested alternative (`gather_aggregate_auto`)
+and as the scaffold for block-sparse variants where rows can be batched,
+but the XLA path remains the default — the measured wins on this workload
+came from algorithmic restructuring (sort-free dedup, identity bottom hop,
+transform-first ordering, fused epochs; see docs/PERF.md).
 
 Forward only — the backward scatter-add stays on the XLA path via the
 custom VJP (whose cotangent math is shared with ops/aggregate.py).
@@ -35,35 +43,33 @@ _NBUF = 2
 def _kernel(nbr_ref, w_ref, x_hbm, out_ref, rows, sems):
     """Grid step t handles destinations [t*TILE_D, (t+1)*TILE_D).
 
-    nbr_ref: SMEM scalar-prefetch, int32 [D_pad * K] (flattened)
+    nbr_ref: SMEM [TILE_D, K] neighbor indices for this tile (auto-tiled by
+             BlockSpec — whole-array scalar prefetch overflows the ~1MB SMEM
+             at production sizes)
     w_ref:   VMEM [TILE_D, K] edge weights for this tile
     x_hbm:   ANY  [S, F] source features (stays in HBM)
     out_ref: VMEM [TILE_D, F] output tile
-    rows:    VMEM scratch [NBUF, TILE_D, K rows? no — [NBUF, TILE_D*K? ] —
-             [NBUF, TILE_D, F] per-k slabs
-    sems:    DMA semaphores [NBUF]
+    rows:    VMEM scratch [NBUF, TILE_D, F] per-k row slabs
+    sems:    DMA semaphores [NBUF, TILE_D]
     """
-    t = pl.program_id(0)
     k_total = w_ref.shape[1]
-    base = t * _TILE_D * k_total
+
+    def row_dma(slot, k, d):
+        # descriptor for (slot, k, d); wait MUST rebuild the same descriptor
+        idx = nbr_ref[d, k]
+        return pltpu.make_async_copy(
+            x_hbm.at[idx],
+            rows.at[slot, d],
+            sems.at[slot, d],
+        )
 
     def start_copy(slot, k):
-        # gather TILE_D rows for edge-slot k of every dst in the tile:
-        # issue TILE_D row DMAs into rows[slot]
         for d in range(_TILE_D):
-            idx = nbr_ref[base + d * k_total + k]
-            pltpu.make_async_copy(
-                x_hbm.at[idx],
-                rows.at[slot, d],
-                sems.at[slot, d],
-            ).start()
+            row_dma(slot, k, d).start()
 
-    def wait_copy(slot):
+    def wait_copy(slot, k):
         for d in range(_TILE_D):
-            # wait on each row DMA of this slot
-            pltpu.make_async_copy(
-                x_hbm.at[0], rows.at[slot, d], sems.at[slot, d]
-            ).wait()
+            row_dma(slot, k, d).wait()
 
     start_copy(0, 0)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
@@ -71,7 +77,7 @@ def _kernel(nbr_ref, w_ref, x_hbm, out_ref, rows, sems):
         slot = k % _NBUF
         if k + 1 < k_total:
             start_copy((k + 1) % _NBUF, k + 1)
-        wait_copy(slot)
+        wait_copy(slot, k)
         acc = acc + rows[slot] * w_ref[:, k][:, None]
     out_ref[:] = acc.astype(out_ref.dtype)
 
@@ -84,23 +90,22 @@ def pallas_gather_aggregate_fwd_impl(x, nbr, w, interpret: bool = False):
     return pl.pallas_call(
         _kernel,
         interpret=interpret,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((_TILE_D, k), lambda t, nbr_ref: (t, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec((_TILE_D, f), lambda t, nbr_ref: (t, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((_NBUF, _TILE_D, f), x.dtype),
-                pltpu.SemaphoreType.DMA((_NBUF, _TILE_D)),
-            ],
-        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TILE_D, k), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TILE_D, k), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((_TILE_D, f), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_NBUF, _TILE_D, f), x.dtype),
+            pltpu.SemaphoreType.DMA((_NBUF, _TILE_D)),
+        ],
         out_shape=jax.ShapeDtypeStruct((d_pad, f), x.dtype),
-    )(nbr.reshape(-1), w, x)
+    )(nbr, w, x)
 
 
 @jax.custom_vjp

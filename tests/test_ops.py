@@ -214,3 +214,21 @@ def test_remat_same_results():
     g1 = jax.grad(lambda p: loss(p, True))(params)
     for a, b in zip(g0.weights, g1.weights):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_pallas_gather_aggregate_interpret():
+    """Pallas fused kernel == XLA path (interpret mode; TPU-validated in
+    docs/PERF.md with max diff 1.9e-6 at production shapes)."""
+    from sgnn_tpu.ops.pallas.gather_agg import (
+        pallas_gather_aggregate_fwd_impl,
+    )
+
+    rng = np.random.default_rng(12)
+    D, K, S, F = 32, 5, 64, 128
+    nbr = jnp.asarray(rng.integers(0, S, (D, K)).astype(np.int32))
+    w = jnp.asarray(rng.random((D, K)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((S, F)).astype(np.float32))
+    out_p = pallas_gather_aggregate_fwd_impl(x, nbr, w, interpret=True)
+    out_x = gather_aggregate(x, nbr, w)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-6)
