@@ -58,10 +58,16 @@ def _sample_hop(
     in_degree: jax.Array,
     out_degree: jax.Array,
     identity_srcs: bool = False,
+    omit_map: "jax.Array | None" = None,
 ) -> SampledBlock:
     b = seeds.shape[0]
     start = indptr[seeds]
     deg = (indptr[seeds + 1] - start).astype(jnp.int32)
+    if omit_map is not None:
+        # cache-omitting sampling (reference sample_gpu_fast_omit /
+        # sample_processing_get_co_gpu_kernel_omit): cached destinations are
+        # not expanded — their layer-0 output comes from the hot cache
+        deg = jnp.where(omit_map[seeds] >= 0, 0, deg)
     # uniform position draw (with replacement) over each row's degree
     u = jax.random.uniform(key, (b, fanout))
     pos = jnp.where(
@@ -164,10 +170,14 @@ def device_sample_batch(
     fanouts: Tuple[int, ...],
     src_pads: Tuple[int, ...],
     weight_kind: WeightKind = WeightKind.GCN,
+    omit_map: "jax.Array | None" = None,
 ) -> SampledBatch:
     """Sample an L-hop batch fully on device and gather its payload.
 
     `src_pads[h]` is the static source-set bound for hop h (seed-hop first).
+    `omit_map` (int32 [V], slot or -1) enables cache-omitting sampling for
+    the bottom hop; the batch then carries cache_mask/cache_slot for the
+    model's layer-0 merge.
     Returns blocks in input→output order with features gathered from HBM.
     """
     blocks: List[SampledBlock] = []
@@ -176,21 +186,29 @@ def device_sample_batch(
     bottom_identity = False
     for h, f in enumerate(fanouts):
         key, sub = jax.random.split(key)
+        last = h == len(fanouts) - 1
         # bottom hop covering the whole vertex set → identity local space,
         # and x0 is the feature matrix itself (no re-gather)
         identity = (
-            h == len(fanouts) - 1
+            last
             and src_pads[h] == num_vertices
             and features.shape[0] == num_vertices
         )
         blk, _ = _sample_hop(
             sub, cur_seeds, cur_valid, indptr, indices, f, src_pads[h],
             weight_kind, in_degree, out_degree, identity_srcs=identity,
+            omit_map=omit_map if last else None,
         )
         blocks.append(blk)
         cur_seeds, cur_valid = blk.srcs, blk.src_valid
         bottom_identity = identity
     blocks.reverse()
+    cache_mask = cache_slot = None
+    if omit_map is not None:
+        b0 = blocks[0]
+        slots = omit_map[b0.seeds]
+        cache_mask = (slots >= 0) & b0.dst_valid
+        cache_slot = jnp.maximum(slots, 0).astype(jnp.int32)
     if bottom_identity:
         x0 = features
     else:
@@ -201,5 +219,6 @@ def device_sample_batch(
     top = blocks[-1]
     y = labels[top.seeds].astype(jnp.int32)
     return SampledBatch(
-        blocks=blocks, x0=x0, labels=y, label_valid=top.dst_valid
+        blocks=blocks, x0=x0, labels=y, label_valid=top.dst_valid,
+        cache_mask=cache_mask, cache_slot=cache_slot,
     )

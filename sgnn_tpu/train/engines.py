@@ -88,7 +88,18 @@ def run_engine(cfg: RunConfig, dataset: Dataset, epochs: Optional[int] = None):
     from .trainer import SampleTrainer
 
     spec = engine_from_config(cfg)
-    if spec.use_cache:
+    if spec.use_cache and spec.cache_on_device and not spec.multi_device:
+        # GS_SAMPLE_CACHE: cache refreshed on the accelerator — fully-fused
+        # device-sampled + in-scan cached trainer
+        from .device_cached import DeviceCachedSampleTrainer
+
+        trainer = DeviceCachedSampleTrainer(
+            cfg, dataset,
+            family=spec.family,
+            weight_kind=spec.weight_kind,
+            bias_correction=spec.bias_correction,
+        )
+    elif spec.use_cache:
         from ..cache.orchestrator import CachedSampleTrainer
 
         trainer = CachedSampleTrainer(

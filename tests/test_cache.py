@@ -160,3 +160,31 @@ def test_pc_multi_cache_plus_dp(cora):
     # per EPOCH is slower than single-chip; require clear learning
     assert r.val_acc[-1] > 0.70, r.val_acc
     assert r.losses[-1] < r.losses[0] * 0.6
+
+
+def test_device_cached_trainer_cora(cora):
+    """GS_SAMPLE_CACHE analog: device sampling + in-scan cache refresh."""
+    from sgnn_tpu.config import load_cfg
+    from sgnn_tpu.train.device_cached import DeviceCachedSampleTrainer
+
+    cfg = load_cfg("/root/repo/configs/gcn_cora_sample.cfg")
+    cfg.epochs = 6
+    cfg.edge_file = ""
+    tr = DeviceCachedSampleTrainer(cfg, cora, family="gcn",
+                                   weight_kind=WeightKind.GCN)
+    report = tr.run(6)
+    assert tr.cache_hit_rate > 0.05, tr.cache_hit_rate
+    assert report.train_acc[-1] > 0.85, report.train_acc
+    assert report.val_acc[-1] > 0.75, report.val_acc
+
+
+def test_device_cached_engine_dispatch(cora):
+    from sgnn_tpu.config import load_cfg
+    from sgnn_tpu.train import run_engine
+
+    cfg = load_cfg("/root/repo/configs/gcn_cora_sample.cfg")
+    cfg.algorithm = "GSSAMPLECACHE"
+    cfg.epochs = 3
+    cfg.edge_file = ""
+    r = run_engine(cfg, cora)
+    assert r.train_acc[-1] > 0.5, r.train_acc
