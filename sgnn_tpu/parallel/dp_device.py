@@ -1,0 +1,165 @@
+"""Data-parallel fused training: device sampling sharded over the mesh.
+
+Reference: *ALLMULTI engines = per-GPU samplers + NCCL AllReduce
+(GCN_SAMPLE_ALL_MULTI.hpp).  Here each device of the "data" axis runs the
+full on-device pipeline (sample → gather → fwd/bwd) on ITS seed shard with
+the replicated graph/features, gradients psum over ICI, replicated Adam.
+The whole epoch is a lax.scan inside shard_map — per epoch: one dispatch,
+one psum per step riding ICI, zero host involvement.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.gnn import model_forward
+from ..nn.functional import masked_accuracy, nll_loss_masked
+from ..sampler.device import device_sample_batch
+from ..train.device_trainer import DeviceSampleTrainer
+from ..train.trainer import TrainReport
+from ..utils.logging import get_logger
+
+log = get_logger("sgnn.dpdev")
+
+
+class DeviceDataParallelTrainer:
+    """Wraps a DeviceSampleTrainer for DP over the mesh "data" axis."""
+
+    def __init__(self, base: DeviceSampleTrainer, mesh: Optional[Mesh] = None):
+        from .mesh import make_mesh
+
+        self.base = base
+        self.mesh = mesh if mesh is not None else make_mesh(graph=1)
+        self.n_dev = int(np.prod(self.mesh.devices.shape))
+        self.timers = base.timers
+        self._epoch_fn = self._build_dp_epoch()
+
+    def _build_dp_epoch(self):
+        base = self.base
+        family, drop_rate = base.family, base.cfg.drop_rate
+        optimizer = base.optimizer
+        fanouts = tuple(base.cfg.fanout)
+        src_pads = base.src_pads
+        wk = base.weight_kind
+        remat = base.cfg.remat
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            # params/opt/graph/features replicated; seeds sharded over data
+            in_specs=(P(), P(), P(None, "data"), P(None, "data"), P("data"),
+                      P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
+        )
+        def epoch(params, opt_state, seeds_all, valid_all, keys,
+                  indptr, indices, in_deg, out_deg, features, labels):
+            # seeds_all: [n_steps, n_dev*B] sharded → local [n_steps, B]
+            key = keys[0]
+
+            def body(carry, xs):
+                params, opt_state, key = carry
+                seeds, valid = xs
+                key, sk, dk = jax.random.split(key, 3)
+                batch = device_sample_batch(
+                    sk, seeds, valid, indptr, indices, in_deg, out_deg,
+                    features, labels, fanouts, src_pads, wk,
+                )
+
+                def loss_fn(p):
+                    logp = model_forward(
+                        p, family, batch, drop_rate=drop_rate, train=True,
+                        dropout_key=dk, remat=remat,
+                    )
+                    return (
+                        nll_loss_masked(logp, batch.labels, batch.label_valid),
+                        logp,
+                    )
+
+                (loss, logp), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                # reference NCCL AllReduce SUM parity
+                grads = jax.lax.psum(grads, "data")
+                new_p, new_o = optimizer.update(grads, opt_state, params)
+                acc = masked_accuracy(logp, batch.labels, batch.label_valid)
+                n_edges = sum(jnp.sum(b.weight != 0) for b in batch.blocks)
+                return (new_p, new_o, key), (loss, acc, n_edges)
+
+            (params, opt_state, _), (losses, accs, edges) = jax.lax.scan(
+                body, (params, opt_state, key), (seeds_all, valid_all)
+            )
+            # cross-device reductions for reporting
+            loss = jax.lax.pmean(jnp.mean(losses), "data")
+            acc = jax.lax.psum(jnp.sum(accs, axis=0), "data")
+            e = jax.lax.psum(jnp.sum(edges), "data")
+            return params, opt_state, loss, acc, e
+
+        return jax.jit(epoch)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self) -> Tuple[float, float, int]:
+        base = self.base
+        nids = base._epoch_order(base.train_nids)
+        shards = np.array_split(np.asarray(nids, np.int32), self.n_dev)
+        bs = base.cfg.batch_size
+        n_steps = max((len(s) + bs - 1) // bs for s in shards)
+        # [n_steps, n_dev * seed_pad] with per-device layout
+        seeds_all = np.zeros((n_steps, self.n_dev, base.seed_pad), np.int32)
+        valid_all = np.zeros((n_steps, self.n_dev, base.seed_pad), bool)
+        for d, sh in enumerate(shards):
+            for t in range(n_steps):
+                chunk = sh[t * bs:(t + 1) * bs]
+                seeds_all[t, d, : chunk.size] = chunk
+                valid_all[t, d, : chunk.size] = True
+        seeds_all = seeds_all.reshape(n_steps, -1)
+        valid_all = valid_all.reshape(n_steps, -1)
+        base._sample_key, key = jax.random.split(base._sample_key)
+        keys = jax.random.split(key, self.n_dev)
+        with self.timers.phase("dp_device_epoch"):
+            (base.params, base.opt_state, loss, acc, edges) = self._epoch_fn(
+                base.params, base.opt_state, jnp.asarray(seeds_all),
+                jnp.asarray(valid_all), keys,
+                base.dev_indptr, base.dev_indices, base.dev_in_deg,
+                base.dev_out_deg, base.dev_features, base.dev_labels,
+            )
+            acc_np = np.asarray(acc)
+        return (
+            float(loss),
+            int(acc_np[0]) / max(int(acc_np[1]), 1),
+            int(np.asarray(edges)),
+        )
+
+    def evaluate(self, nids):
+        return self.base.evaluate(nids)
+
+    def run(self, epochs: Optional[int] = None, eval_every: int = 1):
+        import time
+
+        base = self.base
+        epochs = epochs if epochs is not None else base.cfg.epochs
+        report = TrainReport([], [], [], [], [], [], self.timers)
+        for ep in range(epochs):
+            t0 = time.perf_counter()
+            loss, tr_acc, edges = self.train_epoch()
+            dt = time.perf_counter() - t0
+            report.epoch_times.append(dt)
+            report.losses.append(loss)
+            report.train_acc.append(tr_acc)
+            report.edges_per_epoch.append(edges)
+            va = base.evaluate(base.val_nids) if base.val_nids.size else 0.0
+            te = base.evaluate(base.test_nids) if base.test_nids.size else 0.0
+            report.val_acc.append(va)
+            report.test_acc.append(te)
+            log.info(
+                "dp-device epoch %d (%d dev): loss %.5f train %.4f val %.4f "
+                "time %.3fs",
+                ep, self.n_dev, loss, tr_acc, va, dt,
+            )
+        return report

@@ -52,7 +52,8 @@ ENGINES = {
         _spec("GCNSAMPLEALLGPU", "gcn", WeightKind.GCN, device_sampling=True),
         _spec("GCNSAMPLEPDCACHE", "gcn", WeightKind.GCN, use_cache=True,
               cache_on_device=False),
-        _spec("GCNSAMPLEALLMULTI", "gcn", WeightKind.GCN, multi_device=True),
+        _spec("GCNSAMPLEALLMULTI", "gcn", WeightKind.GCN, multi_device=True,
+              device_sampling=True),
         _spec("GCNSAMPLEPCMULTI", "gcn", WeightKind.GCN, use_cache=True,
               cache_on_device=False, multi_device=True),
         # GraphSAGE family (mean aggregator)
@@ -67,7 +68,8 @@ ENGINES = {
         _spec("GATSAMPLEALLGPU", "gat", WeightKind.NONE, device_sampling=True),
         _spec("GATSAMPLEPDCACHE", "gat", WeightKind.NONE, use_cache=True,
               cache_on_device=False),
-        _spec("GATSAMPLEALLMULTI", "gat", WeightKind.NONE, multi_device=True),
+        _spec("GATSAMPLEALLMULTI", "gat", WeightKind.NONE, multi_device=True,
+              device_sampling=True),
         _spec("GATSAMPLEPCMULTI", "gat", WeightKind.NONE, use_cache=True,
               cache_on_device=False, multi_device=True),
     ]
@@ -109,7 +111,7 @@ def run_engine(cfg: RunConfig, dataset: Dataset, epochs: Optional[int] = None):
             degree_mode=spec.degree_mode,
             bias_correction=spec.bias_correction,
         )
-    elif spec.device_sampling and not spec.multi_device:
+    elif spec.device_sampling:
         from .device_trainer import DeviceSampleTrainer
 
         trainer = DeviceSampleTrainer(
@@ -118,6 +120,11 @@ def run_engine(cfg: RunConfig, dataset: Dataset, epochs: Optional[int] = None):
             weight_kind=spec.weight_kind,
             bias_correction=spec.bias_correction,
         )
+        if spec.multi_device:
+            from ..parallel.dp_device import DeviceDataParallelTrainer
+
+            trainer = DeviceDataParallelTrainer(trainer)
+        return trainer.run(epochs=epochs)
     else:
         trainer = SampleTrainer(
             cfg, dataset,

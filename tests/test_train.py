@@ -193,3 +193,17 @@ def test_batch_type_modes(tiny_ds):
     kept_min = adj.in_degree[t_del.train_nids].min()
     removed = np.setdiff1d(t_seq.train_nids, t_del.train_nids)
     assert adj.in_degree[removed].max() <= kept_min + 1  # ties allowed
+
+
+def test_device_dp_trainer_cora(cora):
+    """ALLMULTI with device sampling: fused DP epoch over the 8-dev mesh."""
+    from sgnn_tpu.config import load_cfg
+    from sgnn_tpu.train import run_engine
+
+    cfg = load_cfg("/root/repo/configs/gcn_cora_sample.cfg")
+    cfg.algorithm = "GCNSAMPLEALLMULTI"
+    cfg.epochs = 6
+    cfg.batch_size = 128  # 1605/8 ≈ 200 per device → 2 steps/epoch
+    r = run_engine(cfg, cora)
+    assert r.val_acc[-1] > 0.70, r.val_acc
+    assert r.losses[-1] < r.losses[0] * 0.7
