@@ -7,7 +7,12 @@ from .nts_format import (
     read_mask_table,
     load_nts_dataset,
 )
-from .synthetic import random_graph_dataset, powerlaw_graph_dataset
+from .synthetic import (
+    random_graph_dataset,
+    powerlaw_graph_dataset,
+    planted_community_dataset,
+    reddit_like_dataset,
+)
 
 __all__ = [
     "Dataset",

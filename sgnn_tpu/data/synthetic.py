@@ -87,6 +87,67 @@ def powerlaw_graph_dataset(
     return _attach_random_payload(ds, feature_dim, num_classes, rng)
 
 
+def planted_community_dataset(
+    num_vertices: int,
+    avg_degree: int,
+    feature_dim: int,
+    num_classes: int,
+    intra_frac: float = 0.7,
+    alpha: float = 0.8,
+    feature_snr: float = 1.0,
+    seed: int = 0,
+    name: str = "synthetic-sbm",
+) -> Dataset:
+    """Power-law degrees + planted communities → LEARNABLE labels at scale.
+
+    Labels are community ids; `intra_frac` of each vertex's edges stay
+    inside its community and features are a noisy community centroid, so a
+    GNN's accuracy on this graph is a real signal (pure-random labels
+    bottom out at 1/num_classes and cannot show accuracy regressions).
+    Degree skew follows the same Zipf-ish model as powerlaw_graph_dataset,
+    keeping the sampler/cache workload realistic.
+    """
+    rng = np.random.default_rng(seed)
+    v = num_vertices
+    comm = rng.integers(0, num_classes, size=v).astype(np.int32)
+    # order vertices by community for fast intra-community endpoint draws
+    order = np.argsort(comm, kind="stable")
+    sorted_comm = comm[order]
+    starts = np.searchsorted(sorted_comm, np.arange(num_classes))
+    ends = np.searchsorted(sorted_comm, np.arange(num_classes), side="right")
+    e = v * avg_degree
+    u = rng.random(e)
+    ranks = np.clip(
+        np.floor(v * u ** (1.0 / (1.0 - alpha))).astype(np.int64), 0, v - 1
+    )
+    perm = rng.permutation(v)
+    src = perm[ranks]
+    # destinations: intra-community with prob intra_frac, else uniform
+    intra = rng.random(e) < intra_frac
+    c = comm[src]
+    lo, hi = starts[c], ends[c]
+    intra_dst = order[
+        (lo + (rng.random(e) * np.maximum(hi - lo, 1)).astype(np.int64)).clip(
+            0, v - 1
+        )
+    ]
+    rand_dst = rng.integers(0, v, size=e)
+    dst = np.where(intra, intra_dst, rand_dst)
+    edges = np.stack([src, dst], axis=1).astype(np.int32)
+    ds = Dataset(num_vertices=v, edges=edges, name=name).add_self_loops()
+    # features: community centroid + gaussian noise
+    centroids = rng.standard_normal((num_classes, feature_dim)).astype(np.float32)
+    noise = rng.standard_normal((v, feature_dim)).astype(np.float32)
+    ds.features = centroids[comm] * feature_snr + noise
+    ds.labels = comm
+    masks = np.full(v, MASK_TEST, dtype=np.int32)
+    p = rng.permutation(v)
+    masks[p[: int(v * 0.66)]] = MASK_TRAIN
+    masks[p[int(v * 0.66): int(v * 0.76)]] = MASK_VAL
+    ds.masks = masks
+    return ds
+
+
 def reddit_like_dataset(seed: int = 0, scale: float = 1.0) -> Dataset:
     """A Reddit-shaped synthetic benchmark graph.
 
@@ -97,6 +158,8 @@ def reddit_like_dataset(seed: int = 0, scale: float = 1.0) -> Dataset:
     """
     v = max(1024, int(232965 * scale))
     deg = 50  # sampled workloads only see fanout-bounded neighborhoods
-    return powerlaw_graph_dataset(
-        v, deg, feature_dim=602, num_classes=41, seed=seed, name="reddit-like"
+    # planted-community model so benchmark accuracy is a real signal
+    return planted_community_dataset(
+        v, deg, feature_dim=602, num_classes=41,
+        feature_snr=0.5, seed=seed, name="reddit-like",
     )
