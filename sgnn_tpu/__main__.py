@@ -19,7 +19,11 @@ def main(argv=None) -> int:
     ap.add_argument("config", help="KEY:VALUE .cfg file (reference format)")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="save per-epoch checkpoints here (enables resume)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in "
+                         "--checkpoint-dir")
     ap.add_argument("--algorithm", default=None,
                     help="override the cfg ALGORITHM string")
     args = ap.parse_args(argv)
@@ -50,6 +54,26 @@ def main(argv=None) -> int:
     ds = load_from_config(cfg)
     log.info("dataset: %s — %d vertices, %d edges", ds.name, ds.num_vertices,
              ds.num_edges)
+    if args.checkpoint_dir:
+        # checkpointed path: build the engine's trainer, run with per-epoch
+        # saves and optional resume (reference has no checkpointing at all)
+        from sgnn_tpu.train.checkpoint import run_with_checkpointing
+        from sgnn_tpu.train.engines import engine_from_config
+        from sgnn_tpu.train.trainer import SampleTrainer
+
+        spec = engine_from_config(cfg)
+        trainer = SampleTrainer(
+            cfg, ds, family=spec.family, weight_kind=spec.weight_kind,
+            degree_mode=spec.degree_mode,
+            bias_correction=spec.bias_correction,
+        )
+        run_with_checkpointing(
+            trainer, args.checkpoint_dir, cfg.epochs, resume=args.resume
+        )
+        va = trainer.evaluate(trainer.val_nids) if trainer.val_nids.size else 0
+        te = trainer.evaluate(trainer.test_nids) if trainer.test_nids.size else 0
+        log.info("final (checkpointed): val %.4f test %.4f", va, te)
+        return 0
     report = run_engine(cfg, ds)
     # end-of-run summary (reference run() timer dump parity)
     log.info("avg epoch time: %.4fs", report.avg_epoch_time)

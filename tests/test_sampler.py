@@ -259,3 +259,59 @@ def test_native_omit(adj):
     b0 = hb.blocks[0]
     cached = omit[np.maximum(b0.seeds, 0)] >= 0
     assert not (b0.weight[cached & b0.dst_valid] != 0).any()
+
+
+def test_device_sampler_deterministic_same_key(adj, tiny_ds):
+    import jax
+    import jax.numpy as jnp
+
+    from sgnn_tpu.sampler.blocks import pad_to
+    from sgnn_tpu.sampler.device import device_sample_batch
+
+    indptr = jnp.asarray(adj.indptr)
+    indices = jnp.asarray(adj.indices)
+    seeds = jnp.arange(32, dtype=jnp.int32)
+    valid = jnp.ones(32, bool)
+    kw = dict(
+        fanouts=(4, 3), src_pads=(pad_to(32 * 5, 128), pad_to(32 * 5 * 4, 128))
+    )
+    common = (seeds, valid, indptr, indices, jnp.asarray(adj.in_degree),
+              jnp.asarray(adj.out_degree), jnp.asarray(tiny_ds.features),
+              jnp.asarray(tiny_ds.labels))
+    b1 = device_sample_batch(jax.random.PRNGKey(7), *common, **kw)
+    b2 = device_sample_batch(jax.random.PRNGKey(7), *common, **kw)
+    b3 = device_sample_batch(jax.random.PRNGKey(8), *common, **kw)
+    np.testing.assert_array_equal(np.asarray(b1.blocks[0].nbr),
+                                  np.asarray(b2.blocks[0].nbr))
+    assert not np.array_equal(np.asarray(b1.blocks[1].nbr),
+                              np.asarray(b3.blocks[1].nbr))
+
+
+def test_sampling_uniformity_host(adj):
+    """Each in-edge position should be drawn ~uniformly (no positional
+    bias): chi-square-style bound over many repetitions."""
+    s = HostSampler(adj, fanouts=[2], batch_size=1, seed=123,
+                    use_native=False)
+    # pick the highest-degree vertex WITHOUT parallel in-edges (duplicate
+    # neighbors would collapse in the position map below)
+    v = -1
+    for cand in np.argsort(-adj.in_degree):
+        nb = adj.neighbors(int(cand))
+        if len(set(nb.tolist())) == nb.size:
+            v = int(cand)
+            break
+    assert v >= 0
+    deg = int(adj.in_degree[v])
+    counts = np.zeros(deg, dtype=np.int64)
+    pos_of = {int(g): i for i, g in enumerate(adj.neighbors(v))}
+    reps = 600
+    for _ in range(reps):
+        hb = s.sample(np.array([v], dtype=np.int32))
+        b = hb.blocks[0]
+        picked = b.srcs[b.nbr[0][b.weight[0] != 0]]
+        for g in picked:
+            counts[pos_of[int(g)]] += 1
+    expect = reps * 2 / deg
+    # every position within 4x of expectation and none starved
+    assert counts.min() > 0, counts
+    assert counts.max() < expect * 4, (counts, expect)
