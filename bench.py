@@ -31,7 +31,8 @@ def log(*a):
 
 
 def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
-                      host_sampler: bool = False) -> dict:
+                      host_sampler: bool = False,
+                      dtype: str = "float32") -> dict:
     import numpy as np
 
     from sgnn_tpu.config import RunConfig
@@ -65,6 +66,7 @@ def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
         learn_rate=0.01,
         drop_rate=0.5,
         vertices=ds.num_vertices,
+        dtype=dtype,
     )
     if host_sampler:
         from sgnn_tpu.train.trainer import SampleTrainer
@@ -127,6 +129,8 @@ def main():
     ap.add_argument("--skip-cora", action="store_true")
     ap.add_argument("--host-sampler", action="store_true",
                     help="use the host C++ sampler path instead of on-device")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 features/activations (f32 head + params)")
     args = ap.parse_args()
 
     # persistent XLA compile cache: first-run compiles of the big programs
@@ -157,7 +161,8 @@ def main():
     log(f"[bench] backend={jax.default_backend()} device={dev}")
 
     sage = bench_reddit_sage(args.scale, args.epochs, args.batch,
-                             host_sampler=args.host_sampler)
+                             host_sampler=args.host_sampler,
+                             dtype="bfloat16" if args.bf16 else "float32")
     if args.skip_cora:
         cora = {"avg_epoch_time": float("nan"), "final_train_acc": float("nan")}
         vs_baseline = 0.0
