@@ -129,8 +129,10 @@ def main():
     ap.add_argument("--skip-cora", action="store_true")
     ap.add_argument("--host-sampler", action="store_true",
                     help="use the host C++ sampler path instead of on-device")
-    ap.add_argument("--bf16", action="store_true",
-                    help="bfloat16 features/activations (f32 head + params)")
+    ap.add_argument("--f32", action="store_true",
+                    help="float32 features/activations (default is bf16 "
+                         "features + f32 params/head — accuracy-parity "
+                         "validated, see docs/PERF.md)")
     args = ap.parse_args()
 
     # persistent XLA compile cache: first-run compiles of the big programs
@@ -162,7 +164,7 @@ def main():
 
     sage = bench_reddit_sage(args.scale, args.epochs, args.batch,
                              host_sampler=args.host_sampler,
-                             dtype="bfloat16" if args.bf16 else "float32")
+                             dtype="float32" if args.f32 else "bfloat16")
     if args.skip_cora:
         cora = {"avg_epoch_time": float("nan"), "final_train_acc": float("nan")}
         vs_baseline = 0.0
@@ -185,6 +187,7 @@ def main():
             "vs_baseline_meaning": "ref_cora_epoch_time / ours (>1 = faster)",
             "scale": args.scale,
             "backend": jax.default_backend(),
+            "compute_dtype": "float32" if args.f32 else "bfloat16",
         },
     }
     print(json.dumps(result), flush=True)
