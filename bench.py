@@ -32,7 +32,8 @@ def log(*a):
 
 def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
                       host_sampler: bool = False,
-                      dtype: str = "float32") -> dict:
+                      dtype: str = "float32",
+                      src_pad_factor: float = 0.0) -> dict:
     import numpy as np
 
     from sgnn_tpu.config import RunConfig
@@ -67,6 +68,7 @@ def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
         drop_rate=0.5,
         vertices=ds.num_vertices,
         dtype=dtype,
+        src_pad_factor=src_pad_factor,
     )
     if host_sampler:
         from sgnn_tpu.train.trainer import SampleTrainer
@@ -129,6 +131,9 @@ def main():
     ap.add_argument("--skip-cora", action="store_true")
     ap.add_argument("--host-sampler", action="store_true",
                     help="use the host C++ sampler path instead of on-device")
+    ap.add_argument("--exact-pads", action="store_true",
+                    help="exact worst-case source bounds (default: expected"
+                         "-unique x1.2 with safe overflow-drop)")
     ap.add_argument("--f32", action="store_true",
                     help="float32 features/activations (default is bf16 "
                          "features + f32 params/head — accuracy-parity "
@@ -164,7 +169,8 @@ def main():
 
     sage = bench_reddit_sage(args.scale, args.epochs, args.batch,
                              host_sampler=args.host_sampler,
-                             dtype="float32" if args.f32 else "bfloat16")
+                             dtype="float32" if args.f32 else "bfloat16",
+                             src_pad_factor=0.0 if args.exact_pads else 1.2)
     if args.skip_cora:
         cora = {"avg_epoch_time": float("nan"), "final_train_acc": float("nan")}
         vs_baseline = 0.0
@@ -188,6 +194,7 @@ def main():
             "scale": args.scale,
             "backend": jax.default_backend(),
             "compute_dtype": "float32" if args.f32 else "bfloat16",
+            "src_pad_factor": 0.0 if args.exact_pads else 1.2,
         },
     }
     print(json.dumps(result), flush=True)

@@ -70,6 +70,10 @@ class RunConfig:
     # extras (ours)
     remat: bool = False              # sublinear activation memory (ref
     #                                  SubLinearMemCostNNOP analog)
+    # device-sampler source-pad sizing: 0 = exact worst-case bounds;
+    # >0 (e.g. 1.2) = expected-unique estimate × factor with safe
+    # overflow-drop semantics (slight under-sampling, big shape savings)
+    src_pad_factor: float = 0.0
     seed: int = 0
     dtype: str = "float32"           # compute dtype for activations
     param_dtype: str = "float32"
@@ -144,6 +148,7 @@ _KEYMAP = {
     "DTYPE": ("dtype", str),
     "REMAT": ("remat", _to_bool),
     "SUBLINEAR": ("remat", _to_bool),
+    "SRC_PAD_FACTOR": ("src_pad_factor", float),
 }
 
 

@@ -123,10 +123,14 @@ def _sample_hop(
     )
     ranks = jnp.cumsum(presence)            # 1-based rank among present ids
     lookup = (ranks - 1).astype(jnp.int32)  # [V] local index (if present)
-    num_src = ranks[-1]
-    # srcs[slot] = vertex id with that rank; clamp overflow into a dump slot
+    num_src = jnp.minimum(ranks[-1], num_src_pad)
+    # srcs[slot] = vertex id with that rank. When num_src_pad is an
+    # ESTIMATED bound (src_pad_factor mode) the tail of the rank space can
+    # overflow: overflowed vertices go to a dump slot and every edge
+    # pointing at them is DROPPED (weight 0) — safe under-sampling instead
+    # of silent corruption.  With exact bounds overflow cannot occur.
     slot = jnp.where(
-        presence == 1, jnp.minimum(lookup, num_src_pad - 1), num_src_pad
+        (presence == 1) & (lookup < num_src_pad), lookup, num_src_pad
     )
     srcs = (
         jnp.zeros(num_src_pad + 1, jnp.int32)
@@ -136,11 +140,10 @@ def _sample_hop(
         ]
     )
     src_valid = jax.lax.broadcasted_iota(jnp.int32, (num_src_pad,), 0) < num_src
-    nbr_local = jnp.where(
-        keep, lookup[jnp.maximum(nbr_global, 0)], 0
-    )
+    nbr_rank = lookup[jnp.maximum(nbr_global, 0)]
+    keep = keep & (nbr_rank < num_src_pad)
+    nbr_local = jnp.where(keep, nbr_rank, 0)
     seed_in_src = jnp.clip(lookup[seeds], 0, num_src_pad - 1)
-    nbr_local = jnp.clip(nbr_local, 0, num_src_pad - 1)
     w = _edge_weights(keep, nbr_local, num_src_pad, fanout, weight_kind)
     return SampledBlock(
         nbr=nbr_local,

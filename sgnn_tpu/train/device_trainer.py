@@ -82,9 +82,27 @@ class DeviceSampleTrainer(SampleTrainer):
         self.weight_kind = (
             WeightKind.NONE if family == "gat" else weight_kind
         )
-        # static per-hop source bounds (same plan rule as the host sampler)
+        # static per-hop source bounds (same plan rule as the host sampler);
+        # with SRC_PAD_FACTOR > 0, shrink bounds to factor × expected unique
+        # source count (coupon-collector estimate) — the sampler drops edges
+        # safely on the rare overflow
         self.seed_pad = pad_to(cfg.batch_size, 128)
-        self.src_pads = tuple(p.num_src_pad for p in self.sampler.plans)
+        exact = tuple(p.num_src_pad for p in self.sampler.plans)
+        if cfg.src_pad_factor > 0:
+            v = float(self.adj.num_vertices)
+            est_pads = []
+            ndst = float(cfg.batch_size)
+            for h, f in enumerate(cfg.fanout):
+                draws = ndst * (f + 1)
+                expected_unique = v * (1.0 - np.exp(-draws / v))
+                est = pad_to(int(expected_unique * cfg.src_pad_factor), 128)
+                est = min(est, exact[h])
+                est_pads.append(est)
+                ndst = float(est)
+            self.src_pads = tuple(est_pads)
+            log.info("src pads: exact %s -> estimated %s", exact, self.src_pads)
+        else:
+            self.src_pads = exact
         self._dev_step = self._build_device_step()
         self._dev_eval = self._build_device_eval()
         self._epoch_fn = self._build_epoch_fn()
