@@ -21,14 +21,14 @@ engines and giant-graph scaling.
 
 from __future__ import annotations
 
-import functools
+
 from typing import List, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+
+
 
 from ..graph.adjacency import Adjacency
 from ..sampler.blocks import pad_to
@@ -113,27 +113,3 @@ def sharded_aggregate(
 
     x_full = jax.lax.all_gather(x_shard, axis_name, axis=0, tiled=True)
     return spmm_coo(x_full, src, dst_local, weight, x_shard.shape[0])
-
-
-def make_partition_forward(
-    mesh: Mesh, num_layers: int, axis_name: str = "graph"
-):
-    """Jitted vertex-sharded L-layer GCN-style forward over the mesh."""
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=P(axis_name),
-    )
-    def forward(weights, x, src, dst_local, w_edge):
-        h = x[0]
-        for l in range(num_layers):
-            agg = sharded_aggregate(h, src[0], dst_local[0], w_edge[0],
-                                    axis_name)
-            h = jnp.dot(agg, weights[l], preferred_element_type=h.dtype)
-            if l < num_layers - 1:
-                h = jax.nn.relu(h)
-        return h[None]
-
-    return jax.jit(forward)

@@ -80,3 +80,20 @@ def test_memory_stats_shape():
     stats = device_memory_stats()
     # CPU backend may not expose memory stats; only check the contract
     assert stats is None or isinstance(stats, dict)
+
+
+def test_checkpoint_numpy_fallback(tmp_path, trainer):
+    """The no-orbax fallback writer round-trips state too."""
+    from sgnn_tpu.train import checkpoint as ckpt_mod
+
+    mgr = ckpt_mod.CheckpointManager(str(tmp_path / "np_ckpt"))
+    mgr._ocp = None
+    mgr._mgr = None  # force the numpy path
+    trainer.train_epoch()
+    w0 = np.asarray(trainer.params.weights[0]).copy()
+    mgr.save(1, trainer)
+    trainer.train_epoch()
+    step = mgr.restore(trainer)
+    assert step == 1
+    np.testing.assert_allclose(np.asarray(trainer.params.weights[0]), w0,
+                               rtol=1e-6)
