@@ -113,3 +113,111 @@ def sharded_aggregate(
 
     x_full = jax.lax.all_gather(x_shard, axis_name, axis=0, tiled=True)
     return spmm_coo(x_full, src, dst_local, weight, x_shard.shape[0])
+
+
+class TargetedHalo(NamedTuple):
+    """Precomputed per-pair halo exchange plan (all_to_all, not broadcast).
+
+    The all_gather halo ships EVERY owner's full activation shard to every
+    device.  With graph locality each device only needs its mirror set —
+    the reference ships exactly those rows via per-partition message
+    buffers (NtsGraphCommunicator, comm/network.cpp:476-790).  TPU
+    equivalent: a static send plan per (owner p → needer q) pair, exchanged
+    with one `all_to_all` per layer, then local gathers resolve edges
+    against [own rows ‖ received rows].
+
+    send_idx[p, q, i] = LOCAL row index (within p's shard) of the i-th
+    vertex p sends to q (padded with 0, count in send_cnt).  Per device q,
+    `src_local` re-indexes its edge sources into the concat space:
+    own rows occupy [0, rows); rows received from p occupy
+    [rows + p*H_pad, rows + p*H_pad + send_cnt[p, q]).
+    """
+
+    send_idx: jax.Array     # [n, n, H_pad] int32 (dim0 = owner p, dim1 = q)
+    src_local: jax.Array    # [n, E_pad] int32 edge srcs in concat space
+    dst_local: jax.Array    # [n, E_pad] int32
+    weight: jax.Array       # [n, E_pad] f32
+    rows_per_shard: int
+    halo_pad: int
+
+
+def build_targeted_halo(
+    adj: Adjacency, num_parts: int, weights: np.ndarray,
+    pad_multiple: int = 256,
+) -> TargetedHalo:
+    """Host-side construction of the static all_to_all halo plan."""
+    sg = shard_graph(adj, num_parts, weights, pad_multiple)
+    rows = sg.rows_per_shard
+    offsets = sg.offsets
+    src_np = np.asarray(sg.src)
+    n, e_pad = src_np.shape
+    owner_of = np.minimum(
+        np.arange(adj.num_vertices) // rows, num_parts - 1
+    ).astype(np.int32)
+    # per (q, p): unique remote srcs q needs from p
+    need: list = [[None] * n for _ in range(n)]
+    h_pad = 1
+    for q in range(n):
+        srcs_q = src_np[q][np.asarray(sg.weight[q]) != 0]
+        own = owner_of[srcs_q]
+        for p in range(n):
+            if p == q:
+                need[q][p] = np.zeros(0, np.int64)
+                continue
+            uniq = np.unique(srcs_q[own == p])
+            need[q][p] = uniq
+            h_pad = max(h_pad, uniq.size)
+    h_pad = pad_to(h_pad, 8)
+    send_idx = np.zeros((n, n, h_pad), np.int32)
+    for q in range(n):
+        for p in range(n):
+            u = need[q][p]
+            send_idx[p, q, : u.size] = (u - offsets[p]).astype(np.int32)
+    # re-index each shard's edge srcs into [own ‖ recv-from-0 ‖ recv-from-1…]
+    src_local = np.zeros((n, e_pad), np.int32)
+    for q in range(n):
+        lookup = np.zeros(adj.num_vertices, np.int64)
+        s, e = int(offsets[q]), int(offsets[q + 1])
+        lookup[s:e] = np.arange(e - s)
+        for p in range(n):
+            u = need[q][p]
+            lookup[u] = rows + p * h_pad + np.arange(u.size)
+        src_local[q] = lookup[np.maximum(src_np[q], 0)]
+    return TargetedHalo(
+        send_idx=jnp.asarray(send_idx),
+        src_local=jnp.asarray(src_local),
+        dst_local=sg.dst_local,
+        weight=sg.weight,
+        rows_per_shard=rows,
+        halo_pad=h_pad,
+    )
+
+
+def sharded_aggregate_targeted(
+    x_shard: jax.Array,       # [rows, F] own activations
+    send_idx: jax.Array,      # [n, H_pad] this device's send plan (dim0 = q)
+    src_local: jax.Array,     # [E_pad] concat-space edge srcs
+    dst_local: jax.Array,     # [E_pad]
+    weight: jax.Array,        # [E_pad]
+    axis_name: str = "graph",
+) -> jax.Array:
+    """Aggregation with a targeted all_to_all halo (call inside shard_map).
+
+    Ships only the mirror rows each pair actually needs — traffic
+    n·H_pad·F instead of the all_gather's V·F — and the autodiff transpose
+    routes mirror gradients back through the reverse all_to_all (the
+    reference's mirror→master push, graph.hpp:3023).
+    """
+    from ..ops.segment import spmm_coo
+
+    # rows this device sends to each q: [n, H_pad, F]
+    send = x_shard[send_idx]
+    recv = jax.lax.all_to_all(
+        send, axis_name, split_axis=0, concat_axis=0, tiled=False
+    )
+    # recv[p] = rows from device p; flatten into the concat space
+    n = recv.shape[0]
+    ext = jnp.concatenate(
+        [x_shard, recv.reshape(n * recv.shape[1], -1)], axis=0
+    )
+    return spmm_coo(ext, src_local, dst_local, weight, x_shard.shape[0])

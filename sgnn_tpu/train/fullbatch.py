@@ -114,6 +114,7 @@ class FullBatchTrainer:
         weight_kind: WeightKind = WeightKind.GCN,
         mesh=None,
         adj: Optional[Adjacency] = None,
+        halo: str = "all_gather",  # or "targeted" (all_to_all mirror rows)
     ) -> None:
         self.cfg = cfg
         self.dataset = dataset
@@ -135,6 +136,7 @@ class FullBatchTrainer:
             bias_correction=True,  # full-batch engines used the CPU Adam
         )
         self.opt_state = self.optimizer.init(self.params)
+        self.halo = halo
         if mesh is None:
             self.src, self.dst, self.w = (
                 jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
@@ -170,7 +172,13 @@ class FullBatchTrainer:
         import functools
 
         n = int(np.prod(self.mesh.devices.shape))
-        self.sharded = shard_graph(self.adj, n, np.asarray(w[: self.adj.num_edges]))
+        w_real = np.asarray(w[: self.adj.num_edges])
+        self.sharded = shard_graph(self.adj, n, w_real)
+        self.targeted = None
+        if self.halo == "targeted":
+            from ..parallel.halo import build_targeted_halo
+
+            self.targeted = build_targeted_halo(self.adj, n, w_real)
         rows = self.sharded.rows_per_shard
         v = self.adj.num_vertices
         vpad = rows * n
@@ -189,29 +197,41 @@ class FullBatchTrainer:
         optimizer = self.optimizer
         n_layers = len(self.params.weights)
 
+        halo_mode = self.halo
+
         @functools.partial(
             shard_map,
             mesh=self.mesh,
             in_specs=(P(), P(), P("graph"), P("graph"), P("graph"),
-                      P("graph"), P("graph"), P("graph")),
+                      P("graph"), P("graph"), P("graph"), P("graph")),
             out_specs=(P(), P(), P(), P("graph")),
         )
-        def step(params, opt_state, x, y, mask, src, dstl, w_edge):
-            from ..parallel.halo import sharded_aggregate
+        def step(params, opt_state, x, y, mask, src, dstl, w_edge, sidx):
+            from ..parallel.halo import (
+                sharded_aggregate,
+                sharded_aggregate_targeted,
+            )
+
+            if halo_mode == "targeted":
+                def agg(h_):
+                    return sharded_aggregate_targeted(
+                        h_, sidx[0], src[0], dstl[0], w_edge[0]
+                    )
+            else:
+                def agg(h_):
+                    return sharded_aggregate(h_, src[0], dstl[0], w_edge[0])
 
             def loss_fn(p):
                 h = x
                 for l in range(n_layers):
                     wl = p.weights[l]
                     if wl.shape[0] > wl.shape[1]:
-                        h = sharded_aggregate(
-                            jnp.dot(h, wl, preferred_element_type=h.dtype),
-                            src[0], dstl[0], w_edge[0],
+                        h = agg(
+                            jnp.dot(h, wl, preferred_element_type=h.dtype)
                         )
                     else:
                         h = jnp.dot(
-                            sharded_aggregate(h, src[0], dstl[0], w_edge[0]),
-                            wl, preferred_element_type=h.dtype,
+                            agg(h), wl, preferred_element_type=h.dtype,
                         )
                     h = log_softmax(h) if l == n_layers - 1 else jax.nn.relu(h)
                 # masked NLL over the local shard, reduced globally
@@ -240,9 +260,21 @@ class FullBatchTrainer:
                 self.src, self.dst, self.w,
             )
         else:
+            if self.targeted is not None:
+                sidx = self.targeted.send_idx
+                src_l = self.targeted.src_local
+                dst_l = self.targeted.dst_local
+                w_l = self.targeted.weight
+            else:
+                sidx = jnp.zeros(
+                    (int(np.prod(self.mesh.devices.shape)), 1, 1), jnp.int32
+                )
+                src_l = self.sharded.src
+                dst_l = self.sharded.dst_local
+                w_l = self.sharded.weight
             self.params, self.opt_state, loss, pred = self._step(
                 self.params, self.opt_state, self.x, self.y, self.train_mask,
-                self.sharded.src, self.sharded.dst_local, self.sharded.weight,
+                src_l, dst_l, w_l, sidx,
             )
         correct = pred == self.y
 

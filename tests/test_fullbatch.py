@@ -66,3 +66,85 @@ def test_fullbatch_cora_accuracy(cora):
     hist = tr.run(40)
     assert hist[-1]["train"] > 0.90
     assert hist[-1]["val"] > 0.75
+
+
+def test_targeted_halo_matches_all_gather(tiny_ds):
+    """all_to_all targeted halo == all_gather halo == dense reference."""
+    import functools
+
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from sgnn_tpu.parallel.halo import (
+        build_targeted_halo,
+        shard_graph,
+        sharded_aggregate,
+        sharded_aggregate_targeted,
+    )
+    from sgnn_tpu.sampler.blocks import WeightKind
+    from sgnn_tpu.train.fullbatch import build_coo
+
+    adj = Adjacency.from_edges(tiny_ds.edges, tiny_ds.num_vertices)
+    src, dst, w = build_coo(adj, WeightKind.GCN)
+    w_real = w[: adj.num_edges]
+    n = 4
+    mesh = Mesh(np.asarray(jax.devices()[:n]).reshape(n), ("graph",))
+    sg = shard_graph(adj, n, w_real)
+    th = build_targeted_halo(adj, n, w_real)
+    rows = sg.rows_per_shard
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((rows * n, 8)).astype(np.float32)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("graph"), P("graph"), P("graph"), P("graph")),
+        out_specs=P("graph"),
+    )
+    def agg_gather(xs, s, d, wgt):
+        return sharded_aggregate(xs, s[0], d[0], wgt[0])
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("graph"), P("graph"), P("graph"), P("graph"), P("graph")),
+        out_specs=P("graph"),
+    )
+    def agg_targeted(xs, sidx, s, d, wgt):
+        return sharded_aggregate_targeted(xs, sidx[0], s[0], d[0], wgt[0])
+
+    out_g = agg_gather(jnp.asarray(x), sg.src, sg.dst_local, sg.weight)
+    out_t = agg_targeted(
+        jnp.asarray(x), th.send_idx, th.src_local, th.dst_local, th.weight
+    )
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_t),
+                               rtol=1e-5, atol=1e-5)
+    # dense reference on the real vertex range (weights are in build_coo's
+    # CSC edge order: dst from indptr runs, src = adj.indices)
+    import scipy.sparse as sp
+
+    dst_of_edge = np.repeat(
+        np.arange(adj.num_vertices), np.diff(adj.indptr).astype(np.int64)
+    )
+    A = sp.coo_matrix(
+        (w_real, (dst_of_edge, adj.indices)),
+        shape=(adj.num_vertices, adj.num_vertices),
+    ).tocsr()
+    expect = A @ x[: adj.num_vertices]
+    np.testing.assert_allclose(
+        np.asarray(out_t)[: adj.num_vertices], expect, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fullbatch_targeted_halo_trainer(tiny_ds):
+    """FullBatchTrainer(halo='targeted') matches all_gather training."""
+    from jax.sharding import Mesh
+
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[1, 1], epochs=1,
+                    learn_rate=0.01, seed=3, vertices=tiny_ds.num_vertices)
+    gmesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("graph",))
+    a = FullBatchTrainer(cfg, tiny_ds, family="gcn", mesh=gmesh)
+    b = FullBatchTrainer(cfg, tiny_ds, family="gcn", mesh=gmesh,
+                         halo="targeted")
+    for _ in range(3):
+        la = a.train_epoch()
+        lb = b.train_epoch()
+        assert abs(la[0] - lb[0]) < 2e-3, (la[0], lb[0])
