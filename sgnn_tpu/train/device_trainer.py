@@ -218,6 +218,33 @@ class DeviceSampleTrainer(SampleTrainer):
 
         return evaluate
 
+    def _build_eval_epoch_fn(self):
+        """Fused evaluation: one scan program over all eval batches."""
+        family = self.family
+        fanouts = tuple(self.cfg.fanout)
+        src_pads = self.src_pads
+        wk = self.weight_kind
+
+        @jax.jit
+        def eval_epoch(params, seeds_all, valid_all, key,
+                       indptr, indices, in_deg, out_deg, features, labels):
+            def body(key, xs):
+                seeds, valid = xs
+                key, sk = jax.random.split(key)
+                batch = device_sample_batch(
+                    sk, seeds, valid, indptr, indices, in_deg, out_deg,
+                    features, labels, fanouts, src_pads, wk,
+                )
+                logp = model_forward(params, family, batch, train=False)
+                return key, masked_accuracy(
+                    logp, batch.labels, batch.label_valid
+                )
+
+            _, accs = jax.lax.scan(body, key, (seeds_all, valid_all))
+            return jnp.sum(accs, axis=0)
+
+        return eval_epoch
+
     # --------------------------------------------------------------- loops
     def _seed_batches(self, nids: np.ndarray, shuffle: bool):
         nids = np.asarray(nids, dtype=np.int32)
@@ -287,15 +314,21 @@ class DeviceSampleTrainer(SampleTrainer):
         )
 
     def evaluate(self, nids: np.ndarray) -> float:
-        corrects, totals = 0, 0
+        if getattr(self, "_eval_epoch_fn", None) is None:
+            self._eval_epoch_fn = self._build_eval_epoch_fn()
+        seeds_l, valid_l = [], []
         for seeds, valid in self._seed_batches(nids, False):
-            self._sample_key, sk = jax.random.split(self._sample_key)
-            with self.timers.phase("device_eval"):
-                acc = self._dev_eval(
-                    self.params, seeds, valid, sk,
+            seeds_l.append(seeds)
+            valid_l.append(valid)
+        if not seeds_l:
+            return 0.0
+        self._sample_key, key = jax.random.split(self._sample_key)
+        with self.timers.phase("device_eval"):
+            acc = np.asarray(
+                self._eval_epoch_fn(
+                    self.params, jnp.stack(seeds_l), jnp.stack(valid_l), key,
                     self.dev_indptr, self.dev_indices, self.dev_in_deg,
                     self.dev_out_deg, self.dev_features, self.dev_labels,
                 )
-            corrects += int(acc[0])
-            totals += int(acc[1])
-        return corrects / max(totals, 1)
+            )
+        return int(acc[0]) / max(int(acc[1]), 1)
