@@ -91,10 +91,12 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
                   omit_map, coo_src, coo_slot, coo_w):
             def refresh(w0):
                 # hot-set full-neighborhood aggregation ·W0 (the reference's
-                # PushDown + X·W, as one segment-sum + matmul)
-                agg = spmm_coo(features.astype(jnp.float32), coo_src,
-                               coo_slot, coo_w, num_slots)
-                return jnp.dot(agg, w0, preferred_element_type=jnp.float32)
+                # PushDown + X·W, as one segment-sum + matmul).  No
+                # whole-matrix astype: bf16 rows promote elementwise against
+                # the f32 edge weights inside the segment sum.
+                agg = spmm_coo(features, coo_src, coo_slot, coo_w, num_slots)
+                return jnp.dot(agg.astype(jnp.float32), w0,
+                               preferred_element_type=jnp.float32)
 
             def body(carry, xs):
                 params, opt_state, cache_emb, step_i, key = carry
