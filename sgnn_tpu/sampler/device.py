@@ -32,9 +32,13 @@ def _edge_weights(keep, nbr_local, num_src_pad, fanout, weight_kind):
         return keep.astype(jnp.float32)
     samp_in = jnp.sum(keep, axis=1).astype(jnp.int32)
     samp_in = jnp.where(samp_in == 0, fanout, samp_in)
-    counts = jnp.zeros(num_src_pad, jnp.int32).at[
-        jnp.where(keep, nbr_local, num_src_pad - 1)
-    ].add(keep.astype(jnp.int32))
+    # slot-wise histogram (invalid slots add 0): K 1-D scatters outrun one
+    # [D,K]-indexed scatter on TPU, same as the aggregation VJP
+    counts = jnp.zeros(num_src_pad, jnp.int32)
+    for k in range(fanout):
+        counts = counts.at[nbr_local[:, k]].add(
+            keep[:, k].astype(jnp.int32), mode="drop"
+        )
     out_deg = jnp.maximum(counts[nbr_local], 1)
     w = 1.0 / (
         jnp.sqrt(out_deg.astype(jnp.float32))
