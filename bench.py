@@ -167,10 +167,19 @@ def main():
     dev = jax.devices()[0]
     log(f"[bench] backend={jax.default_backend()} device={dev}")
 
-    sage = bench_reddit_sage(args.scale, args.epochs, args.batch,
-                             host_sampler=args.host_sampler,
-                             dtype="float32" if args.f32 else "bfloat16",
-                             src_pad_factor=0.0 if args.exact_pads else 1.2)
+    def run_sage():
+        return bench_reddit_sage(
+            args.scale, args.epochs, args.batch,
+            host_sampler=args.host_sampler,
+            dtype="float32" if args.f32 else "bfloat16",
+            src_pad_factor=0.0 if args.exact_pads else 1.2,
+        )
+
+    try:
+        sage = run_sage()
+    except Exception as e:  # transient tunnel/runtime hiccup: one retry
+        log(f"[bench] sage run failed ({e!r}); retrying once")
+        sage = run_sage()
     if args.skip_cora:
         cora = {"avg_epoch_time": float("nan"), "final_train_acc": float("nan")}
         vs_baseline = 0.0
