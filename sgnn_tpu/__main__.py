@@ -58,20 +58,18 @@ def main(argv=None) -> int:
         # checkpointed path: build the engine's trainer, run with per-epoch
         # saves and optional resume (reference has no checkpointing at all)
         from sgnn_tpu.train.checkpoint import run_with_checkpointing
-        from sgnn_tpu.train.engines import engine_from_config
-        from sgnn_tpu.train.trainer import SampleTrainer
+        from sgnn_tpu.train.engines import build_trainer
 
-        spec = engine_from_config(cfg)
-        trainer = SampleTrainer(
-            cfg, ds, family=spec.family, weight_kind=spec.weight_kind,
-            degree_mode=spec.degree_mode,
-            bias_correction=spec.bias_correction,
-        )
+        # build the trainer the ALGORITHM string actually names (engine
+        # registry), so e.g. GCNSAMPLEALLGPU checkpoints the device-sampled
+        # engine and GCNSAMPLEPDCACHE the cached one
+        trainer = build_trainer(cfg, ds)
         run_with_checkpointing(
             trainer, args.checkpoint_dir, cfg.epochs, resume=args.resume
         )
-        va = trainer.evaluate(trainer.val_nids) if trainer.val_nids.size else 0
-        te = trainer.evaluate(trainer.test_nids) if trainer.test_nids.size else 0
+        owner = getattr(trainer, "base", trainer)  # DP wrappers hold nids on .base
+        va = trainer.evaluate(owner.val_nids) if owner.val_nids.size else 0
+        te = trainer.evaluate(owner.test_nids) if owner.test_nids.size else 0
         log.info("final (checkpointed): val %.4f test %.4f", va, te)
         return 0
     report = run_engine(cfg, ds)

@@ -179,3 +179,30 @@ class CachedSampleTrainer(SampleTrainer):
     @property
     def cache_hit_rate(self) -> float:
         return self.cache_hits / max(self.cache_lookups, 1)
+
+    # ------------------------------------------------------------ checkpoint
+    def checkpoint_state(self):
+        """+ cache array and staleness-queue version, so a resumed run's hot
+        cache is exactly as (bounded-ly) stale as the uninterrupted run's."""
+        st = super().checkpoint_state()
+        hidden = self.cfg.layer_sizes[1]
+        emb = self.cache.cache_emb
+        st["cache_emb"] = (
+            emb if emb is not None
+            else jnp.zeros((self.cache.num_cached, hidden), jnp.float32)
+        )
+        st["w_queue_w"] = (
+            self.w_queue._w if self.w_queue._w is not None
+            else jnp.zeros_like(self.params.weights[0])
+        )
+        st["w_queue_version"] = np.asarray(self.w_queue.version, np.int64)
+        return st
+
+    def load_checkpoint_state(self, state) -> None:
+        super().load_checkpoint_state(state)
+        version = int(np.asarray(state["w_queue_version"]))
+        self.w_queue.version = version
+        if version >= 0:
+            self.w_queue._w = state["w_queue_w"]
+            self.cache.cache_emb = state["cache_emb"]
+            self.cache.version = version

@@ -97,6 +97,10 @@ class SampledBatch:
     # GCN_SAMPLE_PD_CACHE.hpp:938).
     cache_mask: Optional[jax.Array] = None   # bool [blocks[0].num_dst_pad]
     cache_slot: Optional[jax.Array] = None   # int32 [blocks[0].num_dst_pad]
+    # Dropped-edge/seed count from src_pad_factor overflow (device sampler;
+    # 0 with exact bounds).  Surfaced so overflow is visible at runtime
+    # instead of silently under-sampling.
+    overflow: Optional[jax.Array] = None     # int32 scalar
 
     @property
     def num_layers(self) -> int:

@@ -25,11 +25,30 @@ import jax.numpy as jnp
 from .blocks import SampledBatch, SampledBlock, WeightKind
 
 
-def _edge_weights(keep, nbr_local, num_src_pad, fanout, weight_kind):
-    """Edge weights, sampled-degree mode (GPU-engine parity: UpdateDegree +
-    get_weight/get_mean_weight kernels, cuda/ntsCUDATransferKernel.cuh)."""
+def _edge_weights(keep, nbr_local, num_src_pad, fanout, weight_kind,
+                  degree_mode="sampled", nbr_global=None, seeds=None,
+                  in_degree=None, out_degree=None):
+    """Edge weights (get_weight/get_mean_weight kernels,
+    cuda/ntsCUDATransferKernel.cuh:293-343).
+
+    degree_mode="global" (reference default, UP_DEGREE=0): degrees come from
+    the full-graph HBM tables — no per-batch histogram at all.
+    degree_mode="sampled" (UP_DEGREE=1): degrees recomputed within the
+    sampled subgraph (UpdateDegree kernel parity)."""
     if weight_kind == WeightKind.NONE:
         return keep.astype(jnp.float32)
+    if degree_mode == "global":
+        od = jnp.maximum(out_degree[jnp.maximum(nbr_global, 0)], 1)
+        idg = jnp.maximum(in_degree[seeds], 1)
+        w = 1.0 / (
+            jnp.sqrt(od.astype(jnp.float32))
+            * jnp.sqrt(idg.astype(jnp.float32))[:, None]
+        )
+        if weight_kind == WeightKind.MEAN:
+            # global mode divides by the global in-degree (CPU Mean branch,
+            # ntsFastSampler.hpp:1117; host sampler parity)
+            w = w / idg[:, None].astype(jnp.float32)
+        return jnp.where(keep, w, 0.0)
     samp_in = jnp.sum(keep, axis=1).astype(jnp.int32)
     samp_in = jnp.where(samp_in == 0, fanout, samp_in)
     # slot-wise histogram (invalid slots add 0): K 1-D scatters outrun one
@@ -63,7 +82,8 @@ def _sample_hop(
     out_degree: jax.Array,
     identity_srcs: bool = False,
     omit_map: "jax.Array | None" = None,
-) -> SampledBlock:
+    degree_mode: str = "sampled",
+) -> Tuple[SampledBlock, jax.Array, jax.Array]:
     b = seeds.shape[0]
     start = indptr[seeds]
     deg = (indptr[seeds + 1] - start).astype(jnp.int32)
@@ -72,12 +92,18 @@ def _sample_hop(
         # sample_processing_get_co_gpu_kernel_omit): cached destinations are
         # not expanded — their layer-0 output comes from the hot cache
         deg = jnp.where(omit_map[seeds] >= 0, 0, deg)
-    # uniform position draw (with replacement) over each row's degree
+    # uniform position draw (with replacement) over each row's degree;
+    # the f32 product can round up to exactly deg for large degrees, so clamp
+    # to deg-1 (else start+pos reads the next vertex's edge range)
     u = jax.random.uniform(key, (b, fanout))
+    draw = jnp.minimum(
+        (u * deg[:, None].astype(jnp.float32)).astype(jnp.int32),
+        jnp.maximum(deg[:, None] - 1, 0),
+    )
     pos = jnp.where(
         deg[:, None] <= fanout,
         jnp.broadcast_to(jnp.arange(fanout, dtype=jnp.int32), (b, fanout)),
-        (u * deg[:, None].astype(jnp.float32)).astype(jnp.int32),
+        draw,
     )
     valid = (jnp.arange(fanout)[None, :] < deg[:, None]) & dst_valid[:, None]
     # mask in-row duplicate positions WITHOUT sort/scatter: slot k is a dup
@@ -105,14 +131,17 @@ def _sample_hop(
         block = SampledBlock(
             nbr=jnp.maximum(nbr_global, 0),
             weight=_edge_weights(keep, jnp.maximum(nbr_global, 0),
-                                 num_src_pad, fanout, weight_kind),
+                                 num_src_pad, fanout, weight_kind,
+                                 degree_mode, nbr_global, seeds,
+                                 in_degree, out_degree),
             srcs=srcs,
             seeds=seeds,
             dst_valid=dst_valid,
             src_valid=jnp.ones((num_src_pad,), bool),
             seed_in_src=seeds,
         )
-        return block, jnp.asarray(num_src_pad, jnp.int32)
+        return (block, jnp.asarray(num_src_pad, jnp.int32),
+                jnp.zeros((), jnp.int32))
     # source set: unique(valid neighbors ∪ seeds) WITHOUT sorting — a
     # 2.75M-element device sort per hop dominated the step; instead scatter a
     # presence bitmap over [V], prefix-sum it into dense ranks, and scatter
@@ -145,24 +174,35 @@ def _sample_hop(
     )
     src_valid = jax.lax.broadcasted_iota(jnp.int32, (num_src_pad,), 0) < num_src
     nbr_rank = lookup[jnp.maximum(nbr_global, 0)]
-    keep = keep & (nbr_rank < num_src_pad)
-    nbr_local = jnp.where(keep, nbr_rank, 0)
-    seed_in_src = jnp.clip(lookup[seeds], 0, num_src_pad - 1)
-    w = _edge_weights(keep, nbr_local, num_src_pad, fanout, weight_kind)
+    keep_fit = keep & (nbr_rank < num_src_pad)
+    nbr_local = jnp.where(keep_fit, nbr_rank, 0)
+    # Overflow accounting + safety (src_pad_factor mode): edges whose source
+    # rank overflows the pad are DROPPED; a SEED whose own rank overflows is
+    # marked invalid (NOT clipped onto an arbitrary row — GAT's h_dst and the
+    # loss mask both consume seed validity).  Exact bounds ⇒ both counts 0.
+    seed_rank = lookup[seeds]
+    seed_ok = dst_valid & (seed_rank < num_src_pad)
+    seed_in_src = jnp.where(seed_ok, jnp.maximum(seed_rank, 0), 0)
+    n_overflow = (
+        jnp.sum((keep & ~keep_fit).astype(jnp.int32))
+        + jnp.sum((dst_valid & ~seed_ok).astype(jnp.int32))
+    )
+    w = _edge_weights(keep_fit, nbr_local, num_src_pad, fanout, weight_kind,
+                      degree_mode, nbr_global, seeds, in_degree, out_degree)
     return SampledBlock(
         nbr=nbr_local,
         weight=w,
         srcs=srcs,
         seeds=seeds,
-        dst_valid=dst_valid,
+        dst_valid=seed_ok,
         src_valid=src_valid,
         seed_in_src=seed_in_src,
-    ), num_src
+    ), num_src, n_overflow
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fanouts", "src_pads", "weight_kind"),
+    static_argnames=("fanouts", "src_pads", "weight_kind", "degree_mode"),
 )
 def device_sample_batch(
     key: jax.Array,
@@ -178,6 +218,7 @@ def device_sample_batch(
     src_pads: Tuple[int, ...],
     weight_kind: WeightKind = WeightKind.GCN,
     omit_map: "jax.Array | None" = None,
+    degree_mode: str = "sampled",
 ) -> SampledBatch:
     """Sample an L-hop batch fully on device and gather its payload.
 
@@ -191,6 +232,7 @@ def device_sample_batch(
     cur_seeds, cur_valid = seeds, seed_valid
     num_vertices = indptr.shape[0] - 1
     bottom_identity = False
+    overflow = jnp.zeros((), jnp.int32)
     for h, f in enumerate(fanouts):
         key, sub = jax.random.split(key)
         last = h == len(fanouts) - 1
@@ -201,14 +243,15 @@ def device_sample_batch(
             and src_pads[h] == num_vertices
             and features.shape[0] == num_vertices
         )
-        blk, _ = _sample_hop(
+        blk, _, n_over = _sample_hop(
             sub, cur_seeds, cur_valid, indptr, indices, f, src_pads[h],
             weight_kind, in_degree, out_degree, identity_srcs=identity,
-            omit_map=omit_map if last else None,
+            omit_map=omit_map if last else None, degree_mode=degree_mode,
         )
         blocks.append(blk)
         cur_seeds, cur_valid = blk.srcs, blk.src_valid
         bottom_identity = identity
+        overflow = overflow + n_over
     blocks.reverse()
     cache_mask = cache_slot = None
     if omit_map is not None:
@@ -227,5 +270,5 @@ def device_sample_batch(
     y = labels[top.seeds].astype(jnp.int32)
     return SampledBatch(
         blocks=blocks, x0=x0, labels=y, label_valid=top.dst_valid,
-        cache_mask=cache_mask, cache_slot=cache_slot,
+        cache_mask=cache_mask, cache_slot=cache_slot, overflow=overflow,
     )

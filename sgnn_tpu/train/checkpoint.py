@@ -22,11 +22,47 @@ from ..utils.logging import get_logger
 log = get_logger("sgnn.ckpt")
 
 
+_M64 = (1 << 64) - 1
+
+
+def encode_np_rng(rng: np.random.Generator) -> np.ndarray:
+    """Serialize a PCG64 Generator's state as a fixed-shape [6] uint64 array.
+
+    Fixed shape (128-bit state/inc split hi/lo) so it round-trips through
+    both orbax StandardSave and the numpy fallback without shape drift.
+    """
+    st = rng.bit_generator.state
+    s, inc = st["state"]["state"], st["state"]["inc"]
+    return np.array(
+        [s >> 64, s & _M64, inc >> 64, inc & _M64,
+         st["has_uint32"], st["uinteger"]],
+        dtype=np.uint64,
+    )
+
+
+def decode_np_rng(rng: np.random.Generator, arr) -> None:
+    """Restore a Generator state saved by encode_np_rng (in place)."""
+    a = [int(x) for x in np.asarray(arr, dtype=np.uint64).ravel()]
+    st = rng.bit_generator.state
+    st["state"]["state"] = (a[0] << 64) | a[1]
+    st["state"]["inc"] = (a[2] << 64) | a[3]
+    st["has_uint32"], st["uinteger"] = int(a[4]), int(a[5])
+    rng.bit_generator.state = st
+
+
+def _state_owner(trainer):
+    """DP wrappers keep training state on `.base`; single-chip trainers own it."""
+    return getattr(trainer, "base", trainer)
+
+
 def _flatten_state(trainer) -> Dict[str, Any]:
+    owner = _state_owner(trainer)
+    if hasattr(owner, "checkpoint_state"):
+        return owner.checkpoint_state()
     return {
-        "params": trainer.params,
-        "opt_state": trainer.opt_state,
-        "dropout_key": trainer._dropout_key,
+        "params": owner.params,
+        "opt_state": owner.opt_state,
+        "dropout_key": owner._dropout_key,
     }
 
 
@@ -76,9 +112,13 @@ class CheckpointManager:
             step, restored = self._numpy_restore(step, trainer)
             if step is None:
                 return None
-        trainer.params = jax.tree.map(lambda x: x, restored["params"])
-        trainer.opt_state = restored["opt_state"]
-        trainer._dropout_key = restored["dropout_key"]
+        owner = _state_owner(trainer)
+        if hasattr(owner, "load_checkpoint_state"):
+            owner.load_checkpoint_state(restored)
+        else:
+            owner.params = jax.tree.map(lambda x: x, restored["params"])
+            owner.opt_state = restored["opt_state"]
+            owner._dropout_key = restored["dropout_key"]
         log.info("checkpoint restored: step %s", step)
         return step
 

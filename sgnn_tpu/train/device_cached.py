@@ -82,6 +82,7 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
         fanouts = tuple(self.cfg.fanout)
         src_pads = self.src_pads
         wk = self.weight_kind
+        dm = self.dev_degree_mode
         num_slots = self.cache.num_cached
         sb_steps = self.super_batch_steps
 
@@ -111,7 +112,7 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
                 batch = device_sample_batch(
                     sk, seeds, valid, indptr, indices, in_deg, out_deg,
                     features, labels, fanouts, src_pads, wk,
-                    omit_map=omit_map,
+                    omit_map=omit_map, degree_mode=dm,
                 )
 
                 def loss_fn(p):
@@ -194,3 +195,18 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
         return getattr(self, "cache_hits", 0) / max(
             getattr(self, "cache_lookups", 1), 1
         )
+
+    # ------------------------------------------------------------ checkpoint
+    def checkpoint_state(self):
+        st = super().checkpoint_state()
+        hidden = self.cfg.layer_sizes[1]
+        emb = self.cache.cache_emb
+        st["cache_emb"] = (
+            emb if emb is not None
+            else jnp.zeros((self.cache.num_cached, hidden), jnp.float32)
+        )
+        return st
+
+    def load_checkpoint_state(self, state) -> None:
+        super().load_checkpoint_state(state)
+        self.cache.cache_emb = state["cache_emb"]

@@ -44,13 +44,20 @@ class DeviceSampleTrainer(SampleTrainer):
         dataset: Dataset,
         family: str = "gcn",
         weight_kind: WeightKind = WeightKind.GCN,
-        degree_mode: str = "sampled",  # device sampling always sampled-degree
+        degree_mode: Optional[str] = None,  # None → cfg.up_degree decides
         bias_correction: bool = False,
         adj: Optional[Adjacency] = None,
     ) -> None:
+        # UP_DEGREE parity (GraphSegment.cpp:273, default false): global-
+        # degree weights come straight from the HBM degree tables — no
+        # per-batch sampled-degree histogram (UpdateDegree) at all, which
+        # deletes the costliest part of the sampling step.
+        if degree_mode is None:
+            degree_mode = "sampled" if cfg.up_degree else "global"
+        self.dev_degree_mode = degree_mode
         super().__init__(
             cfg, dataset, family=family, weight_kind=weight_kind,
-            degree_mode="sampled", bias_correction=bias_correction, adj=adj,
+            degree_mode=degree_mode, bias_correction=bias_correction, adj=adj,
             features_on_device=True,
         )
         v_pad = pad_to(self.adj.num_vertices, 128)
@@ -118,6 +125,7 @@ class DeviceSampleTrainer(SampleTrainer):
         fanouts = tuple(self.cfg.fanout)
         src_pads = self.src_pads
         wk = self.weight_kind
+        dm = self.dev_degree_mode
 
         @jax.jit
         def step(params, opt_state, seeds, seed_valid, skey, dkey,
@@ -125,6 +133,7 @@ class DeviceSampleTrainer(SampleTrainer):
             batch = device_sample_batch(
                 skey, seeds, seed_valid, indptr, indices, in_deg, out_deg,
                 features, labels, fanouts, src_pads, wk,
+                degree_mode=dm,
             )
 
             def loss_fn(p):
@@ -159,6 +168,7 @@ class DeviceSampleTrainer(SampleTrainer):
         fanouts = tuple(self.cfg.fanout)
         src_pads = self.src_pads
         wk = self.weight_kind
+        dm = self.dev_degree_mode
 
         @jax.jit
         def epoch(params, opt_state, seeds_all, valid_all, key,
@@ -170,6 +180,7 @@ class DeviceSampleTrainer(SampleTrainer):
                 batch = device_sample_batch(
                     sk, seeds, valid, indptr, indices, in_deg, out_deg,
                     features, labels, fanouts, src_pads, wk,
+                    degree_mode=dm,
                 )
 
                 def loss_fn(p):
@@ -205,6 +216,7 @@ class DeviceSampleTrainer(SampleTrainer):
         fanouts = tuple(self.cfg.fanout)
         src_pads = self.src_pads
         wk = self.weight_kind
+        dm = self.dev_degree_mode
 
         @jax.jit
         def evaluate(params, seeds, seed_valid, skey,
@@ -212,6 +224,7 @@ class DeviceSampleTrainer(SampleTrainer):
             batch = device_sample_batch(
                 skey, seeds, seed_valid, indptr, indices, in_deg, out_deg,
                 features, labels, fanouts, src_pads, wk,
+                degree_mode=dm,
             )
             logp = model_forward(params, family, batch, train=False)
             return masked_accuracy(logp, batch.labels, batch.label_valid)
@@ -224,6 +237,7 @@ class DeviceSampleTrainer(SampleTrainer):
         fanouts = tuple(self.cfg.fanout)
         src_pads = self.src_pads
         wk = self.weight_kind
+        dm = self.dev_degree_mode
 
         @jax.jit
         def eval_epoch(params, seeds_all, valid_all, key,
@@ -234,6 +248,7 @@ class DeviceSampleTrainer(SampleTrainer):
                 batch = device_sample_batch(
                     sk, seeds, valid, indptr, indices, in_deg, out_deg,
                     features, labels, fanouts, src_pads, wk,
+                    degree_mode=dm,
                 )
                 logp = model_forward(params, family, batch, train=False)
                 return key, masked_accuracy(
@@ -244,6 +259,16 @@ class DeviceSampleTrainer(SampleTrainer):
             return jnp.sum(accs, axis=0)
 
         return eval_epoch
+
+    # ------------------------------------------------------------ checkpoint
+    def checkpoint_state(self):
+        st = super().checkpoint_state()
+        st["sample_key"] = self._sample_key
+        return st
+
+    def load_checkpoint_state(self, state) -> None:
+        super().load_checkpoint_state(state)
+        self._sample_key = state["sample_key"]
 
     # --------------------------------------------------------------- loops
     def _seed_batches(self, nids: np.ndarray, shuffle: bool):

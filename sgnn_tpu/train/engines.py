@@ -7,10 +7,17 @@ cache on/off, device count — so every reference ALGORITHM string maps to a
 configuration, not a copy-pasted training loop.
 
 Placement semantics translation:
-  *SAMPLESINGLE / *_CPU_*  → single-chip, global-degree weights (CPU engines)
-  *SAMPLEGPU / *ALLGPU     → single-chip, sampled-degree weights (GPU engines)
+  *SAMPLESINGLE / *_CPU_*  → single-chip, bias-corrected Adam (CPU engines)
+  *SAMPLEGPU / *ALLGPU     → single-chip accelerated path
   *PDCACHE / *CACHE        → + hot-vertex embedding cache w/ bounded staleness
   *ALLMULTI / *PCMULTI     → + data-parallel over the device mesh
+
+Edge-weight degrees follow the UP_DEGREE cfg knob for EVERY engine, exactly
+as the reference does (GraphSegment.cpp:273 parses it defaulting to false;
+both CPU and GPU engines branch on graph->config->up_degree —
+GCN_CPU_SAMPLE.hpp:218, ntsFastSampler.hpp:691): false → "global" degrees
+straight from the full-graph tables, true → "sampled" degrees recomputed
+inside the sampled subgraph (UpdateDegree kernel parity).
 """
 
 from __future__ import annotations
@@ -28,7 +35,6 @@ class EngineSpec:
     name: str                   # reference ALGORITHM string
     family: str                 # gcn | sage | gat
     weight_kind: WeightKind
-    degree_mode: str            # global | sampled
     use_cache: bool = False     # NeutronOrch hot-vertex embedding cache
     cache_on_device: bool = True  # GS_SAMPLE_CACHE: refresh on accelerator
     multi_device: bool = False  # data-parallel over mesh
@@ -36,9 +42,8 @@ class EngineSpec:
     device_sampling: bool = False  # ALLGPU engines: sample on-accelerator
 
 
-def _spec(name, family, wk, degree_mode="sampled", **kw) -> EngineSpec:
-    return EngineSpec(name=name, family=family, weight_kind=wk,
-                      degree_mode=degree_mode, **kw)
+def _spec(name, family, wk, **kw) -> EngineSpec:
+    return EngineSpec(name=name, family=family, weight_kind=wk, **kw)
 
 
 # One entry per reference engine (toolkits/main.cpp:68-183).
@@ -46,9 +51,8 @@ ENGINES = {
     s.name: s
     for s in [
         # GCN family
-        _spec("GCNSAMPLESINGLE", "gcn", WeightKind.GCN, "global",
-              bias_correction=True),
-        _spec("GCNSAMPLEGPU", "gcn", WeightKind.GCN, "global"),
+        _spec("GCNSAMPLESINGLE", "gcn", WeightKind.GCN, bias_correction=True),
+        _spec("GCNSAMPLEGPU", "gcn", WeightKind.GCN),
         _spec("GCNSAMPLEALLGPU", "gcn", WeightKind.GCN, device_sampling=True),
         _spec("GCNSAMPLEPDCACHE", "gcn", WeightKind.GCN, use_cache=True,
               cache_on_device=False),
@@ -85,30 +89,38 @@ def engine_from_config(cfg: RunConfig) -> EngineSpec:
     return ENGINES[algo]
 
 
-def run_engine(cfg: RunConfig, dataset: Dataset, epochs: Optional[int] = None):
-    """Build + run the trainer an ALGORITHM string names (main.cpp parity)."""
-    from .trainer import SampleTrainer
+def resolve_degree_mode(cfg: RunConfig) -> str:
+    """UP_DEGREE → degree source for edge weights (GraphSegment.cpp:273)."""
+    return "sampled" if cfg.up_degree else "global"
 
+
+def build_trainer(cfg: RunConfig, dataset: Dataset):
+    """Construct (without running) the trainer an ALGORITHM string names.
+
+    Factored out of run_engine so checkpointing and tests can get the exact
+    trainer the engine spec requires (not a hardcoded SampleTrainer).
+    """
     spec = engine_from_config(cfg)
+    degree_mode = resolve_degree_mode(cfg)
     if spec.use_cache and spec.cache_on_device and not spec.multi_device:
         # GS_SAMPLE_CACHE: cache refreshed on the accelerator — fully-fused
         # device-sampled + in-scan cached trainer
         from .device_cached import DeviceCachedSampleTrainer
 
-        trainer = DeviceCachedSampleTrainer(
+        return DeviceCachedSampleTrainer(
             cfg, dataset,
             family=spec.family,
             weight_kind=spec.weight_kind,
             bias_correction=spec.bias_correction,
         )
-    elif spec.use_cache:
+    if spec.use_cache:
         from ..cache.orchestrator import CachedSampleTrainer
 
         trainer = CachedSampleTrainer(
             cfg, dataset,
             family=spec.family,
             weight_kind=spec.weight_kind,
-            degree_mode=spec.degree_mode,
+            degree_mode=degree_mode,
             bias_correction=spec.bias_correction,
         )
     elif spec.device_sampling:
@@ -118,23 +130,31 @@ def run_engine(cfg: RunConfig, dataset: Dataset, epochs: Optional[int] = None):
             cfg, dataset,
             family=spec.family,
             weight_kind=spec.weight_kind,
+            degree_mode=degree_mode,
             bias_correction=spec.bias_correction,
         )
         if spec.multi_device:
             from ..parallel.dp_device import DeviceDataParallelTrainer
 
             trainer = DeviceDataParallelTrainer(trainer)
-        return trainer.run(epochs=epochs)
+        return trainer
     else:
+        from .trainer import SampleTrainer
+
         trainer = SampleTrainer(
             cfg, dataset,
             family=spec.family,
             weight_kind=spec.weight_kind,
-            degree_mode=spec.degree_mode,
+            degree_mode=degree_mode,
             bias_correction=spec.bias_correction,
         )
     if spec.multi_device:
         from ..parallel.dp import DataParallelTrainer
 
         trainer = DataParallelTrainer(trainer)
-    return trainer.run(epochs=epochs)
+    return trainer
+
+
+def run_engine(cfg: RunConfig, dataset: Dataset, epochs: Optional[int] = None):
+    """Build + run the trainer an ALGORITHM string names (main.cpp parity)."""
+    return build_trainer(cfg, dataset).run(epochs=epochs)

@@ -239,9 +239,15 @@ class SampleTrainer:
         seed_list = list(self.sampler.epoch_seed_batches(nids, shuffle))
 
         def producer():
-            for seeds in seed_list:
-                q.put(self._make_batch(seeds))
-            q.put(None)
+            # a raised sampler error must still reach the consumer — without
+            # the sentinel/exception handoff q.get() would block forever
+            try:
+                for seeds in seed_list:
+                    q.put(self._make_batch(seeds))
+            except BaseException as exc:  # noqa: BLE001 — re-raised on main
+                q.put(exc)
+            else:
+                q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -249,8 +255,36 @@ class SampleTrainer:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()
+
+    # ------------------------------------------------------------ checkpoint
+    def checkpoint_state(self) -> Dict:
+        """Everything needed for bit-equivalent resume (train/checkpoint.py).
+
+        Beyond params/moments this captures the host sampler's RNG so a
+        resumed run draws the SAME neighbor samples an uninterrupted run
+        would (the reference has no checkpointing; SURVEY §5 designates it
+        an improvement)."""
+        from .checkpoint import encode_np_rng
+
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "dropout_key": self._dropout_key,
+            "host_rng": encode_np_rng(self.sampler.rng),
+        }
+
+    def load_checkpoint_state(self, state: Dict) -> None:
+        from .checkpoint import decode_np_rng
+
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self._dropout_key = state["dropout_key"]
+        decode_np_rng(self.sampler.rng, state["host_rng"])
 
     # ---------------------------------------------------------------- loops
     def _epoch_order(self, nids: np.ndarray) -> np.ndarray:

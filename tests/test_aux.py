@@ -97,3 +97,62 @@ def test_checkpoint_numpy_fallback(tmp_path, trainer):
     assert step == 1
     np.testing.assert_allclose(np.asarray(trainer.params.weights[0]), w0,
                                rtol=1e-6)
+
+
+# ------------------------------------------------- resume equivalence ----
+def _resume_equivalence(make_trainer, tmp_path):
+    """Resume-vs-uninterrupted bit-equivalence: train 2 epochs, checkpoint,
+    train 2 more; a fresh trainer restored from the checkpoint and trained
+    2 epochs must land on identical params (requires sampler RNG + dropout
+    + cache state in the checkpoint, not just params/moments)."""
+    import jax
+
+    from sgnn_tpu.train.checkpoint import CheckpointManager
+
+    a = make_trainer()
+    a.train_epoch()
+    a.train_epoch()
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(1, a)
+    a.train_epoch()
+    a.train_epoch()
+
+    b = make_trainer()
+    assert mgr.restore(b) == 1
+    b.train_epoch()
+    b.train_epoch()
+    la = jax.tree.leaves(a.params)
+    lb = jax.tree.leaves(b.params)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=0, atol=0
+        )
+
+
+def test_resume_equivalence_device_engine(tmp_path, tiny_ds):
+    """GCNSAMPLEALLGPU (device-sampled engine) resumes bit-equivalently."""
+    from sgnn_tpu.train.engines import build_trainer
+
+    def make():
+        cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[4, 3],
+                        batch_size=64, epochs=4, drop_rate=0.3,
+                        vertices=tiny_ds.num_vertices,
+                        algorithm="GCNSAMPLEALLGPU")
+        return build_trainer(cfg, tiny_ds)
+
+    _resume_equivalence(make, tmp_path)
+
+
+def test_resume_equivalence_cached_engine(tmp_path, tiny_ds):
+    """GCNSAMPLEPDCACHE (hot-vertex cache engine) resumes bit-equivalently
+    including the cache array and staleness-queue version."""
+    from sgnn_tpu.train.engines import build_trainer
+
+    def make():
+        cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[4, 3],
+                        batch_size=64, epochs=4, drop_rate=0.3,
+                        vertices=tiny_ds.num_vertices,
+                        algorithm="GCNSAMPLEPDCACHE", cache_rate=0.1)
+        return build_trainer(cfg, tiny_ds)
+
+    _resume_equivalence(make, tmp_path)

@@ -315,3 +315,86 @@ def test_sampling_uniformity_host(adj):
     # every position within 4x of expectation and none starved
     assert counts.min() > 0, counts
     assert counts.max() < expect * 4, (counts, expect)
+
+
+def test_device_sampler_global_degree_weights(adj, tiny_ds):
+    """degree_mode='global' (UP_DEGREE=0, GraphSegment.cpp:273): every edge
+    weight comes straight from the full-graph degree tables — verify exact
+    values for GCN and MEAN kinds (get_weight/get_mean_weight kernel parity,
+    cuda/ntsCUDATransferKernel.cuh:293-343)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgnn_tpu.sampler.blocks import pad_to
+    from sgnn_tpu.sampler.device import device_sample_batch
+
+    indptr = jnp.asarray(adj.indptr)
+    indices = jnp.asarray(adj.indices)
+    seeds = jnp.arange(32, dtype=jnp.int32)
+    valid = jnp.ones(32, bool)
+    fanouts = (4, 3)
+    src_pads = (pad_to(32 * 5, 128), pad_to(32 * 5 * 4, 128))
+    for wk in (WeightKind.GCN, WeightKind.MEAN):
+        batch = device_sample_batch(
+            jax.random.PRNGKey(3), seeds, valid, indptr, indices,
+            jnp.asarray(adj.in_degree), jnp.asarray(adj.out_degree),
+            jnp.asarray(tiny_ds.features), jnp.asarray(tiny_ds.labels),
+            fanouts, src_pads, wk, degree_mode="global",
+        )
+        assert int(np.asarray(batch.overflow)) == 0
+        for b in batch.blocks:
+            w = np.asarray(b.weight)
+            srcs = np.asarray(b.srcs)
+            nbr = np.asarray(b.nbr)
+            seeds_np = np.asarray(b.seeds)
+            ndst = int(np.asarray(b.dst_valid).sum())
+            for d in range(min(ndst, 16)):
+                idg = max(adj.in_degree[seeds_np[d]], 1)
+                for k in np.nonzero(w[d])[0]:
+                    od = max(adj.out_degree[srcs[nbr[d, k]]], 1)
+                    exp = 1.0 / (np.sqrt(od) * np.sqrt(idg))
+                    if wk == WeightKind.MEAN:
+                        exp = exp / idg
+                    np.testing.assert_allclose(w[d, k], exp, rtol=1e-5)
+
+
+def test_device_sampler_overflow_counter(adj, tiny_ds):
+    """src_pad_factor-style under-sized pads: overflow is COUNTED (not
+    silent), overflowed seeds are marked invalid, and surviving seed_in_src
+    entries still point at their own seed's row."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgnn_tpu.sampler.device import device_sample_batch
+
+    indptr = jnp.asarray(adj.indptr)
+    indices = jnp.asarray(adj.indices)
+    seeds = jnp.arange(128, dtype=jnp.int32)
+    valid = jnp.ones(128, bool)
+    # hop-0 src pad of 128 cannot hold 128 seeds + their sampled neighbors
+    src_pads = (128, 256)
+    batch = device_sample_batch(
+        jax.random.PRNGKey(0), seeds, valid, indptr, indices,
+        jnp.asarray(adj.in_degree), jnp.asarray(adj.out_degree),
+        jnp.asarray(tiny_ds.features), jnp.asarray(tiny_ds.labels),
+        (4, 3), src_pads, WeightKind.GCN,
+    )
+    assert int(np.asarray(batch.overflow)) > 0
+    for b in batch.blocks:
+        srcs = np.asarray(b.srcs)
+        sis = np.asarray(b.seed_in_src)
+        seeds_np = np.asarray(b.seeds)
+        dv = np.asarray(b.dst_valid)
+        for d in np.nonzero(dv)[0][:32]:
+            assert srcs[sis[d]] == seeds_np[d]
+    # exact pads on the same draw → zero overflow
+    from sgnn_tpu.sampler.blocks import pad_to
+
+    exact = (pad_to(128 * 5, 128), pad_to(128 * 5 * 4, 128))
+    b2 = device_sample_batch(
+        jax.random.PRNGKey(0), seeds, valid, indptr, indices,
+        jnp.asarray(adj.in_degree), jnp.asarray(adj.out_degree),
+        jnp.asarray(tiny_ds.features), jnp.asarray(tiny_ds.labels),
+        (4, 3), exact, WeightKind.GCN,
+    )
+    assert int(np.asarray(b2.overflow)) == 0

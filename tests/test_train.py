@@ -207,3 +207,21 @@ def test_device_dp_trainer_cora(cora):
     r = run_engine(cfg, cora)
     assert r.val_acc[-1] > 0.70, r.val_acc
     assert r.losses[-1] < r.losses[0] * 0.7
+
+
+def test_sampler_error_reaches_consumer(tiny_ds):
+    """A producer-thread exception must surface on the main thread (not
+    deadlock the q.get consumer)."""
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.train.trainer import SampleTrainer
+
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=64,
+                    epochs=1, drop_rate=0.0, vertices=tiny_ds.num_vertices)
+    tr = SampleTrainer(cfg, tiny_ds, family="gcn")
+
+    def boom(seeds):
+        raise RuntimeError("src overflow: injected")
+
+    tr._make_batch = boom
+    with pytest.raises(RuntimeError, match="src overflow"):
+        tr.train_epoch()
