@@ -32,9 +32,13 @@ class FeatureCache:
     dev_hot: jax.Array         # [C, F] cached feature rows (device)
     hits: int = 0
     misses: int = 0
+    bytes_shipped: int = 0   # cold-row bytes actually sent host→device
+    bytes_full: int = 0      # what full-matrix shipping would have sent
 
     @staticmethod
-    def build(features: np.ndarray, hot_ids: np.ndarray) -> "FeatureCache":
+    def build(
+        features: np.ndarray, hot_ids: np.ndarray, dtype=None
+    ) -> "FeatureCache":
         v = features.shape[0]
         slot_map = np.full(v, -1, dtype=np.int32)
         slot_map[hot_ids] = np.arange(hot_ids.size, dtype=np.int32)
@@ -42,7 +46,7 @@ class FeatureCache:
             hot_ids=hot_ids.astype(np.int32),
             slot_map=slot_map,
             dev_slot_map=jnp.asarray(slot_map),
-            dev_hot=jnp.asarray(features[hot_ids]),
+            dev_hot=jnp.asarray(features[hot_ids], dtype=dtype),
         )
 
     # ------------------------------------------------------------------
@@ -74,7 +78,80 @@ class FeatureCache:
         use_hot = (slots >= 0) & src_valid
         return jnp.where(use_hot[:, None], hot_rows, x0_cold)
 
+    # ----------------------------------------------- compacted cold path
+    def gather_cold_compact(
+        self, features: np.ndarray, srcs: np.ndarray, src_valid: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Gather cache-miss rows into a COMPACT bucketed buffer.
+
+        Returns (x0_cold [P, F], cold_pos [P] int32) with P the smallest
+        power-of-two multiple of 128 ≥ the miss count — so only O(log S)
+        distinct XLA programs compile, and host→device feature traffic
+        shrinks by the hit rate (reference ships only uncached rows too:
+        load_feature_gpu_cache, ntsFastSampler.hpp:263).  Padding entries of
+        cold_pos point one past the src axis (scatter mode='drop').
+        """
+        slots = self.slot_map[np.maximum(srcs, 0)]
+        cold = (slots < 0) & src_valid
+        pos = np.nonzero(cold)[0].astype(np.int32)
+        nvalid = int(src_valid.sum())
+        self.misses += pos.size
+        self.hits += nvalid - pos.size
+        pad = _cold_bucket(pos.size, srcs.shape[0])
+        x0 = np.zeros((pad, features.shape[1]), features.dtype)
+        x0[: pos.size] = features[srcs[pos]]
+        cold_pos = np.full(pad, srcs.shape[0], np.int32)  # pad → dropped
+        cold_pos[: pos.size] = pos
+        self.bytes_shipped += x0.nbytes
+        self.bytes_full += srcs.shape[0] * features.shape[1] * features.itemsize
+        return x0, cold_pos
+
     @property
     def hit_rate(self) -> float:
         tot = self.hits + self.misses
         return self.hits / tot if tot else 0.0
+
+
+def _cold_bucket(n: int, cap: int) -> int:
+    """Smallest power-of-two multiple of 128 ≥ n, clamped to ≥128 and ≤cap."""
+    b = 128
+    while b < n:
+        b *= 2
+    return min(max(b, 128), max(cap, 128))
+
+
+def hbm_feature_capacity(
+    feature_dim: int,
+    itemsize: int,
+    budget_bytes: "int | None" = None,
+    headroom_fraction: float = 0.5,
+) -> int:
+    """How many feature rows fit in free device memory.
+
+    Reference determine_cache_node_idx (GCN_SAMPLE_PD_CACHE.hpp:1039-1077):
+    probe idle GPU memory during warmup, cache_node_num = free/row_bytes.
+    Here: device.memory_stats() when the backend exposes it (TPU does),
+    else a caller-forced `budget_bytes` (tests / CPU backend).  Only
+    `headroom_fraction` of free memory is offered — activations, the graph,
+    and XLA scratch share the same HBM.
+    """
+    if budget_bytes is None:
+        from ..utils.profiling import device_memory_stats
+
+        stats = device_memory_stats()
+        if stats and stats.get("bytes_limit"):
+            free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
+            budget_bytes = int(free * headroom_fraction)
+        else:  # backend exposes no stats and no forced budget: be generous
+            budget_bytes = 1 << 30
+    return max(int(budget_bytes) // max(feature_dim * itemsize, 1), 0)
+
+
+def degree_ranked_hot_ids(adj, max_rows: int) -> np.ndarray:
+    """Highest-degree vertices first (reference cache_high_degree,
+    GCN_SAMPLE_PD_CACHE.hpp:1026-1037 sorts by out_degree_for_backward)."""
+    max_rows = int(min(max_rows, adj.num_vertices))
+    if max_rows <= 0:
+        return np.zeros(0, np.int32)
+    order = np.argsort(-adj.out_degree.astype(np.int64), kind="stable")
+    return np.sort(order[:max_rows].astype(np.int32))

@@ -101,6 +101,12 @@ class SampledBatch:
     # 0 with exact bounds).  Surfaced so overflow is visible at runtime
     # instead of silently under-sampling.
     overflow: Optional[jax.Array] = None     # int32 scalar
+    # Partial-HBM feature cache mode (cache/feature_cache.py): x0 holds a
+    # COMPACTED [num_cold_pad, F] buffer of only the cache-MISS rows;
+    # cold_pos[i] is each row's position on the bottom src axis (padding
+    # entries point one past the end and are scatter-dropped).  The step
+    # program scatters x0 out and overlays HBM-cached hot rows.
+    cold_pos: Optional[jax.Array] = None     # int32 [num_cold_pad]
 
     @property
     def num_layers(self) -> int:

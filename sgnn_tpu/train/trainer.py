@@ -89,6 +89,7 @@ class SampleTrainer:
         bias_correction: bool = False,
         adj: Optional[Adjacency] = None,
         features_on_device: Optional[bool] = None,
+        hbm_budget_bytes: Optional[int] = None,
     ) -> None:
         if len(cfg.fanout) != len(cfg.layer_sizes) - 1:
             raise ValueError(
@@ -144,6 +145,33 @@ class SampleTrainer:
         else:
             self.dev_features = None
             self.dev_labels = None
+        # Partial-HBM feature cache: when the matrix does NOT fit on device,
+        # stage the hottest (highest-degree) FEATURE_CACHE_RATE rows in HBM,
+        # sized by a free-memory probe, and ship only cache-miss rows per
+        # batch (reference load_feature_gpu_cache ntsFastSampler.hpp:263 +
+        # determine_cache_node_idx GCN_SAMPLE_PD_CACHE.hpp:1039).
+        self.feat_cache = None
+        if not features_on_device and cfg.feature_cache_rate > 0:
+            from ..cache.feature_cache import (
+                FeatureCache, degree_ranked_hot_ids, hbm_feature_capacity,
+            )
+
+            cap = hbm_feature_capacity(
+                dataset.features.shape[1],
+                jnp.dtype(self.compute_dtype).itemsize,
+                budget_bytes=hbm_budget_bytes,
+            )
+            rows = min(int(cfg.feature_cache_rate * dataset.num_vertices), cap)
+            hot = degree_ranked_hot_ids(self.adj, rows)
+            self.feat_cache = FeatureCache.build(
+                dataset.features, hot, dtype=self.compute_dtype
+            )
+            log.info(
+                "feature cache: %d/%d rows (%.1f%%) staged in HBM "
+                "(capacity probe allowed %d)",
+                hot.size, dataset.num_vertices,
+                100.0 * hot.size / max(dataset.num_vertices, 1), cap,
+            )
         key = jax.random.PRNGKey(cfg.seed)
         self.params = init_model(key, family, cfg.layer_sizes)
         self.optimizer = ReferenceAdam(
@@ -160,8 +188,26 @@ class SampleTrainer:
         self._eval_fn = self._build_eval()
 
     # ------------------------------------------------------------- programs
-    def _materialize(self, batch: SampledBatch, features, labels) -> SampledBatch:
+    def _materialize(
+        self, batch: SampledBatch, features, labels,
+        cache_rows=None, slot_map=None,
+    ) -> SampledBatch:
         """In device mode, gather x0/labels in-program from src/seed ids."""
+        if cache_rows is not None:
+            # feature-cache mode: batch.x0 is the compacted cold buffer —
+            # scatter it onto the src axis (padding scatter-dropped), then
+            # overlay HBM-cached hot rows
+            b0 = batch.blocks[0]
+            s = b0.srcs.shape[0]
+            x0 = jnp.zeros((s, cache_rows.shape[1]), cache_rows.dtype)
+            x0 = x0.at[batch.cold_pos].set(
+                batch.x0.astype(cache_rows.dtype), mode="drop"
+            )
+            slots = slot_map[b0.srcs]
+            hot = cache_rows[jnp.maximum(slots, 0)]
+            use_hot = (slots >= 0) & b0.src_valid
+            x0 = jnp.where(use_hot[:, None], hot, x0)
+            return dataclasses.replace(batch, x0=x0, cold_pos=None)
         if not self.features_on_device:
             return batch
         b0, top = batch.blocks[0], batch.blocks[-1]
@@ -177,8 +223,10 @@ class SampleTrainer:
 
         @jax.jit
         def step(params: GNNParams, opt_state: AdamState, batch: SampledBatch,
-                 key: jax.Array, features, labels):
-            batch_m = self._materialize(batch, features, labels)
+                 key: jax.Array, features, labels, cache_rows=None,
+                 slot_map=None):
+            batch_m = self._materialize(batch, features, labels,
+                                        cache_rows, slot_map)
 
             def loss_fn(p):
                 logp = model_forward(
@@ -202,15 +250,25 @@ class SampleTrainer:
         family = self.family
 
         @jax.jit
-        def evaluate(params: GNNParams, batch: SampledBatch, features, labels):
-            batch_m = self._materialize(batch, features, labels)
+        def evaluate(params: GNNParams, batch: SampledBatch, features, labels,
+                     cache_rows=None, slot_map=None):
+            batch_m = self._materialize(batch, features, labels,
+                                        cache_rows, slot_map)
             logp = model_forward(params, family, batch_m, train=False)
             return masked_accuracy(logp, batch_m.labels, batch_m.label_valid)
 
         return evaluate
 
+    def _cache_args(self):
+        """Extra step args in feature-cache mode (passed, not closed over —
+        closing over big arrays bakes them into the HLO)."""
+        if self.feat_cache is None:
+            return ()
+        return (self.feat_cache.dev_hot, self.feat_cache.dev_slot_map)
+
     # ------------------------------------------------------------- batching
     def _make_batch(self, seeds: np.ndarray) -> Tuple[SampledBatch, int]:
+        cold_pos = None
         with self.timers.phase("sample"):
             hb = self.sampler.sample(seeds)
             if self.features_on_device:
@@ -219,12 +277,26 @@ class SampleTrainer:
                 x0 = np.zeros((1, 1), np.float32)
                 y = np.zeros((top.seeds.shape[0],), np.int32)
                 yv = top.dst_valid
+            elif self.feat_cache is not None:
+                # ship ONLY cache-miss feature rows (compacted)
+                b0, top = hb.blocks[0], hb.blocks[-1]
+                x0, cold_pos = self.feat_cache.gather_cold_compact(
+                    self.dataset.features, b0.srcs, b0.src_valid
+                )
+                y = self.dataset.labels[np.maximum(top.seeds, 0)].astype(
+                    np.int32
+                )
+                yv = top.dst_valid
             else:
                 x0, y, yv = hb.payload(
                     self.dataset.features, self.dataset.labels
                 )
         with self.timers.phase("transfer"):
             batch = host_batch_to_device(hb, x0, y, yv)
+            if cold_pos is not None:
+                batch = dataclasses.replace(
+                    batch, cold_pos=jnp.asarray(cold_pos)
+                )
         return batch, hb.num_valid_edges()
 
     def _batch_stream(self, nids: np.ndarray, shuffle: bool):
@@ -307,6 +379,7 @@ class SampleTrainer:
                 self.params, self.opt_state, loss, acc = self._step_fn(
                     self.params, self.opt_state, batch, sub,
                     self.dev_features, self.dev_labels,
+                    *self._cache_args(),
                 )
             # device-array accumulation — one host sync per epoch keeps
             # async dispatch pipelining host sampling with device compute
@@ -324,7 +397,8 @@ class SampleTrainer:
         for batch, _ in self._batch_stream(nids, shuffle=False):
             with self.timers.phase("eval_step"):
                 acc = self._eval_fn(
-                    self.params, batch, self.dev_features, self.dev_labels
+                    self.params, batch, self.dev_features, self.dev_labels,
+                    *self._cache_args(),
                 )
             corrects += int(acc[0])
             totals += int(acc[1])
@@ -356,5 +430,13 @@ class SampleTrainer:
             log.info(
                 "epoch %d: loss %.5f train %.4f val %.4f test %.4f time %.3fs edges %d",
                 ep, loss, tr_acc, va, te, dt, edges,
+            )
+        if self.feat_cache is not None:
+            fc = self.feat_cache
+            log.info(
+                "feature cache: hit rate %.3f, shipped %.1f MiB cold rows "
+                "(full gather would be %.1f MiB)",
+                fc.hit_rate, fc.bytes_shipped / (1 << 20),
+                fc.bytes_full / (1 << 20),
             )
         return report
