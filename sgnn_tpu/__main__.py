@@ -26,6 +26,13 @@ def main(argv=None) -> int:
                          "--checkpoint-dir")
     ap.add_argument("--algorithm", default=None,
                     help="override the cfg ALGORITHM string")
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host: coordinator host:port for "
+                         "jax.distributed (launch one process per host "
+                         "with --nprocs/--pid; reference MPI bootstrap, "
+                         "dep/gemini/mpi.hpp:51)")
+    ap.add_argument("--nprocs", type=int, default=None)
+    ap.add_argument("--pid", type=int, default=None)
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -54,6 +61,20 @@ def main(argv=None) -> int:
     ds = load_from_config(cfg)
     log.info("dataset: %s — %d vertices, %d edges", ds.name, ds.num_vertices,
              ds.num_edges)
+    if args.coordinator:
+        # multi-host data-parallel: every device of every joined process
+        from sgnn_tpu.parallel.multihost import (
+            initialize_distributed, run_multihost_dp_epochs,
+        )
+        from sgnn_tpu.train.engines import engine_from_config
+
+        initialize_distributed(args.coordinator, args.nprocs, args.pid)
+        spec = engine_from_config(cfg)
+        losses = run_multihost_dp_epochs(
+            cfg, ds, epochs=cfg.epochs, family=spec.family
+        )
+        log.info("multihost final loss: %.5f", losses[-1])
+        return 0
     if args.checkpoint_dir:
         # checkpointed path: build the engine's trainer, run with per-epoch
         # saves and optional resume (reference has no checkpointing at all)

@@ -16,6 +16,7 @@ import os
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
@@ -54,6 +55,146 @@ def initialize_distributed(
 def _env_int(name: str) -> Optional[int]:
     v = os.environ.get(name)
     return int(v) if v else None
+
+
+def make_multihost_dp_step(family, drop_rate, optimizer, mesh: Mesh,
+                           materialize=None):
+    """DP train step over a (possibly multi-process) global mesh.
+
+    Like dp.make_dp_step (per-device grads → psum SUM → replicated Adam,
+    reference Parameter::all_reduce_to_gradient NtsScheduler.hpp:825 over
+    MPI), but loss/acc come back mesh-REPLICATED so every process can read
+    them without cross-process gathers.
+    """
+    import functools
+
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..models.gnn import model_forward
+    from ..nn.functional import masked_accuracy, nll_loss_masked
+
+    def local_loss(params, batch, key, features, labels):
+        if materialize is not None:
+            batch = materialize(batch, features, labels)
+
+        def loss_fn(p):
+            logp = model_forward(p, family, batch, drop_rate=drop_rate,
+                                 train=True, dropout_key=key)
+            return nll_loss_masked(logp, batch.labels, batch.label_valid), logp
+
+        (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        acc = masked_accuracy(logp, batch.labels, batch.label_valid)
+        return loss, grads, acc
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+    )
+    def dp_step(params, opt_state, batch, key, features, labels):
+        local_batch = jax.tree.map(lambda x: x[0], batch)
+        loss, grads, acc = local_loss(params, local_batch, key[0],
+                                      features, labels)
+        grads = jax.lax.psum(grads, "data")      # SUM parity w/ MPI_Allreduce
+        new_params, new_opt = optimizer.update(grads, opt_state, params)
+        return (new_params, new_opt, jax.lax.pmean(loss, "data"),
+                jax.lax.psum(acc, "data"))
+
+    return jax.jit(dp_step)
+
+
+def run_multihost_dp_epochs(cfg, dataset, epochs: int = 1,
+                            family: str = "gcn"):
+    """Data-parallel training over EVERY device of EVERY joined process.
+
+    Call after initialize_distributed().  Each process host-samples only the
+    seed shards its own devices own (per-rank split, reference per-rank
+    partitioning graph.hpp:391 + GCN_SAMPLE_ALL_MULTI.hpp:564) and
+    contributes them to one global [n_global, ...] batch; gradients
+    psum-reduce across the whole mesh (DCN between hosts, ICI within).
+    Sampling RNG is keyed by (seed, epoch, step, global_device) so the math
+    is IDENTICAL for any process layout over the same global device count —
+    a 2-process run matches a single-process run loss-for-loss (tested in
+    tests/test_multihost.py).
+
+    Returns the per-epoch mean losses (same values on every process).
+    """
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from ..train.trainer import SampleTrainer
+    from .dp import stack_batches
+
+    base = SampleTrainer(cfg, dataset, family=family)
+    mesh = global_mesh(graph=1)
+    n_global = int(np.prod(mesh.devices.shape))
+    pid = jax.process_index()
+    local_ids = [
+        g for g, d in enumerate(mesh.devices.reshape(-1))
+        if d.process_index == pid
+    ]
+
+    def to_global(tree, spec):
+        return multihost_utils.host_local_array_to_global_array(
+            tree, mesh, spec
+        )
+
+    step_fn = make_multihost_dp_step(
+        base.family, cfg.drop_rate, base.optimizer, mesh,
+        materialize=base._materialize,
+    )
+    params_g = to_global(base.params, P())
+    opt_g = to_global(base.opt_state, P())
+    feats_g = to_global(base.dev_features, P())
+    labels_g = to_global(base.dev_labels, P())
+
+    import dataclasses as _dc
+
+    bs = cfg.batch_size
+    epoch_losses = []
+    for ep in range(epochs):
+        order = np.random.default_rng(
+            (cfg.seed, 11, ep)
+        ).permutation(base.train_nids).astype(np.int32)
+        shards = np.array_split(order, n_global)
+        n_steps = max((len(s) + bs - 1) // bs for s in shards)
+        losses = []
+        for st in range(n_steps):
+            per_local = []
+            for g in local_ids:
+                seeds = shards[g][st * bs:(st + 1) * bs]
+                dummy = seeds.size == 0
+                if dummy:
+                    seeds = np.zeros(1, dtype=np.int32)
+                # per-(epoch, step, device) RNG stream: process-layout
+                # independent determinism
+                base.sampler.rng = np.random.default_rng(
+                    (cfg.seed, 13, ep, st, g)
+                )
+                batch, _ = base._make_batch(seeds)
+                if dummy:
+                    batch = _dc.replace(
+                        batch, label_valid=jnp.zeros_like(batch.label_valid)
+                    )
+                per_local.append(batch)
+            batch_g = to_global(stack_batches(per_local), P("data"))
+            dkey = jax.random.fold_in(
+                jax.random.PRNGKey(cfg.seed + 1), ep * 100003 + st
+            )
+            keys = jax.random.split(dkey, n_global)
+            keys_local = keys[np.asarray(local_ids)]
+            keys_g = to_global(keys_local, P("data"))
+            params_g, opt_g, loss, _acc = step_fn(
+                params_g, opt_g, batch_g, keys_g, feats_g, labels_g
+            )
+            # loss is fully replicated: read this process's shard
+            losses.append(float(np.asarray(loss.addressable_shards[0].data)))
+        epoch_losses.append(float(np.mean(losses)))
+        log.info("multihost dp epoch %d (%d proc, %d dev): loss %.6f",
+                 ep, jax.process_count(), n_global, epoch_losses[-1])
+    return epoch_losses
 
 
 def global_mesh(data: Optional[int] = None, graph: int = 1) -> Mesh:

@@ -1,0 +1,80 @@
+"""Multi-host execution, actually driven: 2 jax.distributed CPU processes.
+
+Reference capability: MPI bootstrap (dep/gemini/mpi.hpp:51) + per-rank
+seed-space split + MPI_Allreduce gradient sum
+(Parameter::all_reduce_to_gradient, NtsScheduler.hpp:825).  Here the same
+topology is two OS processes joined by jax.distributed with 2 virtual CPU
+devices each; run_multihost_dp_epochs keys sampling RNG by global device so
+the 2-process trajectory must equal the 1-process (4-device) trajectory.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_mh_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env() -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # drop any inherited forced-device-count / distributed leftovers
+    env.pop("XLA_FLAGS", None)
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+              "JAX_PROCESS_ID"):
+        env.pop(k, None)
+    return env
+
+
+def _launch(nprocs, pid, port, local_devices, out, epochs=2):
+    return subprocess.Popen(
+        [sys.executable, _WORKER, "--nprocs", str(nprocs), "--pid", str(pid),
+         "--port", str(port), "--local-devices", str(local_devices),
+         "--epochs", str(epochs), "--out", out],
+        env=_worker_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+
+
+def _wait(proc, timeout=420):
+    try:
+        out, _ = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, _ = proc.communicate()
+        pytest.fail(f"worker timed out; output:\n{out.decode()[-3000:]}")
+    assert proc.returncode == 0, out.decode()[-3000:]
+    return out
+
+
+def test_two_process_dp_matches_single_process(tmp_path):
+    # single-process reference: 1 process × 4 virtual devices
+    ref_out = str(tmp_path / "ref.json")
+    _wait(_launch(1, 0, _free_port(), 4, ref_out))
+    ref = json.load(open(ref_out))
+
+    # the real thing: 2 jax.distributed processes × 2 devices each
+    port = _free_port()
+    mh_out = str(tmp_path / "mh.json")
+    p0 = _launch(2, 0, port, 2, mh_out)
+    p1 = _launch(2, 1, port, 2, str(tmp_path / "unused.json"))
+    _wait(p0)
+    _wait(p1)
+    mh = json.load(open(mh_out))
+
+    assert len(ref) == len(mh) == 2
+    np.testing.assert_allclose(mh, ref, rtol=1e-5)
+    # and it actually learned
+    assert mh[-1] < mh[0]
