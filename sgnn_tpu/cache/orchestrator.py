@@ -19,6 +19,7 @@ the refresh with the host's sampling of the next batches.
 
 from __future__ import annotations
 
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -68,6 +69,7 @@ class CachedSampleTrainer(SampleTrainer):
         self.w_queue = StalenessQueue()
         self.cache_hits = 0
         self.cache_lookups = 0
+        self._counter_lock = threading.Lock()
         self._cache_active = False  # toggled on for training batches only
         log.info(
             "PD-cache: %d hot vertices (%.1f%%), %d hot-set edges",
@@ -110,16 +112,19 @@ class CachedSampleTrainer(SampleTrainer):
         return step
 
     # ------------------------------------------------------------- batching
-    def _make_batch(self, seeds: np.ndarray):
+    def _make_batch(self, seeds: np.ndarray, sampler=None):
         if not self._cache_active:
-            return super()._make_batch(seeds)
+            return super()._make_batch(seeds, sampler=sampler)
         with self.timers.phase("sample"):
-            hb = self.sampler.sample(seeds, omit_map=self.cache.cache_map_host)
+            hb = (sampler or self.sampler).sample(
+                seeds, omit_map=self.cache.cache_map_host
+            )
             b0 = hb.blocks[0]
             slots = self.cache.cache_map_host[np.maximum(b0.seeds, 0)]
             mask = (slots >= 0) & b0.dst_valid
-            self.cache_hits += int(mask.sum())
-            self.cache_lookups += int(b0.dst_valid.sum())
+            with self._counter_lock:
+                self.cache_hits += int(mask.sum())
+                self.cache_lookups += int(b0.dst_valid.sum())
             top = hb.blocks[-1]
             x0 = np.zeros((1, 1), np.float32)
             y = np.zeros((top.seeds.shape[0],), np.int32)

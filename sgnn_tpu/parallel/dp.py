@@ -92,6 +92,7 @@ class DataParallelTrainer:
 
     def __init__(self, base, mesh: Optional[Mesh] = None) -> None:
         from .mesh import make_mesh
+        from ..sampler.host import HostSampler
 
         self.base = base
         self.mesh = mesh if mesh is not None else make_mesh(graph=1)
@@ -99,6 +100,26 @@ class DataParallelTrainer:
         self.timers = base.timers
         # PC_MULTI composition: base may be a CachedSampleTrainer
         self.cached = hasattr(base, "cache")
+        # One sampler STREAM per device (reference: one FastSampler per GPU,
+        # GCN_SAMPLE_ALL_MULTI.hpp:564-575) — independent RNG per device so
+        # worker threads sample concurrently (the native C++ sampler and
+        # large numpy ops release the GIL).
+        s0 = base.sampler
+        # Per-device batch = the shard chunk each device actually trains on
+        # (≤ cfg.batch_size) — padding every device to the full batch size
+        # multiplies padded compute by n_dev at small scales for nothing.
+        shard = -(-len(base.train_nids) // self.n_dev)  # ceil
+        self.dev_batch = max(1, min(base.cfg.batch_size, shard))
+        self.samplers = [
+            HostSampler(
+                base.adj, fanouts=base.cfg.fanout,
+                batch_size=self.dev_batch, weight_kind=s0.weight_kind,
+                degree_mode=s0.degree_mode, pad_multiple=s0.pad_multiple,
+                exact=s0.exact, seed=base.cfg.seed + 101 * d + 1,
+                use_native=s0.use_native,
+            )
+            for d in range(self.n_dev)
+        ]
         self._dp_step = make_dp_step(
             base.family, base.cfg.drop_rate, base.optimizer, self.mesh,
             materialize=base._materialize,
@@ -106,34 +127,53 @@ class DataParallelTrainer:
 
     # ------------------------------------------------------------------
     def _device_batches(self, nids: np.ndarray, shuffle: bool):
-        """Yield stacked [n_dev, ...] batches, one sampler pass per device."""
+        """Yield stacked [n_dev, ...] batches, sampled CONCURRENTLY.
+
+        Per-device sampler streams run on a thread pool, and step t+1's
+        sampling is submitted before step t is yielded — so all device
+        shards sample in parallel AND sampling overlaps the consumer's
+        device step (the reference's per-GPU sampler threads + pipelined
+        streams, GCN_SAMPLE_ALL_MULTI.hpp:564-620)."""
+        import dataclasses as _dc
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
         base = self.base
-        rng = base.sampler.rng
         nids = np.asarray(nids, dtype=np.int32)
         if shuffle:
-            nids = rng.permutation(nids)
+            nids = base.sampler.rng.permutation(nids)
         shards = np.array_split(nids, self.n_dev)
         bs = base.cfg.batch_size
         n_steps = max((len(s) + bs - 1) // bs for s in shards)
-        for step in range(n_steps):
-            per_dev = []
-            edges = 0
-            for d in range(self.n_dev):
-                seeds = shards[d][step * bs:(step + 1) * bs]
-                dummy = seeds.size == 0
-                if dummy:
-                    seeds = np.zeros(1, dtype=np.int32)
-                batch, ne = base._make_batch(seeds)
-                if dummy:
-                    import dataclasses as _dc
 
-                    batch = _dc.replace(
-                        batch, label_valid=jnp.zeros_like(batch.label_valid)
-                    )
-                else:
-                    edges += ne
-                per_dev.append(batch)
-            yield stack_batches(per_dev), edges
+        def make(d: int, step: int):
+            seeds = shards[d][step * bs:(step + 1) * bs]
+            dummy = seeds.size == 0
+            if dummy:
+                seeds = np.zeros(1, dtype=np.int32)
+            batch, ne = base._make_batch(seeds, sampler=self.samplers[d])
+            if dummy:
+                batch = _dc.replace(
+                    batch, label_valid=jnp.zeros_like(batch.label_valid)
+                )
+                ne = 0
+            return batch, ne
+
+        workers = max(1, min(self.n_dev, (os.cpu_count() or 4)))
+        pool = ThreadPoolExecutor(max_workers=workers)
+        try:
+            futs = [pool.submit(make, d, 0) for d in range(self.n_dev)]
+            for step in range(n_steps):
+                nxt = (
+                    [pool.submit(make, d, step + 1) for d in range(self.n_dev)]
+                    if step + 1 < n_steps else None
+                )
+                results = [f.result() for f in futs]
+                per_dev = [b for b, _ in results]
+                yield stack_batches(per_dev), sum(ne for _, ne in results)
+                futs = nxt
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
     # ------------------------------------------------------------------
     def train_epoch(self) -> Tuple[float, float, int]:

@@ -39,15 +39,22 @@ class DeviceDataParallelTrainer:
         self.mesh = mesh if mesh is not None else make_mesh(graph=1)
         self.n_dev = int(np.prod(self.mesh.devices.shape))
         self.timers = base.timers
-        self._epoch_fn = self._build_dp_epoch()
+        # programs cached per src-pad plan: per-device pads follow the
+        # actual shard chunk (≤ batch_size), not the full batch size
+        self._fn_cache = {}
 
-    def _build_dp_epoch(self):
+    def _get_epoch_fn(self, src_pads):
+        if src_pads not in self._fn_cache:
+            self._fn_cache[src_pads] = self._build_dp_epoch(src_pads)
+        return self._fn_cache[src_pads]
+
+    def _build_dp_epoch(self, src_pads):
         base = self.base
         family, drop_rate = base.family, base.cfg.drop_rate
         optimizer = base.optimizer
         fanouts = tuple(base.cfg.fanout)
-        src_pads = base.src_pads
         wk = base.weight_kind
+        dm = base.dev_degree_mode
         remat = base.cfg.remat
 
         @functools.partial(
@@ -70,6 +77,7 @@ class DeviceDataParallelTrainer:
                 batch = device_sample_batch(
                     sk, seeds, valid, indptr, indices, in_deg, out_deg,
                     features, labels, fanouts, src_pads, wk,
+                    degree_mode=dm,
                 )
 
                 def loss_fn(p):
@@ -110,9 +118,19 @@ class DeviceDataParallelTrainer:
         shards = np.array_split(np.asarray(nids, np.int32), self.n_dev)
         bs = base.cfg.batch_size
         n_steps = max((len(s) + bs - 1) // bs for s in shards)
+        # per-device seed pad = the largest actual chunk (≤ batch_size):
+        # padding every device to the full batch size would multiply padded
+        # sampling/compute by n_dev at small scales
+        chunk_max = max(min(bs, len(s)) for s in shards)
+        from ..sampler.blocks import pad_to
+
+        seed_pad = pad_to(max(chunk_max, 1), 128)
+        src_pads = (base.src_pads if seed_pad == base.seed_pad
+                    else base.compute_src_pads(chunk_max))
+        epoch_fn = self._get_epoch_fn(src_pads)
         # [n_steps, n_dev * seed_pad] with per-device layout
-        seeds_all = np.zeros((n_steps, self.n_dev, base.seed_pad), np.int32)
-        valid_all = np.zeros((n_steps, self.n_dev, base.seed_pad), bool)
+        seeds_all = np.zeros((n_steps, self.n_dev, seed_pad), np.int32)
+        valid_all = np.zeros((n_steps, self.n_dev, seed_pad), bool)
         for d, sh in enumerate(shards):
             for t in range(n_steps):
                 chunk = sh[t * bs:(t + 1) * bs]
@@ -123,7 +141,7 @@ class DeviceDataParallelTrainer:
         base._sample_key, key = jax.random.split(base._sample_key)
         keys = jax.random.split(key, self.n_dev)
         with self.timers.phase("dp_device_epoch"):
-            (base.params, base.opt_state, loss, acc, edges) = self._epoch_fn(
+            (base.params, base.opt_state, loss, acc, edges) = epoch_fn(
                 base.params, base.opt_state, jnp.asarray(seeds_all),
                 jnp.asarray(valid_all), keys,
                 base.dev_indptr, base.dev_indices, base.dev_in_deg,

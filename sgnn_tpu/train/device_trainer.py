@@ -94,28 +94,46 @@ class DeviceSampleTrainer(SampleTrainer):
         # source count (coupon-collector estimate) — the sampler drops edges
         # safely on the rare overflow
         self.seed_pad = pad_to(cfg.batch_size, 128)
-        exact = tuple(p.num_src_pad for p in self.sampler.plans)
-        if cfg.src_pad_factor > 0:
-            v = float(self.adj.num_vertices)
-            est_pads = []
-            ndst = float(cfg.batch_size)
-            for h, f in enumerate(cfg.fanout):
-                draws = ndst * (f + 1)
-                expected_unique = v * (1.0 - np.exp(-draws / v))
-                est = pad_to(int(expected_unique * cfg.src_pad_factor), 128)
-                est = min(est, exact[h])
-                est_pads.append(est)
-                ndst = float(est)
-            self.src_pads = tuple(est_pads)
-            log.info("src pads: exact %s -> estimated %s", exact, self.src_pads)
-        else:
-            self.src_pads = exact
+        self.src_pads = self.compute_src_pads(cfg.batch_size)
         self._dev_step = self._build_device_step()
         self._dev_eval = self._build_device_eval()
         self._epoch_fn = self._build_epoch_fn()
         # one fused epoch program by default; per-step mode for debugging
         self.fused_epoch = True
         self._sample_key = jax.random.PRNGKey(cfg.seed + 17)
+
+    def compute_src_pads(self, batch_size: int) -> Tuple[int, ...]:
+        """Static per-hop source bounds for a given seed-batch size.
+
+        Same plan rule as the host sampler (src = neighbors ∪ seeds,
+        bounded by dst·(f+1) and V); with SRC_PAD_FACTOR > 0, shrink to
+        factor × expected unique sources (coupon-collector estimate) — the
+        sampler drops edges safely and COUNTS them on the rare overflow.
+        DP wrappers call this with the per-device shard chunk so small
+        shards aren't padded to the full batch size."""
+        cfg = self.cfg
+        v_pad = pad_to(self.adj.num_vertices, 128)
+        exact = []
+        ndst = pad_to(max(batch_size, 1), 128)
+        for f in cfg.fanout:
+            nsrc = min(pad_to(ndst * (f + 1), 128), v_pad)
+            exact.append(nsrc)
+            ndst = nsrc
+        if cfg.src_pad_factor <= 0:
+            return tuple(exact)
+        v = float(self.adj.num_vertices)
+        est_pads = []
+        ndst = float(batch_size)
+        for h, f in enumerate(cfg.fanout):
+            draws = ndst * (f + 1)
+            expected_unique = v * (1.0 - np.exp(-draws / v))
+            est = pad_to(int(expected_unique * cfg.src_pad_factor), 128)
+            est = min(est, exact[h])
+            est_pads.append(est)
+            ndst = float(est)
+        log.info("src pads (b=%d): exact %s -> estimated %s",
+                 batch_size, exact, tuple(est_pads))
+        return tuple(est_pads)
 
     # ------------------------------------------------------------- programs
     def _build_device_step(self):

@@ -267,10 +267,15 @@ class SampleTrainer:
         return (self.feat_cache.dev_hot, self.feat_cache.dev_slot_map)
 
     # ------------------------------------------------------------- batching
-    def _make_batch(self, seeds: np.ndarray) -> Tuple[SampledBatch, int]:
+    def _make_batch(
+        self, seeds: np.ndarray, sampler: Optional[HostSampler] = None
+    ) -> Tuple[SampledBatch, int]:
+        """Sample + payload one batch.  `sampler` overrides self.sampler so
+        DP wrappers can run one sampler STREAM per device on worker threads
+        (reference: one FastSampler per GPU, GCN_SAMPLE_ALL_MULTI.hpp:564)."""
         cold_pos = None
         with self.timers.phase("sample"):
-            hb = self.sampler.sample(seeds)
+            hb = (sampler or self.sampler).sample(seeds)
             if self.features_on_device:
                 # x0/labels are gathered in-program; ship ids only
                 top = hb.blocks[-1]

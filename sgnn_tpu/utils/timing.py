@@ -10,6 +10,7 @@ responsibility when timing device work.
 from __future__ import annotations
 
 import collections
+import threading
 import time
 from contextlib import contextmanager
 from typing import Dict
@@ -34,6 +35,8 @@ class PhaseTimer:
     def __init__(self) -> None:
         self.totals: Dict[str, float] = collections.defaultdict(float)
         self.counts: Dict[str, int] = collections.defaultdict(int)
+        # phases run on sampler worker threads too (parallel/dp.py)
+        self._lock = threading.Lock()
 
     @contextmanager
     def phase(self, name: str):
@@ -41,12 +44,12 @@ class PhaseTimer:
         try:
             yield
         finally:
-            self.totals[name] += time.perf_counter() - t0
-            self.counts[name] += 1
+            self.add(name, time.perf_counter() - t0)
 
     def add(self, name: str, seconds: float) -> None:
-        self.totals[name] += seconds
-        self.counts[name] += 1
+        with self._lock:
+            self.totals[name] += seconds
+            self.counts[name] += 1
 
     def summary(self) -> str:
         items = sorted(self.totals.items(), key=lambda kv: -kv[1])
