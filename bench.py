@@ -33,7 +33,8 @@ def log(*a):
 def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
                       host_sampler: bool = False,
                       dtype: str = "float32",
-                      src_pad_factor: float = 0.0) -> dict:
+                      src_pad_factor: float = 0.0,
+                      up_degree: bool = False) -> dict:
     import numpy as np
 
     from sgnn_tpu.config import RunConfig
@@ -69,19 +70,22 @@ def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
         vertices=ds.num_vertices,
         dtype=dtype,
         src_pad_factor=src_pad_factor,
+        up_degree=up_degree,
     )
     if host_sampler:
         from sgnn_tpu.train.trainer import SampleTrainer
 
         trainer = SampleTrainer(
             cfg, ds, family="sage", weight_kind=WeightKind.MEAN,
-            degree_mode="sampled",
+            degree_mode="sampled" if cfg.up_degree else "global",
         )
     else:
         # GSSAMPLEALLGPU analog: sampling fused into the device program;
         # host ships only seed ids per step
         from sgnn_tpu.train.device_trainer import DeviceSampleTrainer
 
+        # degree mode follows UP_DEGREE (reference default: global-degree
+        # weights straight from the HBM tables — no per-batch histogram)
         trainer = DeviceSampleTrainer(
             cfg, ds, family="sage", weight_kind=WeightKind.MEAN,
         )
@@ -112,7 +116,7 @@ def bench_cora_gcn(epochs: int) -> dict:
     cfg = load_cfg(os.path.join(here, "configs", "gcn_cora_sample.cfg"))
     cfg.epochs = epochs
     ds = load_from_config(cfg)
-    trainer = SampleTrainer(cfg, ds, family="gcn", degree_mode="sampled")
+    trainer = SampleTrainer(cfg, ds, family="gcn")  # UP_DEGREE-driven weights
     report = trainer.run(epochs=epochs, eval_every=10**9)
     times = report.epoch_times[1:] or report.epoch_times
     avg = float(np.mean(times))
@@ -134,6 +138,9 @@ def main():
     ap.add_argument("--exact-pads", action="store_true",
                     help="exact worst-case source bounds (default: expected"
                          "-unique x1.2 with safe overflow-drop)")
+    ap.add_argument("--up-degree", action="store_true",
+                    help="UP_DEGREE=1: sampled-subgraph degree weights "
+                         "(default: global-degree, the reference default)")
     ap.add_argument("--f32", action="store_true",
                     help="float32 features/activations (default is bf16 "
                          "features + f32 params/head — accuracy-parity "
@@ -173,6 +180,7 @@ def main():
             host_sampler=args.host_sampler,
             dtype="float32" if args.f32 else "bfloat16",
             src_pad_factor=0.0 if args.exact_pads else 1.2,
+            up_degree=args.up_degree,
         )
 
     try:
@@ -204,6 +212,7 @@ def main():
             "backend": jax.default_backend(),
             "compute_dtype": "float32" if args.f32 else "bfloat16",
             "src_pad_factor": 0.0 if args.exact_pads else 1.2,
+            "degree_mode": "sampled" if args.up_degree else "global",
         },
     }
     print(json.dumps(result), flush=True)

@@ -210,6 +210,15 @@ def sharded_aggregate_targeted(
     """
     from ..ops.segment import spmm_coo
 
+    ext = targeted_halo_exchange(x_shard, send_idx, axis_name)
+    return spmm_coo(ext, src_local, dst_local, weight, x_shard.shape[0])
+
+
+def targeted_halo_exchange(
+    x_shard: jax.Array, send_idx: jax.Array, axis_name: str = "graph"
+) -> jax.Array:
+    """all_to_all exchange of exactly the needed mirror rows → activations
+    in the concat space [own rows ‖ recv-from-0 ‖ recv-from-1 …]."""
     # rows this device sends to each q: [n, H_pad, F]
     send = x_shard[send_idx]
     recv = jax.lax.all_to_all(
@@ -217,7 +226,40 @@ def sharded_aggregate_targeted(
     )
     # recv[p] = rows from device p; flatten into the concat space
     n = recv.shape[0]
-    ext = jnp.concatenate(
+    return jnp.concatenate(
         [x_shard, recv.reshape(n * recv.shape[1], -1)], axis=0
     )
-    return spmm_coo(ext, src_local, dst_local, weight, x_shard.shape[0])
+
+
+def sharded_gat_layer(
+    h_shard: jax.Array,       # [rows, F_in] own activations
+    wl: jax.Array,            # [F_in, F_out] layer weight
+    attn: jax.Array,          # [2*F_out, 1] attention vector (a_src ‖ a_dst)
+    src_idx: jax.Array,       # [E_pad] edge srcs (global or concat space)
+    dst_local: jax.Array,     # [E_pad] local dst ids
+    valid: jax.Array,         # [E_pad] bool, False on padding
+    send_idx: "jax.Array | None" = None,  # targeted-halo plan, else all_gather
+    axis_name: str = "graph",
+) -> jax.Array:
+    """One partition-parallel GAT layer (call inside shard_map).
+
+    Reference DistEdgeSoftMax / DistGPUEdgeSoftMax
+    (ntsDistCPUGraphOp.hpp:34-524, ntsDistGPUGraphOp.hpp:48-383): the master
+    computes per-dst softmax over mirror-fetched neighbor scores.  Here the
+    edge partition is BY DESTINATION OWNER, so every dst's softmax group is
+    shard-local — only the transformed activations cross the mesh (halo),
+    and the segment softmax + weighted SpMM run locally.
+    """
+    from ..ops.segment import segment_softmax_coo, spmm_coo
+
+    ht = jnp.dot(h_shard, wl, preferred_element_type=h_shard.dtype)
+    f = ht.shape[-1]
+    if send_idx is None:
+        ext = jax.lax.all_gather(ht, axis_name, axis=0, tiled=True)
+    else:
+        ext = targeted_halo_exchange(ht, send_idx, axis_name)
+    score = ext[src_idx] @ attn[:f, 0] + ht[dst_local] @ attn[f:, 0]
+    score = jax.nn.leaky_relu(score, 0.2)
+    rows = h_shard.shape[0]
+    att = segment_softmax_coo(score, dst_local, valid, rows)
+    return spmm_coo(ext, src_idx, dst_local, att, rows)

@@ -210,6 +210,7 @@ class FullBatchTrainer:
             from ..parallel.halo import (
                 sharded_aggregate,
                 sharded_aggregate_targeted,
+                sharded_gat_layer,
             )
 
             if halo_mode == "targeted":
@@ -225,6 +226,19 @@ class FullBatchTrainer:
                 h = x
                 for l in range(n_layers):
                     wl = p.weights[l]
+                    if family == "gat":
+                        # distributed attention (DistEdgeSoftMax parity):
+                        # dst-partitioned edges make the softmax shard-local
+                        h = sharded_gat_layer(
+                            h, wl, p.attn[l], src[0], dstl[0],
+                            w_edge[0] != 0,
+                            send_idx=sidx[0] if halo_mode == "targeted"
+                            else None,
+                        )
+                        h = jax.nn.relu(h)
+                        if l == n_layers - 1:
+                            h = log_softmax(h)
+                        continue
                     if wl.shape[0] > wl.shape[1]:
                         h = agg(
                             jnp.dot(h, wl, preferred_element_type=h.dtype)

@@ -148,3 +148,28 @@ def test_fullbatch_targeted_halo_trainer(tiny_ds):
         la = a.train_epoch()
         lb = b.train_epoch()
         assert abs(la[0] - lb[0]) < 2e-3, (la[0], lb[0])
+
+
+def test_partition_parallel_gat_matches_single(tiny_ds):
+    """Distributed GAT (sharded edge softmax, DistEdgeSoftMax parity,
+    ntsDistCPUGraphOp.hpp:34-524): vertex-sharded loss trajectory matches
+    the single-chip full-batch GAT, for BOTH halo modes."""
+    from jax.sharding import Mesh
+
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[1, 1], epochs=1,
+                    learn_rate=0.01, seed=3, vertices=tiny_ds.num_vertices)
+    single = FullBatchTrainer(cfg, tiny_ds, family="gat")
+    gmesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("graph",))
+    sharded = FullBatchTrainer(cfg, tiny_ds, family="gat", mesh=gmesh)
+    targeted = FullBatchTrainer(cfg, tiny_ds, family="gat", mesh=gmesh,
+                                halo="targeted")
+    for step in range(3):
+        l1 = single.train_epoch()
+        l2 = sharded.train_epoch()
+        l3 = targeted.train_epoch()
+        assert abs(l1[0] - l2[0]) < 2e-3, (step, l1[0], l2[0])
+        assert abs(l1[0] - l3[0]) < 2e-3, (step, l1[0], l3[0])
+    for ws, wp in zip(single.params.weights, sharded.params.weights):
+        g, e = np.asarray(ws), np.asarray(wp)
+        assert np.isclose(g, e, rtol=2e-2, atol=1e-3).mean() > 0.85
+        assert np.abs(g - e).mean() < 5e-3
