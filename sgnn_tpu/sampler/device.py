@@ -38,16 +38,23 @@ def _edge_weights(keep, nbr_local, num_src_pad, fanout, weight_kind,
     if weight_kind == WeightKind.NONE:
         return keep.astype(jnp.float32)
     if degree_mode == "global":
+        if weight_kind == WeightKind.MEAN:
+            # Plain mean aggregator (1/sampled-count) — the standard
+            # GraphSAGE rule, needing NO degree tables or histogram.
+            # Deliberate deviation: the reference's global-degree mean
+            # hybrids (GPU gcn_norm/edges_num ntsCUDATransferKernel.cuh:319,
+            # CPU gcn_norm/global_in_deg ntsFastSampler.hpp:1117) are
+            # ill-conditioned on high-degree graphs — measured collapse to
+            # 5% train acc on the Reddit-scale synthetic where plain mean
+            # (and the sampled-degree hybrid) reach 97-99% (docs/PERF.md).
+            cnt = jnp.maximum(jnp.sum(keep, axis=1), 1).astype(jnp.float32)
+            return jnp.where(keep, 1.0 / cnt[:, None], 0.0)
         od = jnp.maximum(out_degree[jnp.maximum(nbr_global, 0)], 1)
         idg = jnp.maximum(in_degree[seeds], 1)
         w = 1.0 / (
             jnp.sqrt(od.astype(jnp.float32))
             * jnp.sqrt(idg.astype(jnp.float32))[:, None]
         )
-        if weight_kind == WeightKind.MEAN:
-            # global mode divides by the global in-degree (CPU Mean branch,
-            # ntsFastSampler.hpp:1117; host sampler parity)
-            w = w / idg[:, None].astype(jnp.float32)
         return jnp.where(keep, w, 0.0)
     samp_in = jnp.sum(keep, axis=1).astype(jnp.int32)
     samp_in = jnp.where(samp_in == 0, fanout, samp_in)

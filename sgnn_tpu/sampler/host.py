@@ -189,6 +189,14 @@ class HostSampler:
         seeds = hop["seeds"].astype(np.int64)
         if self.weight_kind == WeightKind.NONE:
             return valid.astype(np.float32)
+        if self.degree_mode == "global" and self.weight_kind == WeightKind.MEAN:
+            # Plain mean (1/sampled-count), matching the device sampler.
+            # Deliberate deviation from the reference's global-degree mean
+            # hybrids (ntsCUDATransferKernel.cuh:319 / ntsFastSampler.hpp:
+            # 1117), which collapse on high-degree graphs — see
+            # sampler/device.py::_edge_weights and docs/PERF.md.
+            div = np.maximum(valid.sum(axis=1), 1)
+            return np.where(valid, 1.0 / div[:, None], 0.0).astype(np.float32)
         if self.degree_mode == "sampled":
             # in_degree[dst] = # sampled in-edges (0 → fanout, UpdateDegree
             # kernel parity); out_degree[src] = # sampled out-edges this hop.
@@ -206,13 +214,9 @@ class HostSampler:
             idg = np.maximum(self.adj.in_degree[seeds], 1)
             w = 1.0 / (np.sqrt(od) * np.sqrt(idg)[:, None])
         if self.weight_kind == WeightKind.MEAN:
-            # sampled mode divides by the sampled edge count (GPU
-            # get_mean_weight kernel); global mode by the global in-degree
-            # (CPU Mean branch, ntsFastSampler.hpp:1117)
-            if self.degree_mode == "sampled":
-                div = np.maximum(valid.sum(axis=1), 1)
-            else:
-                div = np.maximum(self.adj.in_degree[seeds], 1)
+            # sampled-degree mean divides by the sampled edge count (GPU
+            # get_mean_weight kernel, ntsCUDATransferKernel.cuh:319-343)
+            div = np.maximum(valid.sum(axis=1), 1)
             w = w / div[:, None]
         return np.where(valid, w, 0.0).astype(np.float32)
 

@@ -180,8 +180,12 @@ void sgnn_reindex(const int32_t* nbr_global, const uint8_t* valid,
 //   mode 0: GCN, sampled degrees   w = 1/(√out_s(src)·√in_s(dst))
 //   mode 1: MEAN, sampled degrees  w = gcn_w / edges_num(dst)
 //   mode 2: GCN, global degrees
-//   mode 3: MEAN hybrid, global degrees (norm / global_in_deg parity with
-//           ntsFastSampler.hpp Mean branch)
+//   mode 3: MEAN, global degrees   w = 1/edges_num(dst)  — plain mean.
+//           Deliberate deviation: the reference's global-degree mean
+//           hybrids (GPU gcn_norm/edges_num ntsCUDATransferKernel.cuh:319,
+//           CPU gcn_norm/global_in_deg ntsFastSampler.hpp:1117) collapse
+//           on high-degree graphs (measured, docs/PERF.md); plain mean is
+//           the standard GraphSAGE aggregator.
 //   mode 4: NONE                   w = 1 on valid edges
 void sgnn_weights(const int32_t* nbr_local, const uint8_t* valid,
                   int64_t n_dst, int32_t fanout, int64_t n_src,
@@ -233,11 +237,8 @@ void sgnn_weights(const int32_t* nbr_local, const uint8_t* valid,
       in_term = 1.0f / __builtin_sqrtf((float)(gid > 0 ? gid : 1));
     }
     const float mean_div =
-        (mode == 1) ? 1.0f / (float)(edges_num > 0 ? edges_num : 1)
-        : (mode == 3)
-            ? 1.0f / (float)(global_in_deg[seeds[d]] > 0
-                                 ? global_in_deg[seeds[d]]
-                                 : 1)
+        (mode == 1 || mode == 3)
+            ? 1.0f / (float)(edges_num > 0 ? edges_num : 1)
             : 1.0f;
     for (int32_t k = 0; k < fanout; ++k) {
       const int64_t e = base + k;
@@ -247,6 +248,10 @@ void sgnn_weights(const int32_t* nbr_local, const uint8_t* valid,
       }
       if (mode == 4) {
         weight[e] = 1.0f;
+        continue;
+      }
+      if (mode == 3) {  // plain mean, no degree terms
+        weight[e] = mean_div;
         continue;
       }
       int32_t od;

@@ -68,10 +68,18 @@ ENGINES = {
               cache_on_device=False),
         _spec("GSSAMPLEPCMULTI", "sage", WeightKind.MEAN, use_cache=True,
               cache_on_device=False, multi_device=True),
-        # GAT family (attention weights computed by the model itself)
-        _spec("GATSAMPLEALLGPU", "gat", WeightKind.NONE, device_sampling=True),
+        # GAT family (attention weights computed by the model itself).
+        # bias_correction: the reference GAT single-device engines update
+        # with the bias-CORRECTED Adam (learnC2G_with_decay_Adam,
+        # GAT_SAMPLE_ALL_GPU.hpp:219 / GAT_SAMPLE_PD_CACHE.hpp:248,
+        # NtsScheduler.hpp:925-935) while the GCN/GS sampled engines and the
+        # GAT *MULTI engines use the uncorrected learn_local variant
+        # (NtsScheduler.hpp:937).  Measured on Cora, the corrected rule is
+        # what lets sampled GAT train well (0.92 vs 0.83 @40ep).
+        _spec("GATSAMPLEALLGPU", "gat", WeightKind.NONE, device_sampling=True,
+              bias_correction=True),
         _spec("GATSAMPLEPDCACHE", "gat", WeightKind.NONE, use_cache=True,
-              cache_on_device=False),
+              cache_on_device=False, bias_correction=True),
         _spec("GATSAMPLEALLMULTI", "gat", WeightKind.NONE, multi_device=True,
               device_sampling=True),
         _spec("GATSAMPLEPCMULTI", "gat", WeightKind.NONE, use_cache=True,

@@ -350,11 +350,15 @@ def test_device_sampler_global_degree_weights(adj, tiny_ds):
             ndst = int(np.asarray(b.dst_valid).sum())
             for d in range(min(ndst, 16)):
                 idg = max(adj.in_degree[seeds_np[d]], 1)
+                cnt = int((w[d] != 0).sum())
                 for k in np.nonzero(w[d])[0]:
                     od = max(adj.out_degree[srcs[nbr[d, k]]], 1)
-                    exp = 1.0 / (np.sqrt(od) * np.sqrt(idg))
                     if wk == WeightKind.MEAN:
-                        exp = exp / idg
+                        # plain mean (see _edge_weights: the reference's
+                        # global-mean hybrid is a measured accuracy bug)
+                        exp = 1.0 / cnt
+                    else:
+                        exp = 1.0 / (np.sqrt(od) * np.sqrt(idg))
                     np.testing.assert_allclose(w[d, k], exp, rtol=1e-5)
 
 
