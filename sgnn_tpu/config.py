@@ -44,6 +44,7 @@ class RunConfig:
     weight_decay: float = 1e-4
     decay_rate: float = 0.97
     decay_epoch: int = 100
+    optimizer: str = "adam"          # adam | sgd (Parameter has both)
     drop_rate: float = 0.5
     # pipeline / cache orchestration (NeutronOrch)
     pipeline_num: int = 4
@@ -65,6 +66,7 @@ class RunConfig:
     runs: int = 1
     time_skip: int = 3
     batch_norm: bool = False
+    aggregator: str = "sum"          # sum | min | max (full-batch dst ops)
     classes: int = 0
     del_frac: float = 0.0
     # extras (ours)
@@ -139,6 +141,8 @@ _KEYMAP = {
     "OPTIM_KERNEL": ("optim_kernel", _to_bool),
     "UP_DEGREE": ("up_degree", _to_bool),
     "MINI_PULL": ("mini_pull", int),
+    "OPTIMIZER": ("optimizer", str),
+    "AGGREGATOR": ("aggregator", str),
     "RUNS": ("runs", int),
     "TIME_SKIP": ("time_skip", int),
     "BATCH_NORM": ("batch_norm", _to_bool),

@@ -82,3 +82,52 @@ class ReferenceAdam:
         new_m = treedef.unflatten([o[1] for o in outs])
         new_v = treedef.unflatten([o[2] for o in outs])
         return new_p, AdamState(m=new_m, v=new_v, step=step)
+
+
+class SGDState(NamedTuple):
+    step: jax.Array   # int32 scalar (kept for interface/ckpt symmetry)
+
+
+@dataclasses.dataclass(frozen=True)
+class ReferenceSGD:
+    """SGD with the reference's multiplicative decay.
+
+    Parameter::learnC2C_with_decay_SGD (core/NtsScheduler.hpp:893-898):
+        W = (W - lr·grad) · (1 - weight_decay)
+    — decay is applied multiplicatively AFTER the step, not folded into the
+    gradient like the Adam rules.  Same update interface as ReferenceAdam
+    so trainers/DP wrappers take either.
+    """
+
+    learn_rate: float
+    weight_decay: float = 1e-4
+
+    def init(self, params: Any) -> SGDState:
+        return SGDState(step=jnp.zeros((), jnp.int32))
+
+    def update(
+        self, grads: Any, state: SGDState, params: Any
+    ) -> Tuple[Any, SGDState]:
+        lr = jnp.asarray(self.learn_rate, jnp.float32)
+        decay = 1.0 - self.weight_decay
+
+        def upd(p, g):
+            newp = (p.astype(jnp.float32) - lr * g.astype(jnp.float32)) * decay
+            return newp.astype(p.dtype)
+
+        new_p = jax.tree.map(upd, params, grads)
+        return new_p, SGDState(step=state.step + 1)
+
+
+def make_optimizer(cfg, bias_correction: bool = False):
+    """Optimizer from cfg.optimizer ("adam" | "sgd"), reference defaults."""
+    if getattr(cfg, "optimizer", "adam").lower() == "sgd":
+        return ReferenceSGD(learn_rate=cfg.learn_rate,
+                            weight_decay=cfg.weight_decay)
+    return ReferenceAdam(
+        learn_rate=cfg.learn_rate,
+        weight_decay=cfg.weight_decay,
+        bias_correction=bias_correction,
+        decay_rate=cfg.decay_rate,
+        decay_epoch=cfg.decay_epoch,
+    )

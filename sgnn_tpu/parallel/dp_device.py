@@ -162,7 +162,8 @@ class DeviceDataParallelTrainer:
 
         base = self.base
         epochs = epochs if epochs is not None else base.cfg.epochs
-        report = TrainReport([], [], [], [], [], [], self.timers)
+        report = TrainReport([], [], [], [], [], [], self.timers,
+                             time_skip=base.cfg.time_skip)
         for ep in range(epochs):
             t0 = time.perf_counter()
             loss, tr_acc, edges = self.train_epoch()

@@ -164,5 +164,21 @@ def build_trainer(cfg: RunConfig, dataset: Dataset):
 
 
 def run_engine(cfg: RunConfig, dataset: Dataset, epochs: Optional[int] = None):
-    """Build + run the trainer an ALGORITHM string names (main.cpp parity)."""
-    return build_trainer(cfg, dataset).run(epochs=epochs)
+    """Build + run the trainer an ALGORITHM string names (main.cpp parity).
+
+    RUNS semantics (InputInfo.runs, GraphSegment.h:187 — parsed by the
+    reference but never consumed; implemented for real here): repeat the
+    whole training run RUNS times with fresh state, log each run's average
+    epoch time, return the last run's report."""
+    from ..utils.logging import get_logger
+
+    n_runs = max(getattr(cfg, "runs", 1), 1)
+    report = None
+    for r in range(n_runs):
+        report = build_trainer(cfg, dataset).run(epochs=epochs)
+        if n_runs > 1:
+            get_logger("sgnn.engine").info(
+                "run %d/%d: avg epoch %.4fs (TIME_SKIP=%d)",
+                r + 1, n_runs, report.avg_epoch_time, cfg.time_skip,
+            )
+    return report

@@ -66,13 +66,30 @@ def full_forward(
     dst: jax.Array,
     w_edge: jax.Array,
     num_vertices: int,
+    aggregator: str = "sum",
 ) -> jax.Array:
-    """L-layer whole-graph forward (GCN/SAGE via SpMM; GAT via COO softmax)."""
+    """L-layer whole-graph forward (GCN/SAGE via SpMM; GAT via COO softmax).
+
+    aggregator "min"/"max" (AGGREGATOR cfg key) replaces the weighted-sum
+    SpMM with the elementwise extreme over each destination's in-edge
+    messages — reference SingleCPUDstAggregateOpMin/Max
+    (ntsSingleCPUGraphOp.hpp) / DistAggregateDstMin/Max
+    (ntsDistCPUGraphOp.hpp); autodiff routes the cotangent to the
+    arg-extreme edge (the reference's subgradient convention).
+    """
+    from ..ops.reductions import segment_max_coo, segment_min_coo
+
     h = x
     n_layers = len(params.weights)
     valid = w_edge != 0
     for l in range(n_layers):
         wl = params.weights[l]
+        if aggregator in ("min", "max") and family != "gat":
+            ht = jnp.dot(h, wl, preferred_element_type=h.dtype)
+            red = segment_min_coo if aggregator == "min" else segment_max_coo
+            h = red(ht, src, dst, valid, num_vertices)
+            h = log_softmax(h) if l == n_layers - 1 else jax.nn.relu(h)
+            continue
         if family == "gat":
             ht = jnp.dot(h, wl, preferred_element_type=h.dtype)
             f = ht.shape[-1]
@@ -115,10 +132,15 @@ class FullBatchTrainer:
         mesh=None,
         adj: Optional[Adjacency] = None,
         halo: str = "all_gather",  # or "targeted" (all_to_all mirror rows)
+        aggregator: Optional[str] = None,  # None → cfg.aggregator
     ) -> None:
         self.cfg = cfg
         self.dataset = dataset
         self.family = family
+        self.aggregator = (
+            aggregator if aggregator is not None
+            else getattr(cfg, "aggregator", "sum")
+        ).lower()
         self.adj = adj or Adjacency.from_edges(dataset.edges, dataset.num_vertices)
         wk = WeightKind.NONE if family == "gat" else weight_kind
         src, dst, w = build_coo(self.adj, wk)
@@ -149,11 +171,13 @@ class FullBatchTrainer:
     def _build_single_step(self):
         family, v = self.family, self.adj.num_vertices
         optimizer = self.optimizer
+        aggregator = self.aggregator
 
         @jax.jit
         def step(params, opt_state, x, y, mask, src, dst, w):
             def loss_fn(p):
-                logp = full_forward(p, family, x, src, dst, w, v)
+                logp = full_forward(p, family, x, src, dst, w, v,
+                                    aggregator=aggregator)
                 return nll_loss_masked(logp, y, mask), logp
 
             (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -196,6 +220,7 @@ class FullBatchTrainer:
         family = self.family
         optimizer = self.optimizer
         n_layers = len(self.params.weights)
+        aggregator = self.aggregator
 
         halo_mode = self.halo
 
@@ -223,9 +248,30 @@ class FullBatchTrainer:
                     return sharded_aggregate(h_, src[0], dstl[0], w_edge[0])
 
             def loss_fn(p):
+                from ..ops.reductions import segment_max_coo, segment_min_coo
+                from ..parallel.halo import targeted_halo_exchange
+
                 h = x
                 for l in range(n_layers):
                     wl = p.weights[l]
+                    if aggregator in ("min", "max") and family != "gat":
+                        # DistAggregateDstMin/Max parity: min/max over
+                        # in-edges is shard-local after the halo (edges are
+                        # partitioned by destination owner)
+                        ht = jnp.dot(h, wl, preferred_element_type=h.dtype)
+                        if halo_mode == "targeted":
+                            ext = targeted_halo_exchange(ht, sidx[0])
+                        else:
+                            ext = jax.lax.all_gather(
+                                ht, "graph", axis=0, tiled=True
+                            )
+                        red = (segment_min_coo if aggregator == "min"
+                               else segment_max_coo)
+                        h = red(ext, src[0], dstl[0], w_edge[0] != 0,
+                                h.shape[0])
+                        h = (log_softmax(h) if l == n_layers - 1
+                             else jax.nn.relu(h))
+                        continue
                     if family == "gat":
                         # distributed attention (DistEdgeSoftMax parity):
                         # dst-partitioned edges make the softmax shard-local

@@ -29,7 +29,7 @@ from ..data.dataset import Dataset, MASK_TRAIN, MASK_VAL, MASK_TEST
 from ..graph.adjacency import Adjacency
 from ..models.gnn import GNNParams, init_model, model_forward
 from ..nn.functional import masked_accuracy, nll_loss_masked
-from ..nn.optim import AdamState, ReferenceAdam
+from ..nn.optim import AdamState, ReferenceAdam, make_optimizer
 from ..sampler.blocks import SampledBatch, SampledBlock, WeightKind
 from ..sampler.host import HostSampledBatch, HostSampler
 from ..utils.logging import get_logger
@@ -47,10 +47,17 @@ class TrainReport:
     losses: List[float]
     edges_per_epoch: List[int]
     timers: PhaseTimer
+    # TIME_SKIP semantics (reference parses it at GraphSegment.cpp:326 but
+    # never consumes it — implemented for real here): the first `time_skip`
+    # epochs (compile + cache warmup) are excluded from the average.
+    time_skip: int = 1
 
     @property
     def avg_epoch_time(self) -> float:
-        skip = min(len(self.epoch_times) - 1, 1) if len(self.epoch_times) > 1 else 0
+        n = len(self.epoch_times)
+        if n == 0:
+            return 0.0
+        skip = min(n - 1, max(self.time_skip, 0))
         times = self.epoch_times[skip:]
         return float(np.mean(times)) if times else 0.0
 
@@ -174,13 +181,9 @@ class SampleTrainer:
             )
         key = jax.random.PRNGKey(cfg.seed)
         self.params = init_model(key, family, cfg.layer_sizes)
-        self.optimizer = ReferenceAdam(
-            learn_rate=cfg.learn_rate,
-            weight_decay=cfg.weight_decay,
-            bias_correction=bias_correction,
-            decay_rate=cfg.decay_rate,
-            decay_epoch=cfg.decay_epoch,
-        )
+        # OPTIMIZER cfg key picks Adam (default) or the reference's SGD
+        # rule (Parameter carries both, NtsScheduler.hpp:680-1029)
+        self.optimizer = make_optimizer(cfg, bias_correction)
         self.opt_state = self.optimizer.init(self.params)
         self._dropout_key = jax.random.PRNGKey(cfg.seed + 1)
         self.timers = PhaseTimer()
@@ -414,7 +417,8 @@ class SampleTrainer:
         import time
 
         epochs = epochs if epochs is not None else self.cfg.epochs
-        report = TrainReport([], [], [], [], [], [], self.timers)
+        report = TrainReport([], [], [], [], [], [], self.timers,
+                             time_skip=self.cfg.time_skip)
         for ep in range(epochs):
             t0 = time.perf_counter()
             loss, tr_acc, edges = self.train_epoch()

@@ -156,3 +156,54 @@ def test_resume_equivalence_cached_engine(tmp_path, tiny_ds):
         return build_trainer(cfg, tiny_ds)
 
     _resume_equivalence(make, tmp_path)
+
+
+def test_reference_sgd_rule(tiny_ds):
+    """OPTIMIZER:sgd reaches the trainer and applies the reference rule
+    W' = (W - lr·g)·(1 - wd)  (learnC2C_with_decay_SGD,
+    NtsScheduler.hpp:893-898)."""
+    import jax.numpy as jnp
+
+    from sgnn_tpu.nn.optim import ReferenceSGD, make_optimizer
+
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=64,
+                    epochs=1, drop_rate=0.0, vertices=tiny_ds.num_vertices,
+                    optimizer="sgd", learn_rate=0.1, weight_decay=0.01)
+    tr = SampleTrainer(cfg, tiny_ds, family="gcn")
+    assert isinstance(tr.optimizer, ReferenceSGD)
+    # exact rule on a toy pytree
+    opt = make_optimizer(cfg)
+    p = {"w": jnp.asarray([1.0, -2.0])}
+    g = {"w": jnp.asarray([0.5, 0.5])}
+    new_p, _ = opt.update(g, opt.init(p), p)
+    np.testing.assert_allclose(
+        np.asarray(new_p["w"]),
+        (np.asarray([1.0, -2.0]) - 0.1 * np.asarray([0.5, 0.5])) * 0.99,
+        rtol=1e-6,
+    )
+    # and it trains
+    loss0, _, _ = tr.train_epoch()
+    loss1, _, _ = tr.train_epoch()
+    assert np.isfinite(loss1)
+
+
+def test_time_skip_and_runs(tiny_ds):
+    """TIME_SKIP excludes warmup epochs from the average; RUNS repeats the
+    training run (both parsed-but-unconsumed in the reference,
+    GraphSegment.h:187/:156 — real semantics here)."""
+    from sgnn_tpu.train.trainer import TrainReport
+    from sgnn_tpu.utils.timing import PhaseTimer
+
+    r = TrainReport([10.0, 1.0, 1.0, 1.0], [], [], [], [], [],
+                    PhaseTimer(), time_skip=2)
+    assert abs(r.avg_epoch_time - 1.0) < 1e-9
+    r0 = TrainReport([10.0], [], [], [], [], [], PhaseTimer(), time_skip=3)
+    assert r0.avg_epoch_time == 10.0  # single epoch: never skip everything
+
+    from sgnn_tpu.train import run_engine
+
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=64,
+                    epochs=2, drop_rate=0.0, vertices=tiny_ds.num_vertices,
+                    algorithm="GCNSAMPLEALLGPU", runs=2, time_skip=1)
+    report = run_engine(cfg, tiny_ds)
+    assert len(report.epoch_times) == 2

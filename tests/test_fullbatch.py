@@ -173,3 +173,39 @@ def test_partition_parallel_gat_matches_single(tiny_ds):
         g, e = np.asarray(ws), np.asarray(wp)
         assert np.isclose(g, e, rtol=2e-2, atol=1e-3).mean() > 0.85
         assert np.abs(g - e).mean() < 5e-3
+
+
+def test_min_max_aggregator_selectable(tiny_ds):
+    """AGGREGATOR cfg key reaches the full-batch engine (reference
+    SingleCPUDstAggregateOpMin/Max); sharded matches single for both."""
+    from jax.sharding import Mesh
+
+    from sgnn_tpu.ops.reductions import segment_max_coo
+
+    for agg in ("min", "max"):
+        cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[1, 1], epochs=1,
+                        learn_rate=0.01, seed=3,
+                        vertices=tiny_ds.num_vertices, aggregator=agg)
+        single = FullBatchTrainer(cfg, tiny_ds, family="gcn")
+        assert single.aggregator == agg
+        gmesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("graph",))
+        sharded = FullBatchTrainer(cfg, tiny_ds, family="gcn", mesh=gmesh)
+        for _ in range(2):
+            l1 = single.train_epoch()
+            l2 = sharded.train_epoch()
+            assert np.isfinite(l1[0])
+            assert abs(l1[0] - l2[0]) < 2e-3, (agg, l1[0], l2[0])
+
+    # value check: one max-aggregated layer == dense numpy max over in-edges
+    adj = Adjacency.from_edges(tiny_ds.edges, tiny_ds.num_vertices)
+    src, dst, w = build_coo(adj, WeightKind.NONE)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((tiny_ds.num_vertices, 4)).astype(np.float32)
+    out = np.asarray(segment_max_coo(
+        jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst),
+        jnp.asarray(w != 0), tiny_ds.num_vertices,
+    ))
+    for vtx in range(30):
+        nbrs = adj.neighbors(vtx)
+        exp = x[nbrs].max(axis=0) if nbrs.size else np.zeros(4)
+        np.testing.assert_allclose(out[vtx], exp, rtol=1e-6)
