@@ -67,6 +67,7 @@ class RunConfig:
     time_skip: int = 3
     batch_norm: bool = False
     aggregator: str = "sum"          # sum | min | max (full-batch dst ops)
+    shard_features: bool = False     # row-shard features over the mesh
     classes: int = 0
     del_frac: float = 0.0
     # extras (ours)
@@ -143,6 +144,7 @@ _KEYMAP = {
     "MINI_PULL": ("mini_pull", int),
     "OPTIMIZER": ("optimizer", str),
     "AGGREGATOR": ("aggregator", str),
+    "SHARD_FEATURES": ("shard_features", _to_bool),
     "RUNS": ("runs", int),
     "TIME_SKIP": ("time_skip", int),
     "BATCH_NORM": ("batch_norm", _to_bool),

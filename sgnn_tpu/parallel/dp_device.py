@@ -32,13 +32,33 @@ log = get_logger("sgnn.dpdev")
 class DeviceDataParallelTrainer:
     """Wraps a DeviceSampleTrainer for DP over the mesh "data" axis."""
 
-    def __init__(self, base: DeviceSampleTrainer, mesh: Optional[Mesh] = None):
+    def __init__(self, base: DeviceSampleTrainer, mesh: Optional[Mesh] = None,
+                 shard_features: bool = False):
         from .mesh import make_mesh
 
         self.base = base
         self.mesh = mesh if mesh is not None else make_mesh(graph=1)
         self.n_dev = int(np.prod(self.mesh.devices.shape))
         self.timers = base.timers
+        # SHARD_FEATURES: row-shard the feature matrix over the "data" axis
+        # (each chip holds V/n rows; sampled rows fetched over ICI —
+        # parallel/sharded_features.py, reference ntsPeerRPC capability).
+        self.shard_features = shard_features
+        if shard_features:
+            vpad, f = base.dev_features.shape
+            rows = -(-vpad // self.n_dev)
+            total = rows * self.n_dev
+            feats = base.dev_features
+            if total > vpad:
+                feats = jnp.concatenate(
+                    [feats, jnp.zeros((total - vpad, f), feats.dtype)], axis=0
+                )
+            self.feat_rows = rows
+            self.feat_sharded = feats
+            # NOTE: base keeps its replicated copy for evaluate(); the
+            # TRAIN path touches only the sharded array.  A deployment
+            # where features exceed one chip would evaluate through the
+            # same sharded program (or the host feature cache).
         # programs cached per src-pad plan: per-device pads follow the
         # actual shard chunk (≤ batch_size), not the full batch size
         self._fn_cache = {}
@@ -56,13 +76,16 @@ class DeviceDataParallelTrainer:
         wk = base.weight_kind
         dm = base.dev_degree_mode
         remat = base.cfg.remat
+        shard_feats = self.shard_features
 
         @functools.partial(
             shard_map,
             mesh=self.mesh,
-            # params/opt/graph/features replicated; seeds sharded over data
+            # params/opt/graph replicated; seeds sharded over data; features
+            # replicated OR row-sharded over data (SHARD_FEATURES)
             in_specs=(P(), P(), P(None, "data"), P(None, "data"), P("data"),
-                      P(), P(), P(), P(), P(), P()),
+                      P(), P(), P(), P(),
+                      P("data") if shard_feats else P(), P()),
             out_specs=(P(), P(), P(), P(), P()),
         )
         def epoch(params, opt_state, seeds_all, valid_all, keys,
@@ -77,8 +100,18 @@ class DeviceDataParallelTrainer:
                 batch = device_sample_batch(
                     sk, seeds, valid, indptr, indices, in_deg, out_deg,
                     features, labels, fanouts, src_pads, wk,
-                    degree_mode=dm,
+                    degree_mode=dm, gather_features=not shard_feats,
                 )
+                if shard_feats:
+                    import dataclasses as _dc
+
+                    from .sharded_features import fetch_feature_rows
+
+                    b0 = batch.blocks[0]
+                    rows = fetch_feature_rows(features, b0.srcs)
+                    x0 = jnp.where(b0.src_valid[:, None], rows,
+                                   jnp.zeros((), rows.dtype))
+                    batch = _dc.replace(batch, x0=x0)
 
                 def loss_fn(p):
                     logp = model_forward(
@@ -145,7 +178,10 @@ class DeviceDataParallelTrainer:
                 base.params, base.opt_state, jnp.asarray(seeds_all),
                 jnp.asarray(valid_all), keys,
                 base.dev_indptr, base.dev_indices, base.dev_in_deg,
-                base.dev_out_deg, base.dev_features, base.dev_labels,
+                base.dev_out_deg,
+                self.feat_sharded if self.shard_features
+                else base.dev_features,
+                base.dev_labels,
             )
             acc_np = np.asarray(acc)
         return (

@@ -209,7 +209,8 @@ def _sample_hop(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fanouts", "src_pads", "weight_kind", "degree_mode"),
+    static_argnames=("fanouts", "src_pads", "weight_kind", "degree_mode",
+                     "gather_features"),
 )
 def device_sample_batch(
     key: jax.Array,
@@ -226,6 +227,7 @@ def device_sample_batch(
     weight_kind: WeightKind = WeightKind.GCN,
     omit_map: "jax.Array | None" = None,
     degree_mode: str = "sampled",
+    gather_features: bool = True,
 ) -> SampledBatch:
     """Sample an L-hop batch fully on device and gather its payload.
 
@@ -246,7 +248,8 @@ def device_sample_batch(
         # bottom hop covering the whole vertex set → identity local space,
         # and x0 is the feature matrix itself (no re-gather)
         identity = (
-            last
+            gather_features
+            and last
             and src_pads[h] == num_vertices
             and features.shape[0] == num_vertices
         )
@@ -266,7 +269,12 @@ def device_sample_batch(
         slots = omit_map[b0.seeds]
         cache_mask = (slots >= 0) & b0.dst_valid
         cache_slot = jnp.maximum(slots, 0).astype(jnp.int32)
-    if bottom_identity:
+    if not gather_features:
+        # caller fetches x0 itself (row-sharded features: the DP wrapper
+        # fetches sampled rows from their owner shards over ICI —
+        # parallel/sharded_features.py, ntsPeerRPC parity)
+        x0 = jnp.zeros((1, 1), jnp.float32)
+    elif bottom_identity:
         x0 = features
     else:
         rows = features[blocks[0].srcs]

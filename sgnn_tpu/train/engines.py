@@ -144,7 +144,9 @@ def build_trainer(cfg: RunConfig, dataset: Dataset):
         if spec.multi_device:
             from ..parallel.dp_device import DeviceDataParallelTrainer
 
-            trainer = DeviceDataParallelTrainer(trainer)
+            trainer = DeviceDataParallelTrainer(
+                trainer, shard_features=cfg.shard_features
+            )
         return trainer
     else:
         from .trainer import SampleTrainer

@@ -276,3 +276,29 @@ def test_sage_global_mean_high_degree_accuracy():
                              degree_mode="global")
     report = tr.run(3)
     assert report.train_acc[-1] > 0.85, report.train_acc
+
+
+def test_sharded_feature_dp_matches_replicated(tiny_ds):
+    """SHARD_FEATURES (ntsPeerRPC capability, core/ntsPeerRPC.hpp:154):
+    row-sharding the feature matrix over the mesh and fetching sampled
+    rows over ICI computes the SAME training trajectory as replicated
+    features (same seeds → same draws)."""
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.parallel.dp_device import DeviceDataParallelTrainer
+    from sgnn_tpu.train.device_trainer import DeviceSampleTrainer
+
+    def mk(shard):
+        cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[4, 3],
+                        batch_size=64, epochs=3, drop_rate=0.0,
+                        vertices=tiny_ds.num_vertices)
+        base = DeviceSampleTrainer(cfg, tiny_ds, family="gcn")
+        return DeviceDataParallelTrainer(base, shard_features=shard)
+
+    a, b = mk(False), mk(True)
+    # the sharded trainer's feature array really is split over devices
+    assert b.feat_sharded.shape[0] == b.feat_rows * b.n_dev
+    for _ in range(3):
+        la, _, ea = a.train_epoch()
+        lb, _, eb = b.train_epoch()
+        np.testing.assert_allclose(la, lb, rtol=1e-4)
+        assert ea == eb
