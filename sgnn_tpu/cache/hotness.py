@@ -114,3 +114,54 @@ def super_batch_stable_shuffle(
         rng.shuffle(seg)
         out[s:s + super_batch_size] = seg
     return out
+
+
+def presample_hotness_per_sb(
+    adj: Adjacency,
+    train_nids: np.ndarray,
+    fanouts: Sequence[int],
+    cache_rate: float,
+    super_batch_size: int,
+    edge_file: Optional[str] = None,
+    batch_size: int = 0,
+) -> np.ndarray:
+    """Per-SUPER-BATCH hot sets: [n_sb, C] int32 vertex ids.
+
+    Reference preSample ranks hotness per super-batch and installs a
+    different cache index per SB (batch_cache_num, ntsBaseOp.hpp:427-541;
+    new_cache_var/set_cache_index ntsDataloador.hpp:285/:440) — a vertex
+    hot for SB k's seeds may be cold for SB k+1's, so per-SB planning
+    raises the hit rate far above one global set.  Membership follows the
+    STABLE super-batch partition (nts_local_shuffle keeps it fixed across
+    epochs), so the plan computed once stays valid.
+    """
+    c = int(adj.num_vertices * cache_rate)
+    n_sb = max(-(-len(train_nids) // super_batch_size), 1)
+    if c == 0:
+        return np.zeros((n_sb, 0), dtype=np.int32)
+    path = None
+    if edge_file:
+        fan_s = "-".join(str(f) for f in fanouts)
+        path = (f"{edge_file}.sgnn_pre_sample_b{batch_size}_f{fan_s}"
+                f"_psb{n_sb}.bin")
+        if os.path.exists(path):
+            raw = np.fromfile(path, dtype="<u4")
+            if (raw.size >= 3 and raw[0] == _MAGIC
+                    and raw[1] * raw[2] == raw.size - 3):
+                ids = raw[3:].astype(np.int32).reshape(raw[1], raw[2])
+                if ids.shape[0] == n_sb and ids.shape[1] >= c:
+                    log.info("presample: loaded %dx%d per-SB hot ids from %s",
+                             ids.shape[0], c, path)
+                    return ids[:, :c]
+    per = np.zeros((n_sb, c), dtype=np.int32)
+    for k in range(n_sb):
+        sb = train_nids[k * super_batch_size:(k + 1) * super_batch_size]
+        scores = hotness_scores(adj, sb, fanouts)
+        per[k] = np.argsort(-scores, kind="stable")[:c].astype(np.int32)
+    if path:
+        np.concatenate([
+            np.array([_MAGIC, n_sb, c], dtype="<u4"),
+            per.astype("<u4").ravel(),
+        ]).tofile(path)
+        log.info("presample: wrote %dx%d per-SB hot ids to %s", n_sb, c, path)
+    return per

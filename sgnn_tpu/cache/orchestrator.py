@@ -49,6 +49,7 @@ class CachedSampleTrainer(SampleTrainer):
         degree_mode: str = "sampled",
         bias_correction: bool = False,
         adj=None,
+        per_sb: bool = True,
     ) -> None:
         super().__init__(
             cfg, dataset, family=family, weight_kind=weight_kind,
@@ -59,23 +60,45 @@ class CachedSampleTrainer(SampleTrainer):
         )
         cache_rate = cfg.cache_rate if cfg.cache_rate > 0 else 0.1
         self.super_batch_size = cfg.batch_size * max(cfg.pipeline_num, 1)
-        cache_ids = presample_hotness(
-            self.adj, self.train_nids, cfg.fanout, cache_rate,
-            edge_file=cfg.edge_file or None, batch_size=cfg.batch_size,
-        )
         agg_kind = weight_kind if family != "gat" else WeightKind.MEAN
-        self.cache = EmbeddingCache.build(self.adj, cache_ids, agg_kind)
-        self.cache.init_refresh()
+        # Per-super-batch cache planning (reference batch_cache_num,
+        # ntsBaseOp.hpp:427-541): one hot set + cache index PER super-batch,
+        # swapped in at every SB boundary (new_cache_var/set_cache_index,
+        # ntsDataloador.hpp:285/:440).  per_sb=False keeps one global set
+        # (used by the DP composition, whose producers run concurrently).
+        self.per_sb = per_sb and len(self.train_nids) > self.super_batch_size
+        if self.per_sb:
+            from .hotness import presample_hotness_per_sb
+
+            per = presample_hotness_per_sb(
+                self.adj, self.train_nids, cfg.fanout, cache_rate,
+                self.super_batch_size,
+                edge_file=cfg.edge_file or None, batch_size=cfg.batch_size,
+            )
+            self.sb_caches = [
+                EmbeddingCache.build(self.adj, ids, agg_kind) for ids in per
+            ]
+        else:
+            cache_ids = presample_hotness(
+                self.adj, self.train_nids, cfg.fanout, cache_rate,
+                edge_file=cfg.edge_file or None, batch_size=cfg.batch_size,
+            )
+            self.sb_caches = [EmbeddingCache.build(self.adj, cache_ids,
+                                                   agg_kind)]
+        for c in self.sb_caches:
+            c.init_refresh()
+        self.cache = self.sb_caches[0]  # active (consumer-side) cache
         self.w_queue = StalenessQueue()
         self.cache_hits = 0
         self.cache_lookups = 0
         self._counter_lock = threading.Lock()
         self._cache_active = False  # toggled on for training batches only
+        self._produce_idx = 0       # producer-side batch counter (per-SB map)
         log.info(
-            "PD-cache: %d hot vertices (%.1f%%), %d hot-set edges",
+            "PD-cache: %d hot vertices (%.1f%%) x %d super-batch plans",
             self.cache.num_cached,
             100.0 * self.cache.num_cached / max(self.adj.num_vertices, 1),
-            int(np.asarray(self.cache.coo_w != 0).sum()),
+            len(self.sb_caches),
         )
 
     # ------------------------------------------------------------- programs
@@ -115,12 +138,20 @@ class CachedSampleTrainer(SampleTrainer):
     def _make_batch(self, seeds: np.ndarray, sampler=None):
         if not self._cache_active:
             return super()._make_batch(seeds, sampler=sampler)
+        # the producer thread samples AHEAD of the consumer; each batch must
+        # use ITS OWN super-batch's cache map (the consumer installs the
+        # matching cache_emb before training it)
+        sb = (self._produce_idx // max(self.cfg.pipeline_num, 1)) % len(
+            self.sb_caches
+        )
+        self._produce_idx += 1
+        cache = self.sb_caches[sb]
         with self.timers.phase("sample"):
             hb = (sampler or self.sampler).sample(
-                seeds, omit_map=self.cache.cache_map_host
+                seeds, omit_map=cache.cache_map_host
             )
             b0 = hb.blocks[0]
-            slots = self.cache.cache_map_host[np.maximum(b0.seeds, 0)]
+            slots = cache.cache_map_host[np.maximum(b0.seeds, 0)]
             mask = (slots >= 0) & b0.dst_valid
             with self._counter_lock:
                 self.cache_hits += int(mask.sum())
@@ -155,13 +186,19 @@ class CachedSampleTrainer(SampleTrainer):
             self.train_nids, self.super_batch_size, self.sampler.rng
         )
         self._cache_active = True
+        self._produce_idx = 0
+        pipe = max(self.cfg.pipeline_num, 1)
         try:
             for i, (batch, nedges) in enumerate(
                 self._batch_stream(nids, shuffle=False)
             ):
-                if i % max(self.cfg.pipeline_num, 1) == 0:
-                    # super-batch boundary (reference shared_W_queue push,
+                if i % pipe == 0:
+                    # super-batch boundary: install this SB's cache plan
+                    # (set_cache_index parity) and refresh it with the
+                    # newest published W (reference shared_W_queue push,
                     # GCN_SAMPLE_PD_CACHE.hpp:603-606)
+                    self.cache = self.sb_caches[(i // pipe)
+                                                % len(self.sb_caches)]
                     self._refresh_cache()
                 self._dropout_key, sub = jax.random.split(self._dropout_key)
                 with self.timers.phase("train_step"):

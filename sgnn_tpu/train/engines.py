@@ -130,6 +130,11 @@ def build_trainer(cfg: RunConfig, dataset: Dataset):
             weight_kind=spec.weight_kind,
             degree_mode=degree_mode,
             bias_correction=spec.bias_correction,
+            # per-SB plans need the single-stream producer ordering; the DP
+            # composition samples with concurrent per-device streams, so
+            # PC_MULTI keeps one global hot set (as the reference's
+            # multi-GPU cache engines do, ntsDataloador.hpp:735)
+            per_sb=not spec.multi_device,
         )
     elif spec.device_sampling:
         from .device_trainer import DeviceSampleTrainer

@@ -240,3 +240,24 @@ def test_feature_cache_beyond_hbm_training(tiny_ds):
     # eval path works through the cache too
     acc = a.evaluate(a.val_nids)
     assert 0.0 <= acc <= 1.0
+
+
+def test_per_super_batch_cache_plans(tiny_ds):
+    """Per-SB cache planning (reference batch_cache_num, ntsBaseOp.hpp:427):
+    each super-batch gets its own hot set + cache index, swapped at SB
+    boundaries; training stays correct and hit accounting works."""
+    from sgnn_tpu.cache.orchestrator import CachedSampleTrainer
+    from sgnn_tpu.config import RunConfig
+
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=32,
+                    epochs=2, drop_rate=0.0, vertices=tiny_ds.num_vertices,
+                    pipeline_num=2, cache_rate=0.1)
+    tr = CachedSampleTrainer(cfg, tiny_ds, family="gcn")
+    assert tr.per_sb and len(tr.sb_caches) > 1
+    # plans genuinely differ between super-batches
+    ids0 = set(tr.sb_caches[0].cache_ids.tolist())
+    assert any(set(c.cache_ids.tolist()) != ids0 for c in tr.sb_caches[1:])
+    loss0, _, _ = tr.train_epoch()
+    loss1, _, _ = tr.train_epoch()
+    assert np.isfinite(loss1) and loss1 < loss0
+    assert tr.cache_lookups > 0 and 0.0 < tr.cache_hit_rate < 1.0
