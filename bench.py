@@ -105,6 +105,39 @@ def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
     }
 
 
+def bench_feature_cache(scale: float, epochs: int, batch_size: int) -> dict:
+    """Beyond-HBM path: features forced host-side with a partial HBM cache
+    sized to 30% of rows; reports hit rate + host→device transfer saving
+    (reference load_feature_gpu_cache capability)."""
+    import numpy as np
+
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.data.synthetic import reddit_like_dataset
+    from sgnn_tpu.sampler.blocks import WeightKind
+    from sgnn_tpu.train.trainer import SampleTrainer
+
+    ds = reddit_like_dataset(seed=0, scale=scale)
+    cfg = RunConfig(
+        layer_sizes=[602, 128, 41], fanout=[25, 10], batch_size=batch_size,
+        epochs=epochs, learn_rate=0.01, drop_rate=0.5,
+        vertices=ds.num_vertices, feature_cache_rate=0.5,
+    )
+    budget = int(0.3 * ds.num_vertices) * ds.features.shape[1] * 4
+    tr = SampleTrainer(cfg, ds, family="sage", weight_kind=WeightKind.MEAN,
+                       features_on_device=False, hbm_budget_bytes=budget)
+    report = tr.run(epochs=epochs, eval_every=10**9)
+    fc = tr.feat_cache
+    saving = 1.0 - fc.bytes_shipped / max(fc.bytes_full, 1)
+    log(f"[bench] feature-cache: hit {fc.hit_rate:.3f}, "
+        f"saving {100 * saving:.1f}% of {fc.bytes_full / 2**20:.0f} MiB, "
+        f"acc {report.train_acc[-1]:.3f}")
+    return {
+        "hit_rate": round(fc.hit_rate, 4),
+        "transfer_saving_pct": round(100 * saving, 2),
+        "train_acc": round(report.train_acc[-1], 4),
+    }
+
+
 def bench_cora_gcn(epochs: int) -> dict:
     import numpy as np
 
@@ -195,6 +228,13 @@ def main():
         cora = bench_cora_gcn(max(args.epochs, 5))
         # reference anchor: 0.428 s avg epoch (BASELINE.md)
         vs_baseline = 0.428045 / cora["avg_epoch_time"]
+    try:
+        fcache = bench_feature_cache(
+            min(args.scale, 0.25), 2, min(args.batch, 2500)
+        )
+    except Exception as e:  # keep the headline metric robust
+        log(f"[bench] feature-cache stage failed ({e!r}); omitting")
+        fcache = {}
 
     result = {
         "metric": "reddit_sage_f25-10_edges_per_sec_per_chip",
@@ -213,6 +253,7 @@ def main():
             "compute_dtype": "float32" if args.f32 else "bfloat16",
             "src_pad_factor": 0.0 if args.exact_pads else 1.2,
             "degree_mode": "sampled" if args.up_degree else "global",
+            "feature_cache": fcache,
         },
     }
     print(json.dumps(result), flush=True)
