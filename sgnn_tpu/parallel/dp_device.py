@@ -55,10 +55,9 @@ class DeviceDataParallelTrainer:
                 )
             self.feat_rows = rows
             self.feat_sharded = feats
-            # NOTE: base keeps its replicated copy for evaluate(); the
-            # TRAIN path touches only the sharded array.  A deployment
-            # where features exceed one chip would evaluate through the
-            # same sharded program (or the host feature cache).
+            # drop the replicated copy: train AND eval both run through
+            # the sharded array (evaluate() has its own DP program)
+            base.dev_features = None
         # programs cached per src-pad plan: per-device pads follow the
         # actual shard chunk (≤ batch_size), not the full batch size
         self._fn_cache = {}
@@ -145,23 +144,23 @@ class DeviceDataParallelTrainer:
         return jax.jit(epoch)
 
     # ------------------------------------------------------------------
-    def train_epoch(self) -> Tuple[float, float, int]:
+    def _shard_seed_arrays(self, nids: np.ndarray):
+        """Split nids across devices → ([n_steps, n_dev·pad] seeds/valid,
+        src_pads for the chunk-sized plan).
+
+        Per-device seed pad = the largest actual chunk (≤ batch_size):
+        padding every device to the full batch size would multiply padded
+        sampling/compute by n_dev at small scales."""
+        from ..sampler.blocks import pad_to
+
         base = self.base
-        nids = base._epoch_order(base.train_nids)
         shards = np.array_split(np.asarray(nids, np.int32), self.n_dev)
         bs = base.cfg.batch_size
         n_steps = max((len(s) + bs - 1) // bs for s in shards)
-        # per-device seed pad = the largest actual chunk (≤ batch_size):
-        # padding every device to the full batch size would multiply padded
-        # sampling/compute by n_dev at small scales
         chunk_max = max(min(bs, len(s)) for s in shards)
-        from ..sampler.blocks import pad_to
-
         seed_pad = pad_to(max(chunk_max, 1), 128)
         src_pads = (base.src_pads if seed_pad == base.seed_pad
                     else base.compute_src_pads(chunk_max))
-        epoch_fn = self._get_epoch_fn(src_pads)
-        # [n_steps, n_dev * seed_pad] with per-device layout
         seeds_all = np.zeros((n_steps, self.n_dev, seed_pad), np.int32)
         valid_all = np.zeros((n_steps, self.n_dev, seed_pad), bool)
         for d, sh in enumerate(shards):
@@ -169,8 +168,18 @@ class DeviceDataParallelTrainer:
                 chunk = sh[t * bs:(t + 1) * bs]
                 seeds_all[t, d, : chunk.size] = chunk
                 valid_all[t, d, : chunk.size] = True
-        seeds_all = seeds_all.reshape(n_steps, -1)
-        valid_all = valid_all.reshape(n_steps, -1)
+        return (seeds_all.reshape(n_steps, -1),
+                valid_all.reshape(n_steps, -1), src_pads)
+
+    def _features_arg(self):
+        return (self.feat_sharded if self.shard_features
+                else self.base.dev_features)
+
+    def train_epoch(self) -> Tuple[float, float, int]:
+        base = self.base
+        nids = base._epoch_order(base.train_nids)
+        seeds_all, valid_all, src_pads = self._shard_seed_arrays(nids)
+        epoch_fn = self._get_epoch_fn(src_pads)
         base._sample_key, key = jax.random.split(base._sample_key)
         keys = jax.random.split(key, self.n_dev)
         with self.timers.phase("dp_device_epoch"):
@@ -178,10 +187,7 @@ class DeviceDataParallelTrainer:
                 base.params, base.opt_state, jnp.asarray(seeds_all),
                 jnp.asarray(valid_all), keys,
                 base.dev_indptr, base.dev_indices, base.dev_in_deg,
-                base.dev_out_deg,
-                self.feat_sharded if self.shard_features
-                else base.dev_features,
-                base.dev_labels,
+                base.dev_out_deg, self._features_arg(), base.dev_labels,
             )
             acc_np = np.asarray(acc)
         return (
@@ -190,8 +196,75 @@ class DeviceDataParallelTrainer:
             int(np.asarray(edges)),
         )
 
+    def _build_dp_eval(self, src_pads):
+        base = self.base
+        family = base.family
+        fanouts = tuple(base.cfg.fanout)
+        wk = base.weight_kind
+        dm = base.dev_degree_mode
+        shard_feats = self.shard_features
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), P(None, "data"), P(None, "data"), P("data"),
+                      P(), P(), P(), P(),
+                      P("data") if shard_feats else P(), P()),
+            out_specs=P(),
+        )
+        def eval_epoch(params, seeds_all, valid_all, keys,
+                       indptr, indices, in_deg, out_deg, features, labels):
+            key = keys[0]
+
+            def body(key, xs):
+                seeds, valid = xs
+                key, sk = jax.random.split(key)
+                batch = device_sample_batch(
+                    sk, seeds, valid, indptr, indices, in_deg, out_deg,
+                    features, labels, fanouts, src_pads, wk,
+                    degree_mode=dm, gather_features=not shard_feats,
+                )
+                if shard_feats:
+                    import dataclasses as _dc
+
+                    from .sharded_features import fetch_feature_rows
+
+                    b0 = batch.blocks[0]
+                    rows = fetch_feature_rows(features, b0.srcs)
+                    x0 = jnp.where(b0.src_valid[:, None], rows,
+                                   jnp.zeros((), rows.dtype))
+                    batch = _dc.replace(batch, x0=x0)
+                logp = model_forward(params, family, batch, train=False)
+                return key, masked_accuracy(
+                    logp, batch.labels, batch.label_valid
+                )
+
+            _, accs = jax.lax.scan(body, key, (seeds_all, valid_all))
+            return jax.lax.psum(jnp.sum(accs, axis=0), "data")
+
+        return jax.jit(eval_epoch)
+
     def evaluate(self, nids):
-        return self.base.evaluate(nids)
+        if not self.shard_features:
+            return self.base.evaluate(nids)
+        # sharded-feature mode has no replicated copy: evaluate through the
+        # same DP + ICI-fetch program as training
+        base = self.base
+        nids = np.asarray(nids, np.int32)
+        if nids.size == 0:
+            return 0.0
+        seeds_all, valid_all, src_pads = self._shard_seed_arrays(nids)
+        key = ("eval", src_pads)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = self._build_dp_eval(src_pads)
+        base._sample_key, k = jax.random.split(base._sample_key)
+        keys = jax.random.split(k, self.n_dev)
+        acc = np.asarray(self._fn_cache[key](
+            base.params, jnp.asarray(seeds_all), jnp.asarray(valid_all),
+            keys, base.dev_indptr, base.dev_indices, base.dev_in_deg,
+            base.dev_out_deg, self._features_arg(), base.dev_labels,
+        ))
+        return int(acc[0]) / max(int(acc[1]), 1)
 
     def run(self, epochs: Optional[int] = None, eval_every: int = 1):
         import time

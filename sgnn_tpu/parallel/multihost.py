@@ -124,10 +124,13 @@ def run_multihost_dp_epochs(cfg, dataset, epochs: int = 1,
     from jax.experimental import multihost_utils
     from jax.sharding import PartitionSpec as P
 
+    from ..sampler.blocks import WeightKind
     from ..train.trainer import SampleTrainer
     from .dp import stack_batches
 
-    base = SampleTrainer(cfg, dataset, family=family)
+    wk = {"gcn": WeightKind.GCN, "sage": WeightKind.MEAN,
+          "gat": WeightKind.NONE}[family]
+    base = SampleTrainer(cfg, dataset, family=family, weight_kind=wk)
     mesh = global_mesh(graph=1)
     n_global = int(np.prod(mesh.devices.shape))
     pid = jax.process_index()

@@ -295,10 +295,15 @@ def test_sharded_feature_dp_matches_replicated(tiny_ds):
         return DeviceDataParallelTrainer(base, shard_features=shard)
 
     a, b = mk(False), mk(True)
-    # the sharded trainer's feature array really is split over devices
+    # the sharded trainer's feature array really is split over devices and
+    # the replicated copy is FREED (train + eval both run sharded)
     assert b.feat_sharded.shape[0] == b.feat_rows * b.n_dev
+    assert b.base.dev_features is None
     for _ in range(3):
         la, _, ea = a.train_epoch()
         lb, _, eb = b.train_epoch()
         np.testing.assert_allclose(la, lb, rtol=1e-4)
         assert ea == eb
+    # sharded evaluation works without any replicated feature copy
+    val = b.evaluate(b.base.val_nids)
+    assert 0.0 <= val <= 1.0
