@@ -62,6 +62,8 @@ class RunConfig:
     lock_free: bool = True
     optim_kernel: bool = True
     up_degree: bool = False          # recompute degrees within sampled subgraph
+    pushdown: bool = False           # serve bottom layer from the PD cache
+    repthreshold: int = 0            # Gemini replication threshold (PROC_REP)
     mini_pull: int = 0
     runs: int = 1
     time_skip: int = 3
@@ -141,6 +143,8 @@ _KEYMAP = {
     "LOCK_FREE": ("lock_free", _to_bool),
     "OPTIM_KERNEL": ("optim_kernel", _to_bool),
     "UP_DEGREE": ("up_degree", _to_bool),
+    "PUSHDOWN": ("pushdown", _to_bool),
+    "PROC_REP": ("repthreshold", int),
     "MINI_PULL": ("mini_pull", int),
     "OPTIMIZER": ("optimizer", str),
     "AGGREGATOR": ("aggregator", str),

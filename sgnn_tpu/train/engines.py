@@ -110,6 +110,14 @@ def build_trainer(cfg: RunConfig, dataset: Dataset):
     """
     spec = engine_from_config(cfg)
     degree_mode = resolve_degree_mode(cfg)
+    if cfg.pushdown and not spec.use_cache and not spec.multi_device:
+        # PUSHDOWN:1 turns the pushdown/PD path on inside non-PD engines
+        # (reference: the engines sample one fewer layer and serve the
+        # bottom from PushDown, GCN_SAMPLE_ALLGPU.hpp:444) — here that IS
+        # the cached trainer: the hot set's bottom layer comes from the
+        # cache and cached destinations are not expanded by the sampler.
+        spec = dataclasses.replace(spec, use_cache=True,
+                                   cache_on_device=spec.device_sampling)
     if spec.use_cache and spec.cache_on_device and not spec.multi_device:
         # GS_SAMPLE_CACHE: cache refreshed on the accelerator — fully-fused
         # device-sampled + in-scan cached trainer

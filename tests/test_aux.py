@@ -207,3 +207,22 @@ def test_time_skip_and_runs(tiny_ds):
                     algorithm="GCNSAMPLEALLGPU", runs=2, time_skip=1)
     report = run_engine(cfg, tiny_ds)
     assert len(report.epoch_times) == 2
+
+
+def test_pushdown_knob_routes_to_cache(tiny_ds):
+    """PUSHDOWN:1 turns the pushdown/PD-cache path on inside non-PD
+    engines (reference GCN_SAMPLE_ALLGPU.hpp:444 samples one fewer layer
+    and serves the bottom from PushDown)."""
+    from sgnn_tpu.config import parse_cfg_text
+    from sgnn_tpu.train.engines import build_trainer
+
+    cfg = parse_cfg_text(
+        "ALGORITHM:GCNSAMPLEGPU\nPUSHDOWN:1\nLAYERS:32-16-5\nFANOUT:4-3\n"
+        f"BATCH_SIZE:64\nVERTICES:{tiny_ds.num_vertices}\nCACHE_RATE:0.1\n"
+        "EPOCHS:1\nDROP_RATE:0.0\n"
+    )
+    assert cfg.pushdown
+    tr = build_trainer(cfg, tiny_ds)
+    assert hasattr(tr, "cache")  # the PD-cache trainer
+    loss, _, _ = tr.train_epoch()
+    assert np.isfinite(loss)
