@@ -56,22 +56,53 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
             bias_correction=bias_correction, adj=adj,
         )
         cache_rate = cfg.cache_rate if cfg.cache_rate > 0 else 0.1
-        cache_ids = presample_hotness(
-            self.adj, self.train_nids, cfg.fanout, cache_rate,
-            edge_file=cfg.edge_file or None, batch_size=cfg.batch_size,
-        )
         agg_kind = weight_kind if family != "gat" else WeightKind.MEAN
-        self.cache = EmbeddingCache.build(self.adj, cache_ids, agg_kind)
-        # pad the device slot map to v_pad rows (padded seed ids index it)
-        v_pad = self.dev_features.shape[0]
-        cmap = np.full(v_pad, -1, np.int32)
-        cmap[: self.adj.num_vertices] = self.cache.cache_map_host
-        self.cache.cache_map = jnp.asarray(cmap)
         self.super_batch_steps = max(cfg.pipeline_num, 1)
+        sb_size = cfg.batch_size * self.super_batch_steps
+        # Per-super-batch plans (reference batch_cache_num): one hot set per
+        # SB, all stacked into device arrays so the SCAN swaps plans with a
+        # dynamic index at each SB boundary — the fused-program analogue of
+        # set_cache_index (ntsDataloador.hpp:440).
+        self.per_sb = len(self.train_nids) > sb_size
+        if self.per_sb:
+            from ..cache.hotness import presample_hotness_per_sb
+
+            per_ids = presample_hotness_per_sb(
+                self.adj, self.train_nids, cfg.fanout, cache_rate, sb_size,
+                edge_file=cfg.edge_file or None, batch_size=cfg.batch_size,
+            )
+        else:
+            per_ids = presample_hotness(
+                self.adj, self.train_nids, cfg.fanout, cache_rate,
+                edge_file=cfg.edge_file or None, batch_size=cfg.batch_size,
+            )[None]
+        self.sb_caches = [
+            EmbeddingCache.build(self.adj, ids, agg_kind) for ids in per_ids
+        ]
+        self.cache = self.sb_caches[0]
+        v_pad = self.dev_features.shape[0]
+        n_sb = len(self.sb_caches)
+        e_pad = max(int(c.coo_src.shape[0]) for c in self.sb_caches)
+        cmaps = np.full((n_sb, v_pad), -1, np.int32)
+        coo_src = np.zeros((n_sb, e_pad), np.int32)
+        coo_slot = np.zeros((n_sb, e_pad), np.int32)
+        coo_w = np.zeros((n_sb, e_pad), np.float32)
+        for k, c in enumerate(self.sb_caches):
+            cmaps[k, : self.adj.num_vertices] = c.cache_map_host
+            n = int(c.coo_src.shape[0])
+            coo_src[k, :n] = np.asarray(c.coo_src)
+            coo_slot[k, :n] = np.asarray(c.coo_slot)
+            coo_w[k, :n] = np.asarray(c.coo_w)
+        self.cache_maps = jnp.asarray(cmaps)
+        self.coo_src_all = jnp.asarray(coo_src)
+        self.coo_slot_all = jnp.asarray(coo_slot)
+        self.coo_w_all = jnp.asarray(coo_w)
+        self.cache.cache_map = self.cache_maps[0]
         self._cached_epoch_fn = self._build_cached_epoch_fn()
         log.info(
-            "device cache: %d hot vertices, refresh every %d steps in-scan",
-            self.cache.num_cached, self.super_batch_steps,
+            "device cache: %d hot vertices x %d super-batch plans, refresh "
+            "every %d steps in-scan",
+            self.cache.num_cached, n_sb, self.super_batch_steps,
         )
 
     # ------------------------------------------------------------- programs
@@ -89,13 +120,17 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
         @jax.jit
         def epoch(params, opt_state, cache_emb, seeds_all, valid_all, key,
                   indptr, indices, in_deg, out_deg, features, labels,
-                  omit_map, coo_src, coo_slot, coo_w):
-            def refresh(w0):
-                # hot-set full-neighborhood aggregation ·W0 (the reference's
-                # PushDown + X·W, as one segment-sum + matmul).  No
-                # whole-matrix astype: bf16 rows promote elementwise against
-                # the f32 edge weights inside the segment sum.
-                agg = spmm_coo(features, coo_src, coo_slot, coo_w, num_slots)
+                  omit_maps, coo_src_all, coo_slot_all, coo_w_all):
+            n_sb = omit_maps.shape[0]
+
+            def refresh(w0, sb):
+                # hot-set full-neighborhood aggregation ·W0 for THIS super-
+                # batch's plan (the reference's PushDown + X·W, as one
+                # segment-sum + matmul).  No whole-matrix astype: bf16 rows
+                # promote elementwise against the f32 edge weights inside
+                # the segment sum.
+                agg = spmm_coo(features, coo_src_all[sb], coo_slot_all[sb],
+                               coo_w_all[sb], num_slots)
                 return jnp.dot(agg.astype(jnp.float32), w0,
                                preferred_element_type=jnp.float32)
 
@@ -103,16 +138,18 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
                 params, opt_state, cache_emb, step_i, key = carry
                 seeds, valid = xs
                 key, sk, dk = jax.random.split(key, 3)
-                # super-batch boundary: republish the cache with current W0
+                sb = (step_i // sb_steps) % n_sb
+                # super-batch boundary: install this SB's plan + republish
+                # the cache with current W0 (set_cache_index parity)
                 cache_emb = jax.lax.cond(
                     step_i % sb_steps == 0,
-                    lambda: refresh(params.weights[0]),
+                    lambda: refresh(params.weights[0], sb),
                     lambda: cache_emb,
                 )
                 batch = device_sample_batch(
                     sk, seeds, valid, indptr, indices, in_deg, out_deg,
                     features, labels, fanouts, src_pads, wk,
-                    omit_map=omit_map, degree_mode=dm,
+                    omit_map=omit_maps[sb], degree_mode=dm,
                 )
 
                 def loss_fn(p):
@@ -178,8 +215,8 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
                 seeds_all, valid_all, key,
                 self.dev_indptr, self.dev_indices, self.dev_in_deg,
                 self.dev_out_deg, self.dev_features, self.dev_labels,
-                self.cache.cache_map, self.cache.coo_src,
-                self.cache.coo_slot, self.cache.coo_w,
+                self.cache_maps, self.coo_src_all,
+                self.coo_slot_all, self.coo_w_all,
             )
             acc_np = np.asarray(acc_sum)
         self.cache_hits = int(np.asarray(hits))

@@ -261,3 +261,21 @@ def test_per_super_batch_cache_plans(tiny_ds):
     loss1, _, _ = tr.train_epoch()
     assert np.isfinite(loss1) and loss1 < loss0
     assert tr.cache_lookups > 0 and 0.0 < tr.cache_hit_rate < 1.0
+
+
+def test_device_cached_per_sb_plans(tiny_ds):
+    """GS_SAMPLE_CACHE with per-super-batch plans: the fused scan swaps the
+    cache index/COO by dynamic index at SB boundaries."""
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.train.device_cached import DeviceCachedSampleTrainer
+
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=32,
+                    epochs=2, drop_rate=0.0, vertices=tiny_ds.num_vertices,
+                    pipeline_num=2, cache_rate=0.1)
+    tr = DeviceCachedSampleTrainer(cfg, tiny_ds, family="gcn",
+                                   weight_kind=WeightKind.GCN)
+    assert tr.per_sb and len(tr.sb_caches) > 1
+    loss0, _, _ = tr.train_epoch()
+    loss1, _, _ = tr.train_epoch()
+    assert np.isfinite(loss1) and loss1 < loss0
+    assert tr.cache_lookups > 0
