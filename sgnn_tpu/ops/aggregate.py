@@ -43,11 +43,14 @@ def gather_aggregate(x_src: jax.Array, nbr: jax.Array, weight: jax.Array) -> jax
 
 
 def _gather_aggregate_fwd_impl(x_src, nbr, weight):
-    gathered = x_src[nbr]                      # [D, K, F]
-    return jnp.einsum(
-        "dk,dkf->df", weight, gathered,
-        preferred_element_type=x_src.dtype,
-    )
+    # Slot-wise accumulation: K fused gather·w·add passes over [D, F]
+    # instead of one [D, K, F] gather + einsum — never materialises the
+    # 3-D intermediate (at bench shapes that tensor is 480 MB of HBM
+    # round-trip per layer).
+    out = jnp.zeros((nbr.shape[0], x_src.shape[1]), x_src.dtype)
+    for k in range(nbr.shape[1]):
+        out = out + x_src[nbr[:, k]] * weight[:, k][:, None].astype(x_src.dtype)
+    return out
 
 
 def _gather_aggregate_fwd(x_src, nbr, weight):
