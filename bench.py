@@ -174,6 +174,10 @@ def main():
     ap.add_argument("--up-degree", action="store_true",
                     help="UP_DEGREE=1: sampled-subgraph degree weights "
                          "(default: global-degree, the reference default)")
+    ap.add_argument("--threefry", action="store_true",
+                    help="use the threefry PRNG (default: rbg, the faster "
+                         "TPU hardware generator — accuracy-parity checked "
+                         "by this bench's own train-acc output)")
     ap.add_argument("--f32", action="store_true",
                     help="float32 features/activations (default is bf16 "
                          "features + f32 params/head — accuracy-parity "
@@ -190,6 +194,10 @@ def main():
 
     _jax.config.update("jax_compilation_cache_dir", cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if not args.threefry:
+        # rbg: XLA's hardware RngBitGenerator — much cheaper than threefry
+        # for the millions of sampling/dropout draws per step
+        _jax.config.update("jax_default_prng_impl", "rbg")
 
     if args.smoke or args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
