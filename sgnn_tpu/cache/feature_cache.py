@@ -99,7 +99,10 @@ class FeatureCache:
         self.hits += nvalid - pos.size
         pad = _cold_bucket(pos.size, srcs.shape[0])
         x0 = np.zeros((pad, features.shape[1]), features.dtype)
-        x0[: pos.size] = features[srcs[pos]]
+        if pos.size:
+            from ..sampler.native import gather_rows
+
+            gather_rows(features, srcs[pos], out=x0[: pos.size])
         cold_pos = np.full(pad, srcs.shape[0], np.int32)  # pad → dropped
         cold_pos[: pos.size] = pos
         self.bytes_shipped += x0.nbytes

@@ -306,7 +306,8 @@ class HostSampledBatch:
     def payload(self, features: np.ndarray, labels: np.ndarray):
         """Gather input features (bottom src set) + seed labels, padded."""
         b0, btop = self.blocks[0], self.blocks[-1]
-        x0 = features[np.maximum(b0.srcs, 0)]
-        x0[~b0.src_valid] = 0.0
+        from .native import gather_rows
+
+        x0 = gather_rows(features, b0.srcs, valid=b0.src_valid)
         y = labels[np.maximum(btop.seeds, 0)].astype(np.int32)
         return x0, y, btop.dst_valid.copy()

@@ -20,3 +20,10 @@ def sample_batch(sampler, seeds, omit_map=None):
     from .bindings import sample_batch as _sb
 
     return _sb(sampler, seeds, omit_map, lib)
+
+
+def gather_rows(features, idx, valid=None, out=None):
+    """Parallel host feature-row gather (numpy fallback when lib is None)."""
+    from .bindings import gather_rows as _gr
+
+    return _gr(features, idx, valid=valid, out=out, lib=lib)

@@ -94,6 +94,50 @@ def sample_batch(sampler, batch_seeds: np.ndarray,
     return sampler._finalize(hops, nseed)
 
 
+def gather_rows(
+    features: np.ndarray,
+    idx: np.ndarray,
+    valid: Optional[np.ndarray] = None,
+    out: Optional[np.ndarray] = None,
+    lib=None,
+) -> np.ndarray:
+    """Parallel host row gather: out[i] = features[idx[i]], zeroed where
+    ~valid.  OpenMP memcpy per row (sgnn_gather_rows) — numpy fancy indexing
+    does the identical copies single-threaded, and this sits on the host
+    critical path of feature staging (reference load_feature_gpu pinned-block
+    assembly, ntsFastSampler.hpp:227).  Falls back to numpy when the native
+    library is unavailable or layouts are non-contiguous."""
+    n = int(idx.shape[0])
+    if out is None:
+        out = np.empty((n, features.shape[1]), features.dtype)
+    if (
+        lib is None
+        or not features.flags.c_contiguous
+        or not out.flags.c_contiguous
+        or out.dtype != features.dtype
+    ):
+        np.take(features, np.maximum(idx, 0), axis=0, out=out)
+        if valid is not None:
+            out[~valid.astype(bool)] = 0
+        return out
+    idx32 = np.ascontiguousarray(np.maximum(idx, 0), dtype=np.int32)
+    v8 = (
+        None
+        if valid is None
+        else np.ascontiguousarray(valid, dtype=np.uint8)
+    )
+    row_bytes = features.shape[1] * features.itemsize
+    lib.sgnn_gather_rows(
+        features.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        row_bytes,
+        _ptr(idx32, ctypes.c_int32),
+        n,
+        _ptr(v8, ctypes.c_uint8) if v8 is not None else None,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
+
+
 _MODE = {  # (WeightKind.value, degree_mode) → sgnn_weights mode enum
     ("gcn", "sampled"): 0,
     ("mean", "sampled"): 1,

@@ -69,4 +69,6 @@ def load_library() -> ctypes.CDLL:
     lib.sgnn_weights.restype = None
     lib.sgnn_num_threads.argtypes = []
     lib.sgnn_num_threads.restype = ctypes.c_int
+    lib.sgnn_gather_rows.argtypes = [p_u8, c_i64, p_i32, c_i64, p_u8, p_u8]
+    lib.sgnn_gather_rows.restype = None
     return lib

@@ -275,4 +275,25 @@ int sgnn_num_threads() {
 #endif
 }
 
+// Parallel feature-row gather: out[i] = base[idx[i]] (row_bytes each), rows
+// with valid[i]==0 zeroed.  Plays the role of the reference's pinned-host
+// feature assembly (load_feature_gpu, ntsFastSampler.hpp:227): the reference
+// memcpy-packs sampled rows into a pinned staging block on the CPU before
+// the H2D copy; numpy's fancy indexing does the same copy single-threaded.
+void sgnn_gather_rows(const uint8_t* base, int64_t row_bytes,
+                      const int32_t* idx, int64_t n, const uint8_t* valid,
+                      uint8_t* out) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t* dst = out + i * row_bytes;
+    if (valid != nullptr && valid[i] == 0) {
+      memset(dst, 0, (size_t)row_bytes);
+    } else {
+      memcpy(dst, base + (int64_t)idx[i] * row_bytes, (size_t)row_bytes);
+    }
+  }
+}
+
 }  // extern "C"

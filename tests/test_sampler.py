@@ -402,3 +402,26 @@ def test_device_sampler_overflow_counter(adj, tiny_ds):
         (4, 3), exact, WeightKind.GCN,
     )
     assert int(np.asarray(b2.overflow)) == 0
+
+
+def test_gather_rows_matches_numpy():
+    """Native parallel row gather (sgnn_gather_rows) == numpy fancy indexing,
+    including zeroed invalid rows and the numpy fallback path."""
+    from sgnn_tpu.sampler.native import gather_rows
+
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((500, 37)).astype(np.float32)
+    idx = rng.integers(0, 500, 200).astype(np.int32)
+    valid = rng.random(200) > 0.3
+    idx_masked = np.where(valid, idx, -1)
+
+    got = gather_rows(feats, idx_masked, valid=valid)
+    want = feats[idx].copy()
+    want[~valid] = 0.0
+    np.testing.assert_array_equal(got, want)
+
+    # out= view path (compact cold buffer) and no-mask path
+    out = np.zeros((256, 37), np.float32)
+    gather_rows(feats, idx, out=out[:200])
+    np.testing.assert_array_equal(out[:200], feats[idx])
+    assert not out[200:].any()
