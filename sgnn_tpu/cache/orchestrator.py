@@ -104,6 +104,7 @@ class CachedSampleTrainer(SampleTrainer):
     # ------------------------------------------------------------- programs
     def _build_step(self):
         family, drop_rate = self.family, self.cfg.drop_rate
+        heads = self.cfg.heads
         optimizer = self.optimizer
 
         @jax.jit
@@ -116,7 +117,7 @@ class CachedSampleTrainer(SampleTrainer):
 
                 logp = model_forward(
                     p, family, batch_m, drop_rate=drop_rate, train=True,
-                    dropout_key=key, cache_emb=cache_emb,
+                    dropout_key=key, cache_emb=cache_emb, heads=heads,
                 )
                 return (
                     nll_loss_masked(logp, batch_m.labels, batch_m.label_valid),

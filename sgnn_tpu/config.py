@@ -46,6 +46,7 @@ class RunConfig:
     decay_epoch: int = 100
     optimizer: str = "adam"          # adam | sgd (Parameter has both)
     drop_rate: float = 0.5
+    heads: int = 1                   # GAT attention heads (1 = reference)
     # pipeline / cache orchestration (NeutronOrch)
     pipeline_num: int = 4
     cache_rate: float = 0.0          # hot-vertex embedding cache fraction
@@ -129,6 +130,7 @@ _KEYMAP = {
     "DECAY_RATE": ("decay_rate", float),
     "DECAY_EPOCH": ("decay_epoch", int),
     "DROP_RATE": ("drop_rate", float),
+    "HEADS": ("heads", int),
     "PIPELINE_NUM": ("pipeline_num", int),
     "CACHE_RATE": ("cache_rate", float),
     "FEATURE_CACHE_RATE": ("feature_cache_rate", float),

@@ -24,6 +24,7 @@ can, via the custom-VJP ops in sgnn_tpu/ops).
 
 from __future__ import annotations
 
+import functools
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -77,7 +78,14 @@ def _gat_layer(
     *,
     negative_slope: float = 0.2,
     pre_act: bool = True,
+    heads: int = 1,
 ) -> jax.Array:
+    """One GAT layer; `heads` > 1 splits the F' output columns into
+    `heads` blocks, each with its own attention (concat-of-heads GAT —
+    param SHAPES are unchanged from the single-head reference layer, the
+    head structure reinterprets W's column blocks and a's rows; heads=1
+    is bit-identical to the reference single-head rule,
+    GAT_SAMPLE_ALL_GPU.hpp:308-393)."""
     h = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)  # [S, F']
     fprime = h.shape[-1]
     h_src_e = scatter_src_to_edges(h, block.nbr)                   # [D, K, F']
@@ -85,11 +93,24 @@ def _gat_layer(
     # [H_src ‖ H_dst]·a  ==  H_src·a[:F'] + H_dst·a[F':]  (split the concat)
     a_src = a[:fprime, 0].astype(h.dtype)
     a_dst = a[fprime:, 0].astype(h.dtype)
-    score = jnp.einsum("dkf,f->dk", h_src_e, a_src) + (h_dst @ a_dst)[:, None]
-    score = jax.nn.leaky_relu(score, negative_slope)
     mask = block.weight != 0.0
-    att = edge_softmax(score, mask)
-    out = aggregate_edges_to_dst(h_src_e, att)                     # [D, F']
+    if heads > 1:
+        assert fprime % heads == 0, (fprime, heads)
+        fh = fprime // heads
+        d, k = h_src_e.shape[0], h_src_e.shape[1]
+        src_h = h_src_e.reshape(d, k, heads, fh)
+        dst_h = h_dst.reshape(d, heads, fh)
+        score = jnp.einsum("dkhf,hf->dkh", src_h, a_src.reshape(heads, fh))
+        score = score + jnp.einsum(
+            "dhf,hf->dh", dst_h, a_dst.reshape(heads, fh)
+        )[:, None, :]
+        att = edge_softmax(jax.nn.leaky_relu(score, negative_slope), mask)
+        out = aggregate_edges_to_dst(src_h, att).reshape(d, fprime)
+    else:
+        score = jnp.einsum("dkf,f->dk", h_src_e, a_src) + (h_dst @ a_dst)[:, None]
+        score = jax.nn.leaky_relu(score, negative_slope)
+        att = edge_softmax(score, mask)
+        out = aggregate_edges_to_dst(h_src_e, att)                 # [D, F']
     return out if pre_act else jax.nn.relu(out)
 
 
@@ -103,6 +124,7 @@ def model_forward(
     dropout_key: Optional[jax.Array] = None,
     cache_emb: Optional[jax.Array] = None,
     remat: bool = False,
+    heads: int = 1,
 ) -> jax.Array:
     """Run the L-layer model; returns log-probs [num_seed_pad, classes].
 
@@ -127,15 +149,21 @@ def model_forward(
     # ntsSubLinearNNOP.hpp:32): rematerialise hidden layers in backward
     # instead of storing their activations — jax.checkpoint does exactly
     # the recomputation that op stubs out.
-    gat_layer = (
-        jax.checkpoint(_gat_layer, static_argnums=()) if remat else _gat_layer
-    )
+    def gat_layer(w, a, block, x, *, heads=1):
+        # bind `heads` at the function level (functools.partial) so
+        # jax.checkpoint never sees it as a traceable argument
+        fn = functools.partial(_gat_layer, heads=heads)
+        return (jax.checkpoint(fn) if remat else fn)(w, a, block, x)
     for l in range(n_layers):
         block = batch.blocks[l]
         is_last = l == n_layers - 1
         if family == "gat":
+            # multi-head attention on hidden layers (HEADS cfg key); the
+            # classification layer stays single-head so heads never split
+            # the class logits
             pre = gat_layer(
-                params.weights[l], params.attn[l], block, x
+                params.weights[l], params.attn[l], block, x,
+                heads=1 if is_last else heads,
             )
             if l == 0 and use_cache:
                 pre = _merge_cache(pre, batch, cache_emb)

@@ -108,12 +108,15 @@ def edge_softmax(scores: jax.Array, edge_mask: jax.Array) -> jax.Array:
     backward needed (XLA differentiates it exactly).
 
     Args:
-      scores:    [D, K] raw attention logits.
+      scores:    [D, K] raw attention logits (or [D, K, H] for multi-head
+                 GAT — softmax stays per (dst, head) over the fanout axis).
       edge_mask: [D, K] bool, True on valid edges.
     Returns:
-      [D, K] attention weights, 0 on invalid slots; rows with no valid edge
-      are all-zero.
+      Attention weights shaped like `scores`, 0 on invalid slots; rows with
+      no valid edge are all-zero.
     """
+    if scores.ndim == 3 and edge_mask.ndim == 2:
+        edge_mask = edge_mask[:, :, None]
     neg = jnp.finfo(scores.dtype).min
     masked = jnp.where(edge_mask, scores, neg)
     m = jnp.max(masked, axis=1, keepdims=True)
@@ -126,7 +129,12 @@ def edge_softmax(scores: jax.Array, edge_mask: jax.Array) -> jax.Array:
 def aggregate_edges_to_dst(edge_msg: jax.Array, attn: jax.Array) -> jax.Array:
     """Attention-weighted edge→destination sum: out[d] = Σ_k attn[d,k]·msg[d,k].
 
-    Reference `BatchGPUAggregateDst` (ntsPushdownGraphOp.hpp:670).
+    Reference `BatchGPUAggregateDst` (ntsPushdownGraphOp.hpp:670).  With a
+    head axis (attn [D,K,H], msg [D,K,H,Fh]) each head aggregates its own
+    feature block; the caller flattens [D,H,Fh] back to [D,F'].
     """
+    if attn.ndim == 3:
+        return jnp.einsum("dkh,dkhf->dhf", attn, edge_msg,
+                          preferred_element_type=edge_msg.dtype)
     return jnp.einsum("dk,dkf->df", attn, edge_msg,
                       preferred_element_type=edge_msg.dtype)

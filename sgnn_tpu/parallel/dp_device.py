@@ -70,6 +70,7 @@ class DeviceDataParallelTrainer:
     def _build_dp_epoch(self, src_pads):
         base = self.base
         family, drop_rate = base.family, base.cfg.drop_rate
+        heads = base.cfg.heads
         optimizer = base.optimizer
         fanouts = tuple(base.cfg.fanout)
         wk = base.weight_kind
@@ -115,7 +116,7 @@ class DeviceDataParallelTrainer:
                 def loss_fn(p):
                     logp = model_forward(
                         p, family, batch, drop_rate=drop_rate, train=True,
-                        dropout_key=dk, remat=remat,
+                        dropout_key=dk, remat=remat, heads=heads,
                     )
                     return (
                         nll_loss_masked(logp, batch.labels, batch.label_valid),
@@ -198,7 +199,7 @@ class DeviceDataParallelTrainer:
 
     def _build_dp_eval(self, src_pads):
         base = self.base
-        family = base.family
+        family, heads = base.family, base.cfg.heads
         fanouts = tuple(base.cfg.fanout)
         wk = base.weight_kind
         dm = base.dev_degree_mode
@@ -234,7 +235,8 @@ class DeviceDataParallelTrainer:
                     x0 = jnp.where(b0.src_valid[:, None], rows,
                                    jnp.zeros((), rows.dtype))
                     batch = _dc.replace(batch, x0=x0)
-                logp = model_forward(params, family, batch, train=False)
+                logp = model_forward(params, family, batch, train=False,
+                                     heads=heads)
                 return key, masked_accuracy(
                     logp, batch.labels, batch.label_valid
                 )

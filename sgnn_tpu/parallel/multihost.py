@@ -58,7 +58,7 @@ def _env_int(name: str) -> Optional[int]:
 
 
 def make_multihost_dp_step(family, drop_rate, optimizer, mesh: Mesh,
-                           materialize=None):
+                           materialize=None, heads: int = 1):
     """DP train step over a (possibly multi-process) global mesh.
 
     Like dp.make_dp_step (per-device grads → psum SUM → replicated Adam,
@@ -81,7 +81,7 @@ def make_multihost_dp_step(family, drop_rate, optimizer, mesh: Mesh,
 
         def loss_fn(p):
             logp = model_forward(p, family, batch, drop_rate=drop_rate,
-                                 train=True, dropout_key=key)
+                                 train=True, dropout_key=key, heads=heads)
             return nll_loss_masked(logp, batch.labels, batch.label_valid), logp
 
         (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -146,7 +146,7 @@ def run_multihost_dp_epochs(cfg, dataset, epochs: int = 1,
 
     step_fn = make_multihost_dp_step(
         base.family, cfg.drop_rate, base.optimizer, mesh,
-        materialize=base._materialize,
+        materialize=base._materialize, heads=cfg.heads,
     )
     params_g = to_global(base.params, P())
     opt_g = to_global(base.opt_state, P())

@@ -108,6 +108,7 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
     # ------------------------------------------------------------- programs
     def _build_cached_epoch_fn(self):
         family, drop_rate = self.family, self.cfg.drop_rate
+        heads = self.cfg.heads
         optimizer = self.optimizer
         remat = self.cfg.remat
         fanouts = tuple(self.cfg.fanout)
@@ -155,7 +156,7 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
                 def loss_fn(p):
                     logp = model_forward(
                         p, family, batch, drop_rate=drop_rate, train=True,
-                        dropout_key=dk, cache_emb=cache_emb, remat=remat,
+                        dropout_key=dk, cache_emb=cache_emb, remat=remat, heads=heads,
                     )
                     return (
                         nll_loss_masked(logp, batch.labels, batch.label_valid),

@@ -138,6 +138,7 @@ class DeviceSampleTrainer(SampleTrainer):
     # ------------------------------------------------------------- programs
     def _build_device_step(self):
         family, drop_rate = self.family, self.cfg.drop_rate
+        heads = self.cfg.heads
         optimizer = self.optimizer
         remat = self.cfg.remat
         fanouts = tuple(self.cfg.fanout)
@@ -157,7 +158,7 @@ class DeviceSampleTrainer(SampleTrainer):
             def loss_fn(p):
                 logp = model_forward(
                     p, family, batch, drop_rate=drop_rate, train=True,
-                    dropout_key=dkey, remat=remat,
+                    dropout_key=dkey, remat=remat, heads=heads,
                 )
                 return (
                     nll_loss_masked(logp, batch.labels, batch.label_valid),
@@ -181,6 +182,7 @@ class DeviceSampleTrainer(SampleTrainer):
         trips, and the compiler overlaps adjacent steps' gathers/compute.
         """
         family, drop_rate = self.family, self.cfg.drop_rate
+        heads = self.cfg.heads
         optimizer = self.optimizer
         remat = self.cfg.remat
         fanouts = tuple(self.cfg.fanout)
@@ -204,7 +206,7 @@ class DeviceSampleTrainer(SampleTrainer):
                 def loss_fn(p):
                     logp = model_forward(
                         p, family, batch, drop_rate=drop_rate, train=True,
-                        dropout_key=dk, remat=remat,
+                        dropout_key=dk, remat=remat, heads=heads,
                     )
                     return (
                         nll_loss_masked(logp, batch.labels, batch.label_valid),
@@ -230,7 +232,7 @@ class DeviceSampleTrainer(SampleTrainer):
         return epoch
 
     def _build_device_eval(self):
-        family = self.family
+        family, heads = self.family, self.cfg.heads
         fanouts = tuple(self.cfg.fanout)
         src_pads = self.src_pads
         wk = self.weight_kind
@@ -244,14 +246,15 @@ class DeviceSampleTrainer(SampleTrainer):
                 features, labels, fanouts, src_pads, wk,
                 degree_mode=dm,
             )
-            logp = model_forward(params, family, batch, train=False)
+            logp = model_forward(params, family, batch, train=False,
+                     heads=heads)
             return masked_accuracy(logp, batch.labels, batch.label_valid)
 
         return evaluate
 
     def _build_eval_epoch_fn(self):
         """Fused evaluation: one scan program over all eval batches."""
-        family = self.family
+        family, heads = self.family, self.cfg.heads
         fanouts = tuple(self.cfg.fanout)
         src_pads = self.src_pads
         wk = self.weight_kind
@@ -268,7 +271,8 @@ class DeviceSampleTrainer(SampleTrainer):
                     features, labels, fanouts, src_pads, wk,
                     degree_mode=dm,
                 )
-                logp = model_forward(params, family, batch, train=False)
+                logp = model_forward(params, family, batch, train=False,
+                     heads=heads)
                 return key, masked_accuracy(
                     logp, batch.labels, batch.label_valid
                 )

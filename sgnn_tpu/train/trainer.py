@@ -221,6 +221,7 @@ class SampleTrainer:
 
     def _build_step(self):
         family, drop_rate = self.family, self.cfg.drop_rate
+        heads = self.cfg.heads
         optimizer = self.optimizer
         remat = self.cfg.remat
 
@@ -235,7 +236,7 @@ class SampleTrainer:
                 logp = model_forward(
                     p, family, batch_m,
                     drop_rate=drop_rate, train=True, dropout_key=key,
-                    remat=remat,
+                    remat=remat, heads=heads,
                 )
                 return (
                     nll_loss_masked(logp, batch_m.labels, batch_m.label_valid),
@@ -250,14 +251,15 @@ class SampleTrainer:
         return step
 
     def _build_eval(self):
-        family = self.family
+        family, heads = self.family, self.cfg.heads
 
         @jax.jit
         def evaluate(params: GNNParams, batch: SampledBatch, features, labels,
                      cache_rows=None, slot_map=None):
             batch_m = self._materialize(batch, features, labels,
                                         cache_rows, slot_map)
-            logp = model_forward(params, family, batch_m, train=False)
+            logp = model_forward(params, family, batch_m, train=False,
+                                 heads=heads)
             return masked_accuracy(logp, batch_m.labels, batch_m.label_valid)
 
         return evaluate

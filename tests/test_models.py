@@ -115,3 +115,50 @@ def test_lr_decay_schedule():
     # steps 1,2 → decay^1 applies at step>=2
     _, st = opt.update({"w": jnp.ones((1, 1))}, st, p)
     assert int(st.step) == 1
+
+
+# ---------------------------------------------------------------- heads ----
+def test_gat_multihead_matches_per_head_reference(batch):
+    """H-head GAT layer == H independent single-head GATs over W's column
+    blocks, concatenated (heads reinterpret the layer; shapes unchanged)."""
+    from sgnn_tpu.models.gnn import _gat_layer, GNNParams
+
+    heads, fh = 4, 8
+    fp = heads * fh
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    w = jax.random.normal(k1, (batch.x0.shape[1], fp)) * 0.1
+    a = jax.random.normal(k2, (2 * fp, 1)) * 0.1
+    block = batch.blocks[0]
+    x = batch.x0
+
+    got = _gat_layer(w, a, block, x, heads=heads)
+
+    pieces = []
+    for h in range(heads):
+        w_h = w[:, h * fh : (h + 1) * fh]
+        a_h = jnp.concatenate(
+            [a[h * fh : (h + 1) * fh], a[fp + h * fh : fp + (h + 1) * fh]]
+        )
+        pieces.append(_gat_layer(w_h, a_h, block, x, heads=1))
+    want = jnp.concatenate(pieces, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gat_multihead_grads_and_head_key(batch):
+    """HEADS>1 trains: grads flow to every head's attention rows; the
+    model_forward path accepts heads and the last layer stays single-head
+    (class logits never split)."""
+    params = init_model(jax.random.PRNGKey(1), "gat", [32, 16, 5])
+
+    def loss(p):
+        logp = model_forward(p, "gat", batch, heads=4)
+        return nll_loss_masked(logp, batch.labels, batch.label_valid)
+
+    g = jax.grad(loss)(params)
+    a0 = np.asarray(g.attn[0])
+    fh = 16 // 4
+    for h in range(4):
+        assert np.abs(a0[h * fh : (h + 1) * fh]).max() > 0, h
+    assert np.isfinite(float(loss(params)))
