@@ -47,6 +47,7 @@ class RunConfig:
     optimizer: str = "adam"          # adam | sgd (Parameter has both)
     drop_rate: float = 0.5
     heads: int = 1                   # GAT attention heads (1 = reference)
+    scan_unroll: int = 1             # fused-epoch scan unroll factor
     # pipeline / cache orchestration (NeutronOrch)
     pipeline_num: int = 4
     cache_rate: float = 0.0          # hot-vertex embedding cache fraction
@@ -131,6 +132,7 @@ _KEYMAP = {
     "DECAY_EPOCH": ("decay_epoch", int),
     "DROP_RATE": ("drop_rate", float),
     "HEADS": ("heads", int),
+    "SCAN_UNROLL": ("scan_unroll", int),
     "PIPELINE_NUM": ("pipeline_num", int),
     "CACHE_RATE": ("cache_rate", float),
     "FEATURE_CACHE_RATE": ("feature_cache_rate", float),

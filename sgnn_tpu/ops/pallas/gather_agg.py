@@ -96,7 +96,7 @@ def pallas_gather_aggregate_fwd_impl(x, nbr, w, interpret: bool = False):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_TILE_D, k), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((_TILE_D, f), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),

@@ -189,6 +189,7 @@ class DeviceSampleTrainer(SampleTrainer):
         src_pads = self.src_pads
         wk = self.weight_kind
         dm = self.dev_degree_mode
+        unroll = max(1, self.cfg.scan_unroll)
 
         @jax.jit
         def epoch(params, opt_state, seeds_all, valid_all, key,
@@ -221,8 +222,12 @@ class DeviceSampleTrainer(SampleTrainer):
                 n_edges = sum(jnp.sum(b.weight != 0) for b in batch.blocks)
                 return (new_p, new_o, key), (loss, acc, n_edges)
 
+            # SCAN_UNROLL > 1 duplicates the step body so XLA's
+            # scheduler can overlap step t+1's sampling gathers (which
+            # depend only on the RNG-key chain) with step t's backward
             (params, opt_state, _), (losses, accs, edges) = jax.lax.scan(
-                body, (params, opt_state, key), (seeds_all, valid_all)
+                body, (params, opt_state, key), (seeds_all, valid_all),
+                unroll=unroll,
             )
             return (
                 params, opt_state, jnp.mean(losses),
