@@ -37,7 +37,7 @@ class RunConfig:
     # (reference fanout[0] applies to the seed batch, ntsFastSampler.hpp:1003)
     fanout: List[int] = dataclasses.field(default_factory=lambda: [25, 10])
     batch_size: int = 1024
-    batch_type: str = "shuffle"  # shuffle|random|sequence|dellow|delhigh|metis
+    batch_type: str = "shuffle"  # shuffle|random|sequence|dellow|delhigh
     epochs: int = 10
     # optimizer (reference Parameter, NtsScheduler.hpp:680)
     learn_rate: float = 0.01

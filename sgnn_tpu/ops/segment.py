@@ -57,6 +57,8 @@ def segment_softmax_coo(
     Reference `SingleEdgeSoftMax` (ntsSingleCPUGraphOp.hpp) / CUDA
     block-per-dst kernel (ntsCUDADistKernel.cuh:319), COO edition.
     """
+    if scores.ndim == 2 and valid.ndim == 1:
+        valid = valid[:, None]       # [E, H] multi-head scores
     neg = jnp.finfo(scores.dtype).min
     s = jnp.where(valid, scores, neg)
     seg_max = jax.ops.segment_max(s, dst, num_segments=num_dst)
@@ -64,3 +66,23 @@ def segment_softmax_coo(
     e = jnp.where(valid, e, 0.0)
     z = jax.ops.segment_sum(e, dst, num_segments=num_dst)
     return e / jnp.maximum(z[dst], jnp.finfo(scores.dtype).tiny)
+
+
+def spmm_coo_multihead(
+    x: jax.Array,        # [S, F] source features, F = H·Fh
+    src: jax.Array,      # [E] int32 edge source ids
+    dst: jax.Array,      # [E] int32 edge destination ids
+    att: jax.Array,      # [E, H] per-head edge weights (0 ⇒ padded edge)
+    num_dst: int,
+) -> jax.Array:
+    """Multi-head SpMM: head h weights its own F/H feature block.
+
+    out[d, h·Fh:(h+1)·Fh] = Σ_{e: dst[e]=d} att[e,h] · x[src[e], h·Fh:...].
+    Autodiffed (segment_sum's VJP is the gather/scatter pair spmm_coo
+    hand-writes); used by the multi-head COO GAT paths.
+    """
+    e_total, heads = att.shape
+    fh = x.shape[1] // heads
+    msgs = x[src].reshape(e_total, heads, fh) * att[:, :, None].astype(x.dtype)
+    out = jax.ops.segment_sum(msgs, dst, num_segments=num_dst)
+    return out.reshape(num_dst, heads * fh)

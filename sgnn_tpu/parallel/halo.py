@@ -240,6 +240,7 @@ def sharded_gat_layer(
     valid: jax.Array,         # [E_pad] bool, False on padding
     send_idx: "jax.Array | None" = None,  # targeted-halo plan, else all_gather
     axis_name: str = "graph",
+    heads: int = 1,
 ) -> jax.Array:
     """One partition-parallel GAT layer (call inside shard_map).
 
@@ -250,7 +251,11 @@ def sharded_gat_layer(
     shard-local — only the transformed activations cross the mesh (halo),
     and the segment softmax + weighted SpMM run locally.
     """
-    from ..ops.segment import segment_softmax_coo, spmm_coo
+    from ..ops.segment import (
+        segment_softmax_coo,
+        spmm_coo,
+        spmm_coo_multihead,
+    )
 
     ht = jnp.dot(h_shard, wl, preferred_element_type=h_shard.dtype)
     f = ht.shape[-1]
@@ -258,6 +263,16 @@ def sharded_gat_layer(
         ext = jax.lax.all_gather(ht, axis_name, axis=0, tiled=True)
     else:
         ext = targeted_halo_exchange(ht, send_idx, axis_name)
+    rows = h_shard.shape[0]
+    if heads > 1:
+        fh = f // heads
+        a_s = attn[:f, 0].reshape(heads, fh)
+        a_d = attn[f:, 0].reshape(heads, fh)
+        ha_ext = jnp.einsum("shf,hf->sh", ext.reshape(-1, heads, fh), a_s)
+        ha_dst = jnp.einsum("shf,hf->sh", ht.reshape(-1, heads, fh), a_d)
+        score = jax.nn.leaky_relu(ha_ext[src_idx] + ha_dst[dst_local], 0.2)
+        att = segment_softmax_coo(score, dst_local, valid, rows)
+        return spmm_coo_multihead(ext, src_idx, dst_local, att, rows)
     score = ext[src_idx] @ attn[:f, 0] + ht[dst_local] @ attn[f:, 0]
     score = jax.nn.leaky_relu(score, 0.2)
     rows = h_shard.shape[0]

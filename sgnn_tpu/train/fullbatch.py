@@ -28,7 +28,7 @@ from ..graph.adjacency import Adjacency
 from ..models.gnn import GNNParams, init_model
 from ..nn.functional import log_softmax, nll_loss_masked
 from ..nn.optim import ReferenceAdam
-from ..ops.segment import segment_softmax_coo, spmm_coo
+from ..ops.segment import segment_softmax_coo, spmm_coo, spmm_coo_multihead
 from ..sampler.blocks import WeightKind, pad_to
 from ..utils.logging import get_logger
 
@@ -67,6 +67,7 @@ def full_forward(
     w_edge: jax.Array,
     num_vertices: int,
     aggregator: str = "sum",
+    heads: int = 1,
 ) -> jax.Array:
     """L-layer whole-graph forward (GCN/SAGE via SpMM; GAT via COO softmax).
 
@@ -95,10 +96,20 @@ def full_forward(
             f = ht.shape[-1]
             a_src = params.attn[l][:f, 0]
             a_dst = params.attn[l][f:, 0]
-            score = ht[src] @ a_src + ht[dst] @ a_dst
-            score = jax.nn.leaky_relu(score, 0.2)
-            att = segment_softmax_coo(score, dst, valid, num_vertices)
-            h = spmm_coo(ht, src, dst, att, num_vertices)
+            hh = 1 if l == n_layers - 1 else heads  # logits stay 1-head
+            if hh > 1:
+                fh = f // hh
+                ht_h = ht.reshape(-1, hh, fh)
+                ha_s = jnp.einsum("shf,hf->sh", ht_h, a_src.reshape(hh, fh))
+                ha_d = jnp.einsum("shf,hf->sh", ht_h, a_dst.reshape(hh, fh))
+                score = jax.nn.leaky_relu(ha_s[src] + ha_d[dst], 0.2)
+                att = segment_softmax_coo(score, dst, valid, num_vertices)
+                h = spmm_coo_multihead(ht, src, dst, att, num_vertices)
+            else:
+                score = ht[src] @ a_src + ht[dst] @ a_dst
+                score = jax.nn.leaky_relu(score, 0.2)
+                att = segment_softmax_coo(score, dst, valid, num_vertices)
+                h = spmm_coo(ht, src, dst, att, num_vertices)
             h = jax.nn.relu(h)
             if l == n_layers - 1:
                 h = log_softmax(h)
@@ -172,12 +183,13 @@ class FullBatchTrainer:
         family, v = self.family, self.adj.num_vertices
         optimizer = self.optimizer
         aggregator = self.aggregator
+        heads = self.cfg.heads
 
         @jax.jit
         def step(params, opt_state, x, y, mask, src, dst, w):
             def loss_fn(p):
                 logp = full_forward(p, family, x, src, dst, w, v,
-                                    aggregator=aggregator)
+                                    aggregator=aggregator, heads=heads)
                 return nll_loss_masked(logp, y, mask), logp
 
             (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -221,6 +233,7 @@ class FullBatchTrainer:
         optimizer = self.optimizer
         n_layers = len(self.params.weights)
         aggregator = self.aggregator
+        heads = self.cfg.heads
 
         halo_mode = self.halo
 
@@ -280,6 +293,7 @@ class FullBatchTrainer:
                             w_edge[0] != 0,
                             send_idx=sidx[0] if halo_mode == "targeted"
                             else None,
+                            heads=1 if l == n_layers - 1 else heads,
                         )
                         h = jax.nn.relu(h)
                         if l == n_layers - 1:

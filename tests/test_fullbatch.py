@@ -209,3 +209,65 @@ def test_min_max_aggregator_selectable(tiny_ds):
         nbrs = adj.neighbors(vtx)
         exp = x[nbrs].max(axis=0) if nbrs.size else np.zeros(4)
         np.testing.assert_allclose(out[vtx], exp, rtol=1e-6)
+
+
+def test_fullbatch_multihead_matches_per_head(tiny_ds):
+    """Multi-head COO GAT == per-head single-head full_forward over W's
+    column blocks (same identity as the sampled-path heads test)."""
+    adj = Adjacency.from_edges(tiny_ds.edges, tiny_ds.num_vertices)
+    src, dst, w = build_coo(adj, WeightKind.NONE)
+    src, dst, w = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
+    x = jnp.asarray(tiny_ds.features)
+    v = tiny_ds.num_vertices
+    heads, fh = 4, 4
+    fp = heads * fh
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    wl = jax.random.normal(k1, (x.shape[1], fp)) * 0.1
+    a = jax.random.normal(k2, (2 * fp, 1)) * 0.1
+    params = init_model(jax.random.PRNGKey(0), "gat", [x.shape[1], fp, fp])
+    # single hidden layer worth of output: run one layer by hand via
+    # full_forward on a 1-layer model with heads applied (hidden only →
+    # use 2-layer model and compare the FIRST layer's pre-relu output
+    # indirectly through a single-layer trick: last layer stays 1-head,
+    # so build a 1-hidden-layer comparison directly with the ops)
+    from sgnn_tpu.ops.segment import (
+        segment_softmax_coo, spmm_coo, spmm_coo_multihead,
+    )
+
+    valid = w != 0
+    ht = x @ wl
+    ha_s = jnp.einsum("shf,hf->sh", ht.reshape(-1, heads, fh),
+                      a[:fp, 0].reshape(heads, fh))
+    ha_d = jnp.einsum("shf,hf->sh", ht.reshape(-1, heads, fh),
+                      a[fp:, 0].reshape(heads, fh))
+    score = jax.nn.leaky_relu(ha_s[src] + ha_d[dst], 0.2)
+    att = segment_softmax_coo(score, dst, valid, v)
+    got = spmm_coo_multihead(ht, src, dst, att, v)
+
+    pieces = []
+    for h in range(heads):
+        ht_h = ht[:, h * fh:(h + 1) * fh]
+        a_s = a[h * fh:(h + 1) * fh, 0]
+        a_d = a[fp + h * fh:fp + (h + 1) * fh, 0]
+        sc = jax.nn.leaky_relu(ht_h[src] @ a_s + ht_h[dst] @ a_d, 0.2)
+        at = segment_softmax_coo(sc, dst, valid, v)
+        pieces.append(spmm_coo(ht_h, src, dst, at, v))
+    want = jnp.concatenate(pieces, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_partition_parallel_gat_multihead_matches_single(tiny_ds):
+    """Sharded multi-head GAT loss trajectory == single-chip multi-head."""
+    from jax.sharding import Mesh
+
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[1, 1], epochs=1,
+                    learn_rate=0.01, seed=3, vertices=tiny_ds.num_vertices,
+                    heads=4)
+    single = FullBatchTrainer(cfg, tiny_ds, family="gat")
+    gmesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("graph",))
+    sharded = FullBatchTrainer(cfg, tiny_ds, family="gat", mesh=gmesh)
+    for step in range(3):
+        l1 = single.train_epoch()
+        l2 = sharded.train_epoch()
+        assert abs(l1[0] - l2[0]) < 2e-3, (step, l1[0], l2[0])
