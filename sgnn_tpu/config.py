@@ -65,7 +65,10 @@ class RunConfig:
     optim_kernel: bool = True
     up_degree: bool = False          # recompute degrees within sampled subgraph
     pushdown: bool = False           # serve bottom layer from the PD cache
-    repthreshold: int = 0            # Gemini replication threshold (PROC_REP)
+    # PROC_REP: parsed for cfg-file compat only.  The reference also never
+    # consumes it — replication_threshold is assigned (main.cpp:65) but used
+    # solely inside commented-out code (graph.hpp:3550 etc.).
+    repthreshold: int = 0
     mini_pull: int = 0
     runs: int = 1
     time_skip: int = 3

@@ -43,9 +43,10 @@ def make_dp_step(family: str, drop_rate: float, optimizer, mesh: Mesh,
     role); pass None when the cache is off.
     """
 
-    def local_loss(params, batch, key, features, labels, cache_emb):
+    def local_loss(params, batch, key, features, labels, cache_emb,
+                   cache_rows, slot_map):
         if materialize is not None:
-            batch = materialize(batch, features, labels)
+            batch = materialize(batch, features, labels, cache_rows, slot_map)
 
         def loss_fn(p):
             logp = model_forward(
@@ -61,14 +62,15 @@ def make_dp_step(family: str, drop_rate: float, optimizer, mesh: Mesh,
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P("data"), P("data"), P(), P(), P()),
+        in_specs=(P(), P(), P("data"), P("data"), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P("data"), P("data")),
     )
-    def dp_step(params, opt_state, batch, key, features, labels, cache_emb):
+    def dp_step(params, opt_state, batch, key, features, labels, cache_emb,
+                cache_rows, slot_map):
         # leading device axis has local extent 1 inside the shard
         local_batch = jax.tree.map(lambda x: x[0], batch)
         loss, grads, acc = local_loss(params, local_batch, key[0], features,
-                                      labels, cache_emb)
+                                      labels, cache_emb, cache_rows, slot_map)
         # SUM-reduce like the reference's NCCL/MPI AllReduce (no averaging)
         grads = jax.lax.psum(grads, "data")
         new_params, new_opt = optimizer.update(grads, opt_state, params)
@@ -135,7 +137,6 @@ class DataParallelTrainer:
         device step (the reference's per-GPU sampler threads + pipelined
         streams, GCN_SAMPLE_ALL_MULTI.hpp:564-620)."""
         import dataclasses as _dc
-        import os
         from concurrent.futures import ThreadPoolExecutor
 
         base = self.base
@@ -159,13 +160,17 @@ class DataParallelTrainer:
                 ne = 0
             return batch, ne
 
-        workers = max(1, min(self.n_dev, (os.cpu_count() or 4)))
-        pool = ThreadPoolExecutor(max_workers=workers)
+        # ONE single-worker executor per device: sampler streams are
+        # stateful (rng, reindex scratch), so step t+1 for device d must
+        # never run concurrently with step t on the SAME sampler — the
+        # per-device queue serializes them while devices stay parallel.
+        pools = [ThreadPoolExecutor(max_workers=1) for _ in range(self.n_dev)]
         try:
-            futs = [pool.submit(make, d, 0) for d in range(self.n_dev)]
+            futs = [pools[d].submit(make, d, 0) for d in range(self.n_dev)]
             for step in range(n_steps):
                 nxt = (
-                    [pool.submit(make, d, step + 1) for d in range(self.n_dev)]
+                    [pools[d].submit(make, d, step + 1)
+                     for d in range(self.n_dev)]
                     if step + 1 < n_steps else None
                 )
                 results = [f.result() for f in futs]
@@ -173,7 +178,8 @@ class DataParallelTrainer:
                 yield stack_batches(per_dev), sum(ne for _, ne in results)
                 futs = nxt
         finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+            for p in pools:
+                p.shutdown(wait=False, cancel_futures=True)
 
     # ------------------------------------------------------------------
     def train_epoch(self) -> Tuple[float, float, int]:
@@ -194,10 +200,15 @@ class DataParallelTrainer:
                     cache_emb = base.cache.cache_emb
                 base._dropout_key, sub = jax.random.split(base._dropout_key)
                 keys = jax.random.split(sub, self.n_dev)
+                cache_rows, slot_map = (
+                    base._cache_args() if base.feat_cache is not None
+                    else (None, None)
+                )
                 with self.timers.phase("dp_train_step"):
                     base.params, base.opt_state, loss, acc = self._dp_step(
                         base.params, base.opt_state, batch, keys,
                         base.dev_features, base.dev_labels, cache_emb,
+                        cache_rows, slot_map,
                     )
                 # device-array accumulation: no host sync inside the loop so
                 # async dispatch keeps the next step enqueued
@@ -235,8 +246,14 @@ class DataParallelTrainer:
             report.losses.append(loss)
             report.train_acc.append(tr_acc)
             report.edges_per_epoch.append(edges)
-            va = base.evaluate(base.val_nids) if base.val_nids.size else 0.0
-            te = base.evaluate(base.test_nids) if base.test_nids.size else 0.0
+            if (ep + 1) % eval_every == 0 or ep == epochs - 1:
+                va = (base.evaluate(base.val_nids)
+                      if base.val_nids.size else 0.0)
+                te = (base.evaluate(base.test_nids)
+                      if base.test_nids.size else 0.0)
+            else:
+                va = report.val_acc[-1] if report.val_acc else 0.0
+                te = report.test_acc[-1] if report.test_acc else 0.0
             report.val_acc.append(va)
             report.test_acc.append(te)
             log.info(

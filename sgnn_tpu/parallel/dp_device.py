@@ -29,6 +29,18 @@ from ..utils.logging import get_logger
 log = get_logger("sgnn.dpdev")
 
 
+def _fetch_sharded_x0(features, batch):
+    """Assemble x0 from row-sharded features: ICI fetch + invalid-row mask."""
+    import dataclasses as _dc
+
+    from .sharded_features import fetch_feature_rows
+
+    b0 = batch.blocks[0]
+    rows = fetch_feature_rows(features, b0.srcs)
+    x0 = jnp.where(b0.src_valid[:, None], rows, jnp.zeros((), rows.dtype))
+    return _dc.replace(batch, x0=x0)
+
+
 class DeviceDataParallelTrainer:
     """Wraps a DeviceSampleTrainer for DP over the mesh "data" axis."""
 
@@ -103,15 +115,7 @@ class DeviceDataParallelTrainer:
                     degree_mode=dm, gather_features=not shard_feats,
                 )
                 if shard_feats:
-                    import dataclasses as _dc
-
-                    from .sharded_features import fetch_feature_rows
-
-                    b0 = batch.blocks[0]
-                    rows = fetch_feature_rows(features, b0.srcs)
-                    x0 = jnp.where(b0.src_valid[:, None], rows,
-                                   jnp.zeros((), rows.dtype))
-                    batch = _dc.replace(batch, x0=x0)
+                    batch = _fetch_sharded_x0(features, batch)
 
                 def loss_fn(p):
                     logp = model_forward(
@@ -226,15 +230,7 @@ class DeviceDataParallelTrainer:
                     degree_mode=dm, gather_features=not shard_feats,
                 )
                 if shard_feats:
-                    import dataclasses as _dc
-
-                    from .sharded_features import fetch_feature_rows
-
-                    b0 = batch.blocks[0]
-                    rows = fetch_feature_rows(features, b0.srcs)
-                    x0 = jnp.where(b0.src_valid[:, None], rows,
-                                   jnp.zeros((), rows.dtype))
-                    batch = _dc.replace(batch, x0=x0)
+                    batch = _fetch_sharded_x0(features, batch)
                 logp = model_forward(params, family, batch, train=False,
                                      heads=heads)
                 return key, masked_accuracy(
@@ -283,8 +279,14 @@ class DeviceDataParallelTrainer:
             report.losses.append(loss)
             report.train_acc.append(tr_acc)
             report.edges_per_epoch.append(edges)
-            va = base.evaluate(base.val_nids) if base.val_nids.size else 0.0
-            te = base.evaluate(base.test_nids) if base.test_nids.size else 0.0
+            if (ep + 1) % eval_every == 0 or ep == epochs - 1:
+                va = (self.evaluate(base.val_nids)
+                      if base.val_nids.size else 0.0)
+                te = (self.evaluate(base.test_nids)
+                      if base.test_nids.size else 0.0)
+            else:
+                va = report.val_acc[-1] if report.val_acc else 0.0
+                te = report.test_acc[-1] if report.test_acc else 0.0
             report.val_acc.append(va)
             report.test_acc.append(te)
             log.info(

@@ -275,6 +275,5 @@ def sharded_gat_layer(
         return spmm_coo_multihead(ext, src_idx, dst_local, att, rows)
     score = ext[src_idx] @ attn[:f, 0] + ht[dst_local] @ attn[f:, 0]
     score = jax.nn.leaky_relu(score, 0.2)
-    rows = h_shard.shape[0]
     att = segment_softmax_coo(score, dst_local, valid, rows)
     return spmm_coo(ext, src_idx, dst_local, att, rows)

@@ -75,9 +75,10 @@ def make_multihost_dp_step(family, drop_rate, optimizer, mesh: Mesh,
     from ..models.gnn import model_forward
     from ..nn.functional import masked_accuracy, nll_loss_masked
 
-    def local_loss(params, batch, key, features, labels):
+    def local_loss(params, batch, key, features, labels, cache_rows,
+                   slot_map):
         if materialize is not None:
-            batch = materialize(batch, features, labels)
+            batch = materialize(batch, features, labels, cache_rows, slot_map)
 
         def loss_fn(p):
             logp = model_forward(p, family, batch, drop_rate=drop_rate,
@@ -90,13 +91,14 @@ def make_multihost_dp_step(family, drop_rate, optimizer, mesh: Mesh,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(), P("data"), P("data"), P(), P()),
+        in_specs=(P(), P(), P("data"), P("data"), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
     )
-    def dp_step(params, opt_state, batch, key, features, labels):
+    def dp_step(params, opt_state, batch, key, features, labels,
+                cache_rows, slot_map):
         local_batch = jax.tree.map(lambda x: x[0], batch)
         loss, grads, acc = local_loss(params, local_batch, key[0],
-                                      features, labels)
+                                      features, labels, cache_rows, slot_map)
         grads = jax.lax.psum(grads, "data")      # SUM parity w/ MPI_Allreduce
         new_params, new_opt = optimizer.update(grads, opt_state, params)
         return (new_params, new_opt, jax.lax.pmean(loss, "data"),
@@ -150,8 +152,18 @@ def run_multihost_dp_epochs(cfg, dataset, epochs: int = 1,
     )
     params_g = to_global(base.params, P())
     opt_g = to_global(base.opt_state, P())
-    feats_g = to_global(base.dev_features, P())
-    labels_g = to_global(base.dev_labels, P())
+    # Features may be host-resident (beyond-HBM): the batches then carry
+    # full x0 (payload path) or compacted cold rows + an HBM hot cache
+    # (feature-cache path) — only device-resident arrays go global.
+    feats_g = (to_global(base.dev_features, P())
+               if base.dev_features is not None else None)
+    labels_g = (to_global(base.dev_labels, P())
+                if base.dev_labels is not None else None)
+    if base.feat_cache is not None:
+        cache_g = to_global(base.feat_cache.dev_hot, P())
+        slot_g = to_global(base.feat_cache.dev_slot_map, P())
+    else:
+        cache_g = slot_g = None
 
     import dataclasses as _dc
 
@@ -190,7 +202,8 @@ def run_multihost_dp_epochs(cfg, dataset, epochs: int = 1,
             keys_local = keys[np.asarray(local_ids)]
             keys_g = to_global(keys_local, P("data"))
             params_g, opt_g, loss, _acc = step_fn(
-                params_g, opt_g, batch_g, keys_g, feats_g, labels_g
+                params_g, opt_g, batch_g, keys_g, feats_g, labels_g,
+                cache_g, slot_g,
             )
             # loss is fully replicated: read this process's shard
             losses.append(float(np.asarray(loss.addressable_shards[0].data)))

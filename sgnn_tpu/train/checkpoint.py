@@ -156,8 +156,14 @@ class CheckpointManager:
         data = np.load(os.path.join(d, "state.npz"))
         template = _flatten_state(trainer)
         leaves, treedef = jax.tree.flatten(template)
+        # Device-array leaves go back through jnp; host-side leaves (e.g.
+        # the uint64 PCG64 state words of the sampler RNG) must stay numpy —
+        # jnp.asarray would canonicalize uint64 → uint32 (x64 disabled) and
+        # silently corrupt the restored RNG state.
         new_leaves = [
-            jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))
+            jax.numpy.asarray(data[f"leaf_{i}"])
+            if isinstance(leaves[i], jax.Array) else data[f"leaf_{i}"]
+            for i in range(len(leaves))
         ]
         return step, jax.tree.unflatten(treedef, new_leaves)
 

@@ -226,3 +226,25 @@ def test_pushdown_knob_routes_to_cache(tiny_ds):
     assert hasattr(tr, "cache")  # the PD-cache trainer
     loss, _, _ = tr.train_epoch()
     assert np.isfinite(loss)
+
+
+def test_numpy_ckpt_preserves_rng_state(tmp_path, trainer):
+    """The numpy fallback must round-trip the uint64 PCG64 state words
+    EXACTLY.  Regression: restore used jnp.asarray on every leaf, which
+    canonicalizes uint64 → uint32 (x64 disabled) and silently corrupted
+    the resumed sampler RNG."""
+    from sgnn_tpu.train import checkpoint as ckpt_mod
+
+    mgr = ckpt_mod.CheckpointManager(str(tmp_path / "np_rng"))
+    mgr._ocp = None
+    mgr._mgr = None  # force the numpy path
+    trainer.train_epoch()
+    st = trainer.sampler.rng.bit_generator.state
+    saved = (st["state"]["state"], st["state"]["inc"])
+    mgr.save(1, trainer)
+    trainer.train_epoch()  # advances the rng past the saved point
+    assert mgr.restore(trainer) == 1
+    st2 = trainer.sampler.rng.bit_generator.state
+    assert (st2["state"]["state"], st2["state"]["inc"]) == saved
+    # the assertion above only bites if high words are nonzero
+    assert max(saved) > (1 << 32)

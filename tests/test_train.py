@@ -93,7 +93,8 @@ def test_dp_grad_sum_matches_single_device(tiny_ds):
     keys = jax.random.split(jax.random.PRNGKey(0), 2)
 
     new_p, _, loss, acc = step(base.params, base.opt_state, stacked, keys,
-                               base.dev_features, base.dev_labels, None)
+                               base.dev_features, base.dev_labels, None,
+                               None, None)
 
     # manual: summed grads over both shards, one optimizer update
     def loss_fn(p, b):
@@ -307,3 +308,55 @@ def test_sharded_feature_dp_matches_replicated(tiny_ds):
     # sharded evaluation works without any replicated feature copy
     val = b.evaluate(b.base.val_nids)
     assert 0.0 <= val <= 1.0
+
+
+def test_dp_feature_cache_composition(tiny_ds):
+    """DP over a partial-HBM feature-cache trainer computes the SAME
+    trajectory as DP over the plain host-features trainer.
+
+    Regression: the DP step used to drop the cache args, feeding the
+    compacted cold-row buffer straight into the model as x0 (silently
+    wrong activations via out-of-bounds-clamped gathers)."""
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.parallel.dp import DataParallelTrainer
+
+    def mk(rate, budget):
+        cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[4, 3],
+                        batch_size=64, epochs=2, drop_rate=0.0,
+                        vertices=tiny_ds.num_vertices,
+                        feature_cache_rate=rate)
+        base = SampleTrainer(cfg, tiny_ds, family="gcn",
+                             features_on_device=False,
+                             hbm_budget_bytes=budget)
+        return DataParallelTrainer(base)
+
+    a = mk(0.0, None)            # full x0 shipped host-side
+    b = mk(0.5, 125 * 32 * 4)    # partial-HBM cache: hot rows + cold ship
+    assert a.base.feat_cache is None and b.base.feat_cache is not None
+    for _ in range(2):
+        la, aa, _ = a.train_epoch()
+        lb, ab, _ = b.train_epoch()
+        np.testing.assert_allclose(la, lb, rtol=1e-4)
+        np.testing.assert_allclose(aa, ab, rtol=1e-4)
+    assert b.base.feat_cache.hits > 0
+
+
+def test_shard_features_run_honors_eval_every(tiny_ds):
+    """DeviceDataParallelTrainer.run() in shard_features mode: evaluation
+    must go through the wrapper's sharded program (the base has no
+    replicated feature copy), and eval_every is honored.
+
+    Regression: run() used to call base.evaluate() directly, crashing on
+    base.dev_features=None; and both DP wrappers ignored eval_every."""
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.parallel.dp_device import DeviceDataParallelTrainer
+    from sgnn_tpu.train.device_trainer import DeviceSampleTrainer
+
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=64,
+                    epochs=2, drop_rate=0.0, vertices=tiny_ds.num_vertices)
+    base = DeviceSampleTrainer(cfg, tiny_ds, family="gcn")
+    tr = DeviceDataParallelTrainer(base, shard_features=True)
+    report = tr.run(epochs=2, eval_every=10**9)
+    # epoch 0 skipped eval (no prior value → 0.0); final epoch evaluated
+    assert report.val_acc[0] == 0.0
+    assert 0.0 < report.val_acc[-1] <= 1.0
