@@ -33,6 +33,10 @@ def main(argv=None) -> int:
                          "dep/gemini/mpi.hpp:51)")
     ap.add_argument("--nprocs", type=int, default=None)
     ap.add_argument("--pid", type=int, default=None)
+    ap.add_argument("--exact-eval", action="store_true",
+                    help="after training, report EXACT val/test accuracy "
+                         "via layer-wise full-graph inference (no fanout "
+                         "sampling noise; train/inference.py)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -93,7 +97,23 @@ def main(argv=None) -> int:
         te = trainer.evaluate(owner.test_nids) if owner.test_nids.size else 0
         log.info("final (checkpointed): val %.4f test %.4f", va, te)
         return 0
-    report = run_engine(cfg, ds)
+    if args.exact_eval:
+        from sgnn_tpu.train.engines import build_trainer, engine_from_config
+        from sgnn_tpu.train.inference import exact_accuracy, layerwise_inference
+
+        trainer = build_trainer(cfg, ds)
+        report = trainer.run(epochs=cfg.epochs)
+        owner = getattr(trainer, "base", trainer)
+        spec = engine_from_config(cfg)
+        logp = layerwise_inference(owner.params, spec.family, owner.adj,
+                                   ds.features, heads=cfg.heads)
+        va = exact_accuracy(owner.params, spec.family, owner.adj, ds.features,
+                            ds.labels, owner.val_nids, logp=logp)
+        te = exact_accuracy(owner.params, spec.family, owner.adj, ds.features,
+                            ds.labels, owner.test_nids, logp=logp)
+        log.info("exact (full-neighborhood) eval: val %.4f test %.4f", va, te)
+    else:
+        report = run_engine(cfg, ds)
     # end-of-run summary (reference run() timer dump parity)
     log.info("avg epoch time: %.4fs", report.avg_epoch_time)
     log.info("phase timers: %s", report.timers.summary())

@@ -1,5 +1,6 @@
 from .trainer import SampleTrainer, TrainReport
 from .engines import ENGINES, EngineSpec, run_engine, engine_from_config
+from .inference import exact_accuracy, layerwise_inference
 
 __all__ = [
     "SampleTrainer",
@@ -8,4 +9,6 @@ __all__ = [
     "EngineSpec",
     "run_engine",
     "engine_from_config",
+    "exact_accuracy",
+    "layerwise_inference",
 ]

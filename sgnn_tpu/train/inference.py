@@ -1,0 +1,207 @@
+"""Layer-wise full-graph inference — exact (non-sampled) serving/eval path.
+
+The reference evaluates test accuracy through SAMPLED forward passes (e.g.
+`Test()` in GCN_SAMPLE_PD_CACHE.hpp:264-295 runs the fanout sampler on the
+eval nids), so its reported accuracy carries sampling noise and its serving
+story inherits the fanout bias.  This module adds the standard remedy for
+sample-trained GNNs: compute EXACT embeddings for every vertex, one layer
+at a time, so each layer's full [V, F] activation is materialized once and
+no neighborhood explosion occurs.
+
+TPU design: per layer, (1) the dense transform H·W runs in vertex row
+chunks on the MXU (transform-first always — SpMM and the dense transform
+commute, so aggregating the transformed rows is mathematically identical
+and moves the matmul to the smaller feature side); (2) aggregation runs in
+destination-vertex chunks: the chunk's CSC slice is one padded COO whose
+source rows are staged host→device with the native OpenMP row gather
+(sampler/native).  Chunking bounds device memory by O(chunk·F + E_chunk·F),
+so graphs whose activations exceed HBM still infer; every chunk uses the
+same padded shapes, so XLA compiles each layer-shape exactly once.
+
+Per-destination GAT softmax is chunk-local by construction (a CSC slice
+contains ALL in-edges of its destinations), so chunked attention equals
+whole-graph attention bit-for-bit up to float reassociation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.adjacency import Adjacency
+from ..models.gnn import GNNParams
+from ..nn.functional import log_softmax
+from ..ops.segment import segment_softmax_coo, spmm_coo, spmm_coo_multihead
+from ..sampler.blocks import WeightKind, pad_to
+from ..sampler.native import gather_rows
+from ..utils.logging import get_logger
+
+log = get_logger("sgnn.infer")
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "heads", "last"))
+def _gat_chunk(ht_src, ht_dst, valid, dst_local, a_vec, rows, heads, last):
+    """One destination chunk of a GAT layer: edge scores → per-dst softmax
+    → attention-weighted aggregation (reference BatchGPUEdgeSoftMax +
+    AggregateDst pipeline, ntsPushdownGraphOp.hpp:578/:670)."""
+    f = ht_src.shape[-1]
+    a_src, a_dst = a_vec[:f, 0], a_vec[f:, 0]
+    if heads > 1:
+        fh = f // heads
+        ha_s = jnp.einsum("ehf,hf->eh", ht_src.reshape(-1, heads, fh),
+                          a_src.reshape(heads, fh))
+        ha_d = jnp.einsum("shf,hf->sh", ht_dst.reshape(-1, heads, fh),
+                          a_dst.reshape(heads, fh))
+        score = jax.nn.leaky_relu(ha_s + ha_d[dst_local], 0.2)
+        att = segment_softmax_coo(score, dst_local, valid, rows)
+        h = spmm_coo_multihead(ht_src, jnp.arange(ht_src.shape[0]),
+                               dst_local, att, rows)
+    else:
+        score = ht_src @ a_src + (ht_dst @ a_dst)[dst_local]
+        score = jax.nn.leaky_relu(score, 0.2)
+        att = segment_softmax_coo(score, dst_local, valid, rows)
+        h = spmm_coo(ht_src, jnp.arange(ht_src.shape[0]), dst_local, att,
+                     rows)
+    h = jax.nn.relu(h)
+    return log_softmax(h) if last else h
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "last"))
+def _spmm_chunk(rows_src, weight, dst_local, rows, last):
+    """One destination chunk of a GCN/SAGE layer: weighted segment-sum of
+    the (already transformed) gathered source rows."""
+    h = spmm_coo(rows_src, jnp.arange(rows_src.shape[0]), dst_local, weight,
+                 rows)
+    return log_softmax(h) if last else jax.nn.relu(h)
+
+
+@jax.jit
+def _dense_chunk(x, w):
+    return jnp.dot(x, w, preferred_element_type=x.dtype)
+
+
+def layerwise_inference(
+    params: GNNParams,
+    family: str,
+    adj: Adjacency,
+    features: np.ndarray,
+    *,
+    weight_kind: Optional[WeightKind] = None,
+    heads: int = 1,
+    chunk_size: Optional[int] = None,
+    mean_style: str = "plain",
+) -> np.ndarray:
+    """Exact log-probabilities for ALL vertices: [V, classes] float32.
+
+    `params` come from ANY trainer (sampled or full-batch) — the model
+    families share one parameter pytree.  `chunk_size` bounds device
+    residency; None picks 64Ki destinations (or V if smaller).
+
+    `mean_style` selects the MEAN-aggregator weights: "plain" = 1/indeg
+    (what the SAMPLED engines train with at full neighborhood — the
+    sampled-count mean converges to it); "fullbatch" = the full-batch
+    engine's sym-norm/indeg hybrid (fullbatch.build_coo), for models
+    trained by FullBatchTrainer.
+    """
+    if weight_kind is None:
+        weight_kind = {"gcn": WeightKind.GCN, "sage": WeightKind.MEAN,
+                       "gat": WeightKind.NONE}[family]
+    v = adj.num_vertices
+    chunk = min(v, chunk_size or 65536)
+    n_chunks = -(-v // chunk)
+    indptr = adj.indptr.astype(np.int64)
+    src_all = adj.indices.astype(np.int32)
+    # full-graph edge weights (identical arithmetic to fullbatch.build_coo)
+    if weight_kind != WeightKind.NONE:
+        dst_all = np.repeat(np.arange(v, dtype=np.int32), np.diff(indptr))
+        if weight_kind == WeightKind.MEAN and mean_style == "plain":
+            w_all = 1.0 / np.maximum(adj.in_degree[dst_all], 1)
+        else:
+            w_all = adj.gcn_edge_weight(src_all, dst_all)
+            if weight_kind == WeightKind.MEAN:  # "fullbatch" hybrid
+                w_all = w_all / np.maximum(adj.in_degree[dst_all], 1)
+        w_all = w_all.astype(np.float32)
+        del dst_all
+    # one padded edge extent for all chunks → each layer compiles once
+    bounds = [(int(indptr[min((c + 1) * chunk, v)]) - int(indptr[c * chunk]))
+              for c in range(n_chunks)]
+    e_pad = pad_to(max(max(bounds), 1), 512)
+
+    h = np.ascontiguousarray(features, dtype=np.float32)
+    n_layers = len(params.weights)
+    for l in range(n_layers):
+        wl = np.asarray(params.weights[l], np.float32)
+        last = l == n_layers - 1
+        hh = 1 if (family == "gat" and last) else heads
+        # (1) dense transform, row-chunked on the MXU
+        ht = np.empty((v, wl.shape[1]), np.float32)
+        for c in range(n_chunks):
+            a, b = c * chunk, min((c + 1) * chunk, v)
+            ht[a:b] = np.asarray(_dense_chunk(jnp.asarray(h[a:b]),
+                                              jnp.asarray(wl)))
+        # (2) aggregation, destination-chunked with host row staging
+        out_dim = wl.shape[1]
+        h_next = np.empty((v, out_dim), np.float32)
+        src_rows = np.empty((e_pad, out_dim), np.float32)
+        for c in range(n_chunks):
+            a, b = c * chunk, min((c + 1) * chunk, v)
+            lo, hi = int(indptr[a]), int(indptr[b])
+            n_e = hi - lo
+            dst_local = np.repeat(
+                np.arange(b - a, dtype=np.int32),
+                np.diff(indptr[a:b + 1]).astype(np.int64),
+            )
+            dst_local = np.pad(dst_local, (0, e_pad - n_e))
+            # native OpenMP gather of the chunk's source rows (zero pad rows)
+            idx = np.pad(src_all[lo:hi], (0, e_pad - n_e))
+            valid = np.zeros(e_pad, bool)
+            valid[:n_e] = True
+            gather_rows(ht, idx, valid=valid, out=src_rows)
+            if family == "gat":
+                out = _gat_chunk(
+                    jnp.asarray(src_rows), jnp.asarray(ht[a:b]),
+                    jnp.asarray(valid), jnp.asarray(dst_local),
+                    jnp.asarray(np.asarray(params.attn[l], np.float32)),
+                    rows=b - a, heads=hh, last=last,
+                )
+            else:
+                wgt = np.zeros(e_pad, np.float32)
+                wgt[:n_e] = w_all[lo:hi]
+                out = _spmm_chunk(jnp.asarray(src_rows), jnp.asarray(wgt),
+                                  jnp.asarray(dst_local), rows=b - a,
+                                  last=last)
+            h_next[a:b] = np.asarray(out)
+        h = h_next
+    return h
+
+
+def exact_accuracy(
+    params: GNNParams,
+    family: str,
+    adj: Adjacency,
+    features: np.ndarray,
+    labels: np.ndarray,
+    nids: np.ndarray,
+    *,
+    weight_kind: Optional[WeightKind] = None,
+    heads: int = 1,
+    chunk_size: Optional[int] = None,
+    mean_style: str = "plain",
+    logp: Optional[np.ndarray] = None,
+) -> float:
+    """Exact (full-neighborhood) accuracy on `nids`; pass `logp` to reuse a
+    previous layerwise_inference result across splits."""
+    nids = np.asarray(nids)
+    if nids.size == 0:
+        return 0.0
+    if logp is None:
+        logp = layerwise_inference(params, family, adj, features,
+                                   weight_kind=weight_kind, heads=heads,
+                                   chunk_size=chunk_size,
+                                   mean_style=mean_style)
+    pred = np.argmax(logp[nids], axis=1)
+    return float(np.mean(pred == np.asarray(labels)[nids]))
