@@ -12,11 +12,13 @@ TPU design: per layer, (1) the dense transform H·W runs in vertex row
 chunks on the MXU (transform-first always — SpMM and the dense transform
 commute, so aggregating the transformed rows is mathematically identical
 and moves the matmul to the smaller feature side); (2) aggregation runs in
-destination-vertex chunks: the chunk's CSC slice is one padded COO whose
-source rows are staged host→device with the native OpenMP row gather
-(sampler/native).  Chunking bounds device memory by O(chunk·F + E_chunk·F),
-so graphs whose activations exceed HBM still infer; every chunk uses the
-same padded shapes, so XLA compiles each layer-shape exactly once.
+destination-vertex chunks: the chunk's CSC slice is one padded COO, locally
+reindexed to its UNIQUE sources (the reference sampCSC pattern), whose rows
+are staged host→device with the native OpenMP row gather (sampler/native).
+Chunking bounds device memory by O(chunk·F + S_chunk·F) with S_chunk the
+unique-source count — dedup divides staging bytes by the in-chunk source
+multiplicity; every chunk uses the same padded shapes, so XLA compiles each
+layer-shape exactly once.
 
 Per-destination GAT softmax is chunk-local by construction (a CSC slice
 contains ALL in-edges of its destinations), so chunked attention equals
@@ -44,38 +46,42 @@ log = get_logger("sgnn.infer")
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "heads", "last"))
-def _gat_chunk(ht_src, ht_dst, valid, dst_local, a_vec, rows, heads, last):
+def _gat_chunk(src_rows, src_local, ht_dst, valid, dst_local, a_vec, rows,
+               heads, last):
     """One destination chunk of a GAT layer: edge scores → per-dst softmax
     → attention-weighted aggregation (reference BatchGPUEdgeSoftMax +
-    AggregateDst pipeline, ntsPushdownGraphOp.hpp:578/:670)."""
-    f = ht_src.shape[-1]
+    AggregateDst pipeline, ntsPushdownGraphOp.hpp:578/:670).
+
+    `src_rows` holds the chunk's UNIQUE transformed source rows;
+    `src_local` maps each edge to its row (local reindex, the reference
+    sampCSC pattern) — dedup cuts the host→HBM staging by the average
+    in-chunk source multiplicity."""
+    f = src_rows.shape[-1]
     a_src, a_dst = a_vec[:f, 0], a_vec[f:, 0]
     if heads > 1:
         fh = f // heads
-        ha_s = jnp.einsum("ehf,hf->eh", ht_src.reshape(-1, heads, fh),
+        ha_s = jnp.einsum("shf,hf->sh", src_rows.reshape(-1, heads, fh),
                           a_src.reshape(heads, fh))
         ha_d = jnp.einsum("shf,hf->sh", ht_dst.reshape(-1, heads, fh),
                           a_dst.reshape(heads, fh))
-        score = jax.nn.leaky_relu(ha_s + ha_d[dst_local], 0.2)
+        score = jax.nn.leaky_relu(ha_s[src_local] + ha_d[dst_local], 0.2)
         att = segment_softmax_coo(score, dst_local, valid, rows)
-        h = spmm_coo_multihead(ht_src, jnp.arange(ht_src.shape[0]),
-                               dst_local, att, rows)
+        h = spmm_coo_multihead(src_rows, src_local, dst_local, att, rows)
     else:
-        score = ht_src @ a_src + (ht_dst @ a_dst)[dst_local]
+        score = ((src_rows @ a_src)[src_local]
+                 + (ht_dst @ a_dst)[dst_local])
         score = jax.nn.leaky_relu(score, 0.2)
         att = segment_softmax_coo(score, dst_local, valid, rows)
-        h = spmm_coo(ht_src, jnp.arange(ht_src.shape[0]), dst_local, att,
-                     rows)
+        h = spmm_coo(src_rows, src_local, dst_local, att, rows)
     h = jax.nn.relu(h)
     return log_softmax(h) if last else h
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "last"))
-def _spmm_chunk(rows_src, weight, dst_local, rows, last):
+def _spmm_chunk(src_rows, src_local, weight, dst_local, rows, last):
     """One destination chunk of a GCN/SAGE layer: weighted segment-sum of
-    the (already transformed) gathered source rows."""
-    h = spmm_coo(rows_src, jnp.arange(rows_src.shape[0]), dst_local, weight,
-                 rows)
+    the (already transformed) unique source rows, edges reindexed local."""
+    h = spmm_coo(src_rows, src_local, dst_local, weight, rows)
     return log_softmax(h) if last else jax.nn.relu(h)
 
 
@@ -126,10 +132,22 @@ def layerwise_inference(
                 w_all = w_all / np.maximum(adj.in_degree[dst_all], 1)
         w_all = w_all.astype(np.float32)
         del dst_all
-    # one padded edge extent for all chunks → each layer compiles once
-    bounds = [(int(indptr[min((c + 1) * chunk, v)]) - int(indptr[c * chunk]))
-              for c in range(n_chunks)]
-    e_pad = pad_to(max(max(bounds), 1), 512)
+    # local reindex per chunk (unique sources), computed once and reused by
+    # every layer; one padded (edge, src-row) extent for all chunks → each
+    # layer compiles once
+    chunks = []
+    for c in range(n_chunks):
+        a, b = c * chunk, min((c + 1) * chunk, v)
+        lo, hi = int(indptr[a]), int(indptr[b])
+        uniq, inv = np.unique(src_all[lo:hi], return_inverse=True)
+        dst_local = np.repeat(
+            np.arange(b - a, dtype=np.int32),
+            np.diff(indptr[a:b + 1]).astype(np.int64),
+        )
+        chunks.append((a, b, lo, hi, uniq.astype(np.int32),
+                       inv.astype(np.int32), dst_local))
+    e_pad = pad_to(max(max(hi - lo for _, _, lo, hi, *_ in chunks), 1), 512)
+    s_pad = pad_to(max(max(u.size for *_, u, _, _ in chunks), 1), 128)
 
     h = np.ascontiguousarray(features, dtype=np.float32)
     n_layers = len(params.weights)
@@ -146,32 +164,31 @@ def layerwise_inference(
         # (2) aggregation, destination-chunked with host row staging
         out_dim = wl.shape[1]
         h_next = np.empty((v, out_dim), np.float32)
-        src_rows = np.empty((e_pad, out_dim), np.float32)
-        for c in range(n_chunks):
-            a, b = c * chunk, min((c + 1) * chunk, v)
-            lo, hi = int(indptr[a]), int(indptr[b])
+        src_rows = np.empty((s_pad, out_dim), np.float32)
+        for a, b, lo, hi, uniq, inv, dst_loc in chunks:
             n_e = hi - lo
-            dst_local = np.repeat(
-                np.arange(b - a, dtype=np.int32),
-                np.diff(indptr[a:b + 1]).astype(np.int64),
-            )
-            dst_local = np.pad(dst_local, (0, e_pad - n_e))
-            # native OpenMP gather of the chunk's source rows (zero pad rows)
-            idx = np.pad(src_all[lo:hi], (0, e_pad - n_e))
+            dst_local = np.pad(dst_loc, (0, e_pad - n_e))
+            src_local = np.pad(inv, (0, e_pad - n_e))
+            # native OpenMP gather of the chunk's UNIQUE source rows
+            idx = np.pad(uniq, (0, s_pad - uniq.size))
+            uvalid = np.zeros(s_pad, bool)
+            uvalid[: uniq.size] = True
+            gather_rows(ht, idx, valid=uvalid, out=src_rows)
             valid = np.zeros(e_pad, bool)
             valid[:n_e] = True
-            gather_rows(ht, idx, valid=valid, out=src_rows)
             if family == "gat":
                 out = _gat_chunk(
-                    jnp.asarray(src_rows), jnp.asarray(ht[a:b]),
-                    jnp.asarray(valid), jnp.asarray(dst_local),
+                    jnp.asarray(src_rows), jnp.asarray(src_local),
+                    jnp.asarray(ht[a:b]), jnp.asarray(valid),
+                    jnp.asarray(dst_local),
                     jnp.asarray(np.asarray(params.attn[l], np.float32)),
                     rows=b - a, heads=hh, last=last,
                 )
             else:
                 wgt = np.zeros(e_pad, np.float32)
                 wgt[:n_e] = w_all[lo:hi]
-                out = _spmm_chunk(jnp.asarray(src_rows), jnp.asarray(wgt),
+                out = _spmm_chunk(jnp.asarray(src_rows),
+                                  jnp.asarray(src_local), jnp.asarray(wgt),
                                   jnp.asarray(dst_local), rows=b - a,
                                   last=last)
             h_next[a:b] = np.asarray(out)
