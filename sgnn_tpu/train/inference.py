@@ -90,6 +90,25 @@ def _dense_chunk(x, w):
     return jnp.dot(x, w, preferred_element_type=x.dtype)
 
 
+_full_fwd = None
+
+
+def _jit_full_forward(params, x, src, dst, w, *, family, num_vertices,
+                      heads):
+    """Lazily-jitted whole-graph forward (one compile per static config)."""
+    global _full_fwd
+    if _full_fwd is None:
+        from .fullbatch import full_forward
+
+        _full_fwd = jax.jit(
+            lambda p, x, s, d, w, fam, nv, h: full_forward(
+                p, fam, x, s, d, w, nv, heads=h
+            ),
+            static_argnums=(5, 6, 7),
+        )
+    return _full_fwd(params, x, src, dst, w, family, num_vertices, heads)
+
+
 def layerwise_inference(
     params: GNNParams,
     family: str,
@@ -100,6 +119,8 @@ def layerwise_inference(
     heads: int = 1,
     chunk_size: Optional[int] = None,
     mean_style: str = "plain",
+    whole_graph: Optional[bool] = None,
+    hbm_budget_bytes: Optional[int] = None,
 ) -> np.ndarray:
     """Exact log-probabilities for ALL vertices: [V, classes] float32.
 
@@ -112,6 +133,11 @@ def layerwise_inference(
     sampled-count mean converges to it); "fullbatch" = the full-batch
     engine's sym-norm/indeg hybrid (fullbatch.build_coo), for models
     trained by FullBatchTrainer.
+
+    `whole_graph` (None = auto by an HBM estimate): when features,
+    activations and the COO fit on the device, run the whole pass as ONE
+    jitted program per call (fullbatch.full_forward) — no host staging at
+    all; chunked mode is the beyond-HBM fallback.
     """
     if weight_kind is None:
         weight_kind = {"gcn": WeightKind.GCN, "sage": WeightKind.MEAN,
@@ -121,17 +147,42 @@ def layerwise_inference(
     n_chunks = -(-v // chunk)
     indptr = adj.indptr.astype(np.int64)
     src_all = adj.indices.astype(np.int32)
+    if whole_graph is None:
+        # rough residency estimate: features + 2 activations + COO + slack
+        dims = [features.shape[1]] + [int(np.asarray(w).shape[1])
+                                      for w in params.weights]
+        est = 4 * (v * (features.shape[1] + 2 * max(dims))
+                   + 3 * adj.num_edges)
+        budget = hbm_budget_bytes or (8 << 30)
+        whole_graph = est < budget
     # full-graph edge weights (identical arithmetic to fullbatch.build_coo)
-    if weight_kind != WeightKind.NONE:
-        dst_all = np.repeat(np.arange(v, dtype=np.int32), np.diff(indptr))
-        if weight_kind == WeightKind.MEAN and mean_style == "plain":
-            w_all = 1.0 / np.maximum(adj.in_degree[dst_all], 1)
-        else:
-            w_all = adj.gcn_edge_weight(src_all, dst_all)
-            if weight_kind == WeightKind.MEAN:  # "fullbatch" hybrid
-                w_all = w_all / np.maximum(adj.in_degree[dst_all], 1)
+    dst_all = np.repeat(np.arange(v, dtype=np.int32), np.diff(indptr))
+    if weight_kind == WeightKind.NONE:
+        w_all = np.ones(src_all.size, np.float32)
+    elif weight_kind == WeightKind.MEAN and mean_style == "plain":
+        w_all = (1.0 / np.maximum(adj.in_degree[dst_all], 1)).astype(
+            np.float32)
+    else:
+        w_all = adj.gcn_edge_weight(src_all, dst_all)
+        if weight_kind == WeightKind.MEAN:  # "fullbatch" hybrid
+            w_all = w_all / np.maximum(adj.in_degree[dst_all], 1)
         w_all = w_all.astype(np.float32)
-        del dst_all
+
+    if whole_graph:
+        # fits-in-HBM fast path: the whole pass is ONE device program —
+        # zero host staging (train/fullbatch.py supplies the program)
+        e_pad_w = pad_to(max(src_all.size, 1), 512)
+        pad = e_pad_w - src_all.size
+        logp = _jit_full_forward(
+            params,
+            jnp.asarray(np.ascontiguousarray(features, np.float32)),
+            jnp.asarray(np.pad(src_all, (0, pad))),
+            jnp.asarray(np.pad(dst_all, (0, pad))),
+            jnp.asarray(np.pad(w_all, (0, pad))),
+            family=family, num_vertices=v, heads=heads,
+        )
+        return np.asarray(logp)
+    del dst_all
     # local reindex per chunk (unique sources), computed once and reused by
     # every layer; one padded (edge, src-row) extent for all chunks → each
     # layer compiles once

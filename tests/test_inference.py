@@ -45,7 +45,7 @@ def test_layerwise_matches_full_forward(tiny_ds, adj, family, wk, heads):
     ))
     got = layerwise_inference(
         params, family, adj, tiny_ds.features, weight_kind=wk, heads=heads,
-        chunk_size=128, mean_style="fullbatch",
+        chunk_size=128, mean_style="fullbatch", whole_graph=False,
     )
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
 
@@ -69,7 +69,7 @@ def test_layerwise_plain_mean_matches_dense(tiny_ds, adj):
 
     ref = dense_forward(tiny_ds.features.astype(np.float32))
     got = layerwise_inference(params, "sage", adj, tiny_ds.features,
-                              chunk_size=200, mean_style="plain")
+                              chunk_size=200, mean_style="plain", whole_graph=False)
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
 
 
@@ -99,3 +99,20 @@ def test_exact_accuracy_on_sampled_trained_model(cora):
     val = exact_accuracy(tr.params, "gcn", tr.adj, cora.features,
                          cora.labels, tr.val_nids, logp=logp)
     assert 0.0 <= val <= 1.0
+
+
+def test_whole_graph_mode_matches_chunked(tiny_ds, adj):
+    """whole_graph=True (single-program, fits-in-HBM serving path) equals
+    the chunked beyond-HBM path; the auto heuristic picks it for a tiny
+    graph and falls back to chunked under a forced tiny budget."""
+    params = init_model(jax.random.PRNGKey(9), "gcn", [32, 16, 5])
+    whole = layerwise_inference(params, "gcn", adj, tiny_ds.features,
+                                whole_graph=True)
+    chunked = layerwise_inference(params, "gcn", adj, tiny_ds.features,
+                                  chunk_size=128, whole_graph=False)
+    np.testing.assert_allclose(whole, chunked, rtol=2e-4, atol=2e-5)
+    auto = layerwise_inference(params, "gcn", adj, tiny_ds.features)
+    np.testing.assert_allclose(auto, whole, rtol=0, atol=0)  # same path
+    tiny_budget = layerwise_inference(params, "gcn", adj, tiny_ds.features,
+                                      chunk_size=128, hbm_budget_bytes=1)
+    np.testing.assert_allclose(tiny_budget, chunked, rtol=0, atol=0)
