@@ -40,6 +40,7 @@ class EngineSpec:
     multi_device: bool = False  # data-parallel over mesh
     bias_correction: bool = False  # CPU engines use bias-corrected Adam
     device_sampling: bool = False  # ALLGPU engines: sample on-accelerator
+    fullbatch: bool = False        # whole-graph engine (no sampling)
 
 
 def _spec(name, family, wk, **kw) -> EngineSpec:
@@ -84,6 +85,17 @@ ENGINES = {
               device_sampling=True),
         _spec("GATSAMPLEPCMULTI", "gat", WeightKind.NONE, use_cache=True,
               cache_on_device=False, multi_device=True),
+        # Whole-graph (full-batch) engines — the NeutronStar-lineage
+        # distributed full-batch path (core/graph.hpp process_edges_*,
+        # ntsDistCPUGraphOp.hpp).  The reference binary exposes only the 14
+        # sampled engines; these strings make the retained full-batch
+        # capability reachable from the same cfg surface.
+        _spec("GCNFULLBATCH", "gcn", WeightKind.GCN, fullbatch=True,
+              bias_correction=True),
+        _spec("GSFULLBATCH", "sage", WeightKind.MEAN, fullbatch=True,
+              bias_correction=True),
+        _spec("GATFULLBATCH", "gat", WeightKind.NONE, fullbatch=True,
+              bias_correction=True),
     ]
 }
 
@@ -102,6 +114,56 @@ def resolve_degree_mode(cfg: RunConfig) -> str:
     return "sampled" if cfg.up_degree else "global"
 
 
+class FullBatchEngine:
+    """Adapter giving FullBatchTrainer the sampled-trainer run() contract.
+
+    `run()` returns a TrainReport (so the CLI's end-of-run summary, RUNS
+    looping, and bench harnesses work unchanged); the wrapped trainer is on
+    `.base` like the DP wrappers, so exact-eval finds `.params`/`.adj`.
+    """
+
+    def __init__(self, cfg: RunConfig, dataset: Dataset, family: str,
+                 weight_kind: WeightKind) -> None:
+        from .fullbatch import FullBatchTrainer
+
+        self.cfg = cfg
+        self.base = FullBatchTrainer(
+            cfg, dataset, family=family, weight_kind=weight_kind
+        )
+
+    @property
+    def params(self):
+        return self.base.params
+
+    @property
+    def adj(self):
+        return self.base.adj
+
+    def train_epoch(self):
+        # checkpoint-loop contract: (loss, train_acc, edges_consumed)
+        loss, tr, _va, _te = self.base.train_epoch()
+        return loss, tr, int(self.base.adj.num_edges)
+
+    def evaluate(self, nids) -> float:
+        return self.base.evaluate(nids)
+
+    def run(self, epochs: Optional[int] = None):
+        from ..utils.timing import PhaseTimer
+        from .trainer import TrainReport
+
+        hist = self.base.run(epochs)
+        return TrainReport(
+            epoch_times=[h["time"] for h in hist],
+            train_acc=[h["train"] for h in hist],
+            val_acc=[h["val"] for h in hist],
+            test_acc=[h["test"] for h in hist],
+            losses=[h["loss"] for h in hist],
+            edges_per_epoch=[int(self.base.adj.num_edges)] * len(hist),
+            timers=PhaseTimer(),
+            time_skip=self.cfg.time_skip,
+        )
+
+
 def build_trainer(cfg: RunConfig, dataset: Dataset):
     """Construct (without running) the trainer an ALGORITHM string names.
 
@@ -109,6 +171,8 @@ def build_trainer(cfg: RunConfig, dataset: Dataset):
     trainer the engine spec requires (not a hardcoded SampleTrainer).
     """
     spec = engine_from_config(cfg)
+    if spec.fullbatch:
+        return FullBatchEngine(cfg, dataset, spec.family, spec.weight_kind)
     degree_mode = resolve_degree_mode(cfg)
     if cfg.pushdown and not spec.use_cache and not spec.multi_device:
         # PUSHDOWN:1 turns the pushdown/PD path on inside non-PD engines

@@ -358,6 +358,40 @@ class FullBatchTrainer:
 
         return float(loss), acc(self.train_mask), acc(self.val_mask), acc(self.test_mask)
 
+    # -------------------------------------------------- engine-surface ----
+    @property
+    def val_nids(self) -> np.ndarray:
+        return np.nonzero(np.asarray(self.val_mask))[0].astype(np.int32)
+
+    @property
+    def test_nids(self) -> np.ndarray:
+        return np.nonzero(np.asarray(self.test_mask))[0].astype(np.int32)
+
+    def evaluate(self, nids: np.ndarray) -> float:
+        """Exact whole-graph accuracy over the given vertex ids."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "evaluate(nids) on the sharded full-batch trainer: use "
+                "train_epoch()'s per-mask accuracies instead"
+            )
+        nids = np.asarray(nids)
+        if nids.size == 0:
+            return 0.0
+        logp = full_forward(
+            self.params, self.family, self.x, self.src, self.dst, self.w,
+            self.adj.num_vertices, aggregator=self.aggregator,
+            heads=self.cfg.heads,
+        )
+        pred = np.asarray(jnp.argmax(logp, axis=-1))
+        return float((pred[nids] == np.asarray(self.y)[nids]).mean())
+
+    def checkpoint_state(self):
+        return {"params": self.params, "opt_state": self.opt_state}
+
+    def load_checkpoint_state(self, state) -> None:
+        self.params = jax.tree.map(lambda x: x, state["params"])
+        self.opt_state = state["opt_state"]
+
     def run(self, epochs: Optional[int] = None):
         epochs = epochs or self.cfg.epochs
         hist = []
