@@ -75,6 +75,8 @@ class RunConfig:
     batch_norm: bool = False
     aggregator: str = "sum"          # sum | min | max (full-batch dst ops)
     shard_features: bool = False     # row-shard features over the mesh
+    partition_graph: bool = False    # *FULLBATCH: vertex-shard over all devices
+    halo: str = "all_gather"         # all_gather | targeted (sharded full-batch)
     classes: int = 0
     del_frac: float = 0.0
     # extras (ours)
@@ -156,6 +158,8 @@ _KEYMAP = {
     "OPTIMIZER": ("optimizer", str),
     "AGGREGATOR": ("aggregator", str),
     "SHARD_FEATURES": ("shard_features", _to_bool),
+    "PARTITION_GRAPH": ("partition_graph", _to_bool),
+    "HALO": ("halo", str),
     "RUNS": ("runs", int),
     "TIME_SKIP": ("time_skip", int),
     "BATCH_NORM": ("batch_norm", _to_bool),

@@ -126,9 +126,23 @@ class FullBatchEngine:
                  weight_kind: WeightKind) -> None:
         from .fullbatch import FullBatchTrainer
 
+        mesh = None
+        if getattr(cfg, "partition_graph", False):
+            # PARTITION_GRAPH:1 — vertex-shard the graph over every visible
+            # device (the reference full-batch path's Gemini vertex-range
+            # partitioning, graph.hpp:640-1115); halo exchange per the HALO
+            # key (all_gather | targeted all_to_all mirror rows).
+            import jax
+            import numpy as np
+            from jax.sharding import Mesh
+
+            devs = jax.devices()
+            if len(devs) > 1:
+                mesh = Mesh(np.asarray(devs).reshape(len(devs)), ("graph",))
         self.cfg = cfg
         self.base = FullBatchTrainer(
-            cfg, dataset, family=family, weight_kind=weight_kind
+            cfg, dataset, family=family, weight_kind=weight_kind,
+            mesh=mesh, halo=getattr(cfg, "halo", "all_gather"),
         )
 
     @property

@@ -153,6 +153,7 @@ class FullBatchTrainer:
             else getattr(cfg, "aggregator", "sum")
         ).lower()
         self.adj = adj or Adjacency.from_edges(dataset.edges, dataset.num_vertices)
+        self.weight_kind = weight_kind
         wk = WeightKind.NONE if family == "gat" else weight_kind
         src, dst, w = build_coo(self.adj, wk)
         self.mesh = mesh
@@ -368,17 +369,22 @@ class FullBatchTrainer:
         return np.nonzero(np.asarray(self.test_mask))[0].astype(np.int32)
 
     def evaluate(self, nids: np.ndarray) -> float:
-        """Exact whole-graph accuracy over the given vertex ids."""
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "evaluate(nids) on the sharded full-batch trainer: use "
-                "train_epoch()'s per-mask accuracies instead"
-            )
+        """Exact whole-graph accuracy over the given vertex ids.
+
+        In sharded mode the trainer only keeps per-device COO shards, so
+        evaluation rebuilds the unsharded COO and runs the single-device
+        program (params are replicated; the forward is the same math)."""
         nids = np.asarray(nids)
         if nids.size == 0:
             return 0.0
+        if self.mesh is None:
+            src, dst, w = self.src, self.dst, self.w
+        else:
+            wk = WeightKind.NONE if self.family == "gat" else self.weight_kind
+            s_, d_, w_ = build_coo(self.adj, wk)
+            src, dst, w = jnp.asarray(s_), jnp.asarray(d_), jnp.asarray(w_)
         logp = full_forward(
-            self.params, self.family, self.x, self.src, self.dst, self.w,
+            self.params, self.family, self.x, src, dst, w,
             self.adj.num_vertices, aggregator=self.aggregator,
             heads=self.cfg.heads,
         )

@@ -315,3 +315,28 @@ def test_fullbatch_checkpoint_resume(tiny_ds, tmp_path):
                     jax.tree.leaves(second.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_partition_graph_cfg_key(tiny_ds):
+    """PARTITION_GRAPH:1 routes the FULLBATCH engine onto the vertex-sharded
+    program; loss trajectory matches the single-device engine, and
+    evaluate() (host fallback) still works for checkpoint/exact-eval."""
+    from sgnn_tpu.train.engines import build_trainer
+
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[1, 1], epochs=1,
+                    learn_rate=0.01, seed=3, vertices=tiny_ds.num_vertices,
+                    algorithm="GCNFULLBATCH")
+    single = build_trainer(cfg, tiny_ds)
+    cfg_sh = RunConfig(layer_sizes=[32, 16, 5], fanout=[1, 1], epochs=1,
+                       learn_rate=0.01, seed=3,
+                       vertices=tiny_ds.num_vertices,
+                       algorithm="GCNFULLBATCH", partition_graph=True)
+    sharded = build_trainer(cfg_sh, tiny_ds)
+    assert sharded.base.mesh is not None
+    for step in range(3):
+        l1 = single.base.train_epoch()
+        l2 = sharded.base.train_epoch()
+        assert abs(l1[0] - l2[0]) < 2e-3, (step, l1[0], l2[0])
+    acc_s = single.evaluate(single.base.val_nids)
+    acc_p = sharded.evaluate(sharded.base.val_nids)
+    assert abs(acc_s - acc_p) < 0.05
