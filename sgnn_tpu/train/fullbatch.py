@@ -27,7 +27,7 @@ from ..data.dataset import Dataset, MASK_TRAIN, MASK_VAL, MASK_TEST
 from ..graph.adjacency import Adjacency
 from ..models.gnn import GNNParams, init_model
 from ..nn.functional import log_softmax, nll_loss_masked
-from ..nn.optim import ReferenceAdam
+from ..nn.optim import make_optimizer
 from ..ops.segment import segment_softmax_coo, spmm_coo, spmm_coo_multihead
 from ..sampler.blocks import WeightKind, pad_to
 from ..utils.logging import get_logger
@@ -165,10 +165,9 @@ class FullBatchTrainer:
         self.params = init_model(
             jax.random.PRNGKey(cfg.seed), family, cfg.layer_sizes
         )
-        self.optimizer = ReferenceAdam(
-            learn_rate=cfg.learn_rate, weight_decay=cfg.weight_decay,
-            bias_correction=True,  # full-batch engines used the CPU Adam
-        )
+        # OPTIMIZER cfg key (adam | sgd), bias-corrected like the CPU
+        # engines' learnC2C_with_decay_Adam (NtsScheduler.hpp:863)
+        self.optimizer = make_optimizer(cfg, bias_correction=True)
         self.opt_state = self.optimizer.init(self.params)
         self.halo = halo
         if mesh is None:
