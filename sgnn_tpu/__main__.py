@@ -37,6 +37,10 @@ def main(argv=None) -> int:
                     help="after training, report EXACT val/test accuracy "
                          "via layer-wise full-graph inference (no fanout "
                          "sampling noise; train/inference.py)")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the training run "
+                         "into DIR (open with xprof/tensorboard; reference "
+                         "analog: cpu.sh/gpu.sh + phase timers)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -65,6 +69,20 @@ def main(argv=None) -> int:
     ds = load_from_config(cfg)
     log.info("dataset: %s — %d vertices, %d edges", ds.name, ds.num_vertices,
              ds.num_edges)
+    import contextlib
+
+    if args.profile:
+        from sgnn_tpu.utils.profiling import trace
+
+        prof_ctx = trace(args.profile)
+    else:
+        prof_ctx = contextlib.nullcontext()
+    with prof_ctx:
+        return _run(args, cfg, ds, log)
+
+
+def _run(args, cfg, ds, log) -> int:
+    from sgnn_tpu.train import run_engine
     if args.coordinator:
         # multi-host data-parallel: every device of every joined process
         from sgnn_tpu.parallel.multihost import (
