@@ -68,6 +68,7 @@ def full_forward(
     num_vertices: int,
     aggregator: str = "sum",
     heads: int = 1,
+    batch_norm: bool = False,
 ) -> jax.Array:
     """L-layer whole-graph forward (GCN/SAGE via SpMM; GAT via COO softmax).
 
@@ -77,8 +78,22 @@ def full_forward(
     (ntsSingleCPUGraphOp.hpp) / DistAggregateDstMin/Max
     (ntsDistCPUGraphOp.hpp); autodiff routes the cotangent to the
     arg-extreme edge (the reference's subgradient convention).
+
+    batch_norm: the BATCH_NORM cfg key (GraphSegment.cpp:323 — the
+    reference parses and prints it but never consumes it; implemented for
+    real here): standardize each hidden layer's activations per feature
+    over the full vertex axis before relu.  Whole-graph "batch" statistics
+    are deterministic (the batch IS the graph), so this needs no running
+    state and train/eval see identical normalization.
     """
     from ..ops.reductions import segment_max_coo, segment_min_coo
+
+    def bn(t):
+        if not batch_norm:
+            return t
+        mu = jnp.mean(t, axis=0, keepdims=True)
+        var = jnp.var(t, axis=0, keepdims=True)
+        return (t - mu) * jax.lax.rsqrt(var + 1e-5)
 
     h = x
     n_layers = len(params.weights)
@@ -89,7 +104,7 @@ def full_forward(
             ht = jnp.dot(h, wl, preferred_element_type=h.dtype)
             red = segment_min_coo if aggregator == "min" else segment_max_coo
             h = red(ht, src, dst, valid, num_vertices)
-            h = log_softmax(h) if l == n_layers - 1 else jax.nn.relu(h)
+            h = log_softmax(h) if l == n_layers - 1 else jax.nn.relu(bn(h))
             continue
         if family == "gat":
             ht = jnp.dot(h, wl, preferred_element_type=h.dtype)
@@ -110,7 +125,7 @@ def full_forward(
                 score = jax.nn.leaky_relu(score, 0.2)
                 att = segment_softmax_coo(score, dst, valid, num_vertices)
                 h = spmm_coo(ht, src, dst, att, num_vertices)
-            h = jax.nn.relu(h)
+            h = jax.nn.relu(h if l == n_layers - 1 else bn(h))
             if l == n_layers - 1:
                 h = log_softmax(h)
         else:
@@ -127,7 +142,7 @@ def full_forward(
             if l == n_layers - 1:
                 h = log_softmax(h)
             else:
-                h = jax.nn.relu(h)
+                h = jax.nn.relu(bn(h))
     return h
 
 
@@ -184,12 +199,14 @@ class FullBatchTrainer:
         optimizer = self.optimizer
         aggregator = self.aggregator
         heads = self.cfg.heads
+        use_bn = bool(getattr(self.cfg, "batch_norm", False))
 
         @jax.jit
         def step(params, opt_state, x, y, mask, src, dst, w):
             def loss_fn(p):
                 logp = full_forward(p, family, x, src, dst, w, v,
-                                    aggregator=aggregator, heads=heads)
+                                    aggregator=aggregator, heads=heads,
+                                    batch_norm=use_bn)
                 return nll_loss_masked(logp, y, mask), logp
 
             (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -234,6 +251,8 @@ class FullBatchTrainer:
         n_layers = len(self.params.weights)
         aggregator = self.aggregator
         heads = self.cfg.heads
+        use_bn = bool(getattr(self.cfg, "batch_norm", False))
+        v_real = v
 
         halo_mode = self.halo
 
@@ -264,6 +283,24 @@ class FullBatchTrainer:
                 from ..ops.reductions import segment_max_coo, segment_min_coo
                 from ..parallel.halo import targeted_halo_exchange
 
+                def bn(t):
+                    # synchronized batch norm (BATCH_NORM cfg key): global
+                    # per-feature statistics over the REAL vertices only
+                    # (padding rows masked), psum'd across the graph axis —
+                    # bit-matches the single-device full_forward stats
+                    if not use_bn:
+                        return t
+                    k = jax.lax.axis_index("graph")
+                    gidx = k * t.shape[0] + jnp.arange(t.shape[0])
+                    m = (gidx < v_real)[:, None]
+                    cnt = jnp.asarray(v_real, t.dtype)
+                    mu = jax.lax.psum(
+                        jnp.sum(jnp.where(m, t, 0), axis=0), "graph"
+                    ) / cnt
+                    d = jnp.where(m, t - mu, 0)
+                    var = jax.lax.psum(jnp.sum(d * d, axis=0), "graph") / cnt
+                    return (t - mu) * jax.lax.rsqrt(var + 1e-5)
+
                 h = x
                 for l in range(n_layers):
                     wl = p.weights[l]
@@ -283,7 +320,7 @@ class FullBatchTrainer:
                         h = red(ext, src[0], dstl[0], w_edge[0] != 0,
                                 h.shape[0])
                         h = (log_softmax(h) if l == n_layers - 1
-                             else jax.nn.relu(h))
+                             else jax.nn.relu(bn(h)))
                         continue
                     if family == "gat":
                         # distributed attention (DistEdgeSoftMax parity):
@@ -295,7 +332,7 @@ class FullBatchTrainer:
                             else None,
                             heads=1 if l == n_layers - 1 else heads,
                         )
-                        h = jax.nn.relu(h)
+                        h = jax.nn.relu(h if l == n_layers - 1 else bn(h))
                         if l == n_layers - 1:
                             h = log_softmax(h)
                         continue
@@ -307,7 +344,8 @@ class FullBatchTrainer:
                         h = jnp.dot(
                             agg(h), wl, preferred_element_type=h.dtype,
                         )
-                    h = log_softmax(h) if l == n_layers - 1 else jax.nn.relu(h)
+                    h = (log_softmax(h) if l == n_layers - 1
+                         else jax.nn.relu(bn(h)))
                 # masked NLL over the local shard, reduced globally
                 picked = jnp.take_along_axis(
                     h, y[:, None].astype(jnp.int32), axis=1
@@ -378,14 +416,19 @@ class FullBatchTrainer:
             return 0.0
         if self.mesh is None:
             src, dst, w = self.src, self.dst, self.w
+            x = self.x
         else:
             wk = WeightKind.NONE if self.family == "gat" else self.weight_kind
             s_, d_, w_ = build_coo(self.adj, wk)
             src, dst, w = jnp.asarray(s_), jnp.asarray(d_), jnp.asarray(w_)
+            # self.x is padded to the shard boundary; the unsharded forward
+            # (and batch-norm statistics) must see only the real vertices
+            x = self.x[: self.adj.num_vertices]
         logp = full_forward(
-            self.params, self.family, self.x, src, dst, w,
+            self.params, self.family, x, src, dst, w,
             self.adj.num_vertices, aggregator=self.aggregator,
             heads=self.cfg.heads,
+            batch_norm=bool(getattr(self.cfg, "batch_norm", False)),
         )
         pred = np.asarray(jnp.argmax(logp, axis=-1))
         return float((pred[nids] == np.asarray(self.y)[nids]).mean())

@@ -340,3 +340,33 @@ def test_partition_graph_cfg_key(tiny_ds):
     acc_s = single.evaluate(single.base.val_nids)
     acc_p = sharded.evaluate(sharded.base.val_nids)
     assert abs(acc_s - acc_p) < 0.05
+
+
+def test_batch_norm_sharded_matches_single(tiny_ds):
+    """BATCH_NORM:1 (sync batch norm): sharded global statistics (psum over
+    the graph axis, padding rows masked) match the single-device program."""
+    from jax.sharding import Mesh
+
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[1, 1], epochs=1,
+                    learn_rate=0.01, seed=3, vertices=tiny_ds.num_vertices,
+                    batch_norm=True)
+    gmesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("graph",))
+    for fam in ("gcn", "gat"):
+        single = FullBatchTrainer(cfg, tiny_ds, family=fam)
+        sharded = FullBatchTrainer(cfg, tiny_ds, family=fam, mesh=gmesh)
+        for step in range(2):
+            l1 = single.train_epoch()
+            l2 = sharded.train_epoch()
+            assert abs(l1[0] - l2[0]) < 2e-3, (fam, step, l1[0], l2[0])
+
+
+def test_batch_norm_changes_forward(tiny_ds):
+    """batch_norm=True standardizes hidden activations (different logits,
+    still finite and trainable)."""
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[1, 1], epochs=4,
+                    learn_rate=0.02, vertices=tiny_ds.num_vertices,
+                    batch_norm=True)
+    tr = FullBatchTrainer(cfg, tiny_ds, family="gcn")
+    hist = tr.run(4)
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"]
