@@ -53,7 +53,6 @@ def main(argv=None) -> int:
 
     from sgnn_tpu.config import load_cfg
     from sgnn_tpu.data.nts_format import load_from_config
-    from sgnn_tpu.train import run_engine
     from sgnn_tpu.utils.logging import get_logger
 
     log = get_logger("sgnn.cli")
@@ -123,12 +122,21 @@ def _run(args, cfg, ds, log) -> int:
         report = trainer.run(epochs=cfg.epochs)
         owner = getattr(trainer, "base", trainer)
         spec = engine_from_config(cfg)
-        logp = layerwise_inference(owner.params, spec.family, owner.adj,
-                                   ds.features, heads=cfg.heads)
-        va = exact_accuracy(owner.params, spec.family, owner.adj, ds.features,
-                            ds.labels, owner.val_nids, logp=logp)
-        te = exact_accuracy(owner.params, spec.family, owner.adj, ds.features,
-                            ds.labels, owner.test_nids, logp=logp)
+        if spec.fullbatch:
+            # full-batch training IS full-neighborhood — evaluate with the
+            # trainer's own forward (same edge weights, BATCH_NORM,
+            # AGGREGATOR), not the sampled-engine inference path
+            va = trainer.evaluate(owner.val_nids)
+            te = trainer.evaluate(owner.test_nids)
+        else:
+            logp = layerwise_inference(owner.params, spec.family, owner.adj,
+                                       ds.features, heads=cfg.heads)
+            va = exact_accuracy(owner.params, spec.family, owner.adj,
+                                ds.features, ds.labels, owner.val_nids,
+                                logp=logp)
+            te = exact_accuracy(owner.params, spec.family, owner.adj,
+                                ds.features, ds.labels, owner.test_nids,
+                                logp=logp)
         log.info("exact (full-neighborhood) eval: val %.4f test %.4f", va, te)
     else:
         report = run_engine(cfg, ds)

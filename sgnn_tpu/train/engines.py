@@ -139,6 +139,13 @@ class FullBatchEngine:
             devs = jax.devices()
             if len(devs) > 1:
                 mesh = Mesh(np.asarray(devs).reshape(len(devs)), ("graph",))
+            else:
+                from ..utils.logging import get_logger
+
+                get_logger("sgnn.engine").warning(
+                    "PARTITION_GRAPH:1 requested but only one device is "
+                    "visible — running the single-device program"
+                )
         self.cfg = cfg
         self.base = FullBatchTrainer(
             cfg, dataset, family=family, weight_kind=weight_kind,

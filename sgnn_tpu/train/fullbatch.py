@@ -26,7 +26,7 @@ from ..config import RunConfig
 from ..data.dataset import Dataset, MASK_TRAIN, MASK_VAL, MASK_TEST
 from ..graph.adjacency import Adjacency
 from ..models.gnn import GNNParams, init_model
-from ..nn.functional import log_softmax, nll_loss_masked
+from ..nn.functional import dropout, log_softmax, nll_loss_masked
 from ..nn.optim import make_optimizer
 from ..ops.segment import segment_softmax_coo, spmm_coo, spmm_coo_multihead
 from ..sampler.blocks import WeightKind, pad_to
@@ -69,6 +69,8 @@ def full_forward(
     aggregator: str = "sum",
     heads: int = 1,
     batch_norm: bool = False,
+    drop_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
 ) -> jax.Array:
     """L-layer whole-graph forward (GCN/SAGE via SpMM; GAT via COO softmax).
 
@@ -97,6 +99,15 @@ def full_forward(
 
     h = x
     n_layers = len(params.weights)
+    train_drop = drop_rate > 0.0 and dropout_key is not None
+    dkeys = (jax.random.split(dropout_key, n_layers) if train_drop
+             else [None] * n_layers)
+
+    def drop(t, l):
+        # DROP_RATE on hidden layers, dropout(relu(.)) like the sampled
+        # models (models/gnn.py); eval passes omit dropout_key
+        return dropout(dkeys[l], t, drop_rate, train_drop)
+
     valid = w_edge != 0
     for l in range(n_layers):
         wl = params.weights[l]
@@ -104,7 +115,8 @@ def full_forward(
             ht = jnp.dot(h, wl, preferred_element_type=h.dtype)
             red = segment_min_coo if aggregator == "min" else segment_max_coo
             h = red(ht, src, dst, valid, num_vertices)
-            h = log_softmax(h) if l == n_layers - 1 else jax.nn.relu(bn(h))
+            h = (log_softmax(h) if l == n_layers - 1
+                 else drop(jax.nn.relu(bn(h)), l))
             continue
         if family == "gat":
             ht = jnp.dot(h, wl, preferred_element_type=h.dtype)
@@ -128,6 +140,8 @@ def full_forward(
             h = jax.nn.relu(h if l == n_layers - 1 else bn(h))
             if l == n_layers - 1:
                 h = log_softmax(h)
+            else:
+                h = drop(h, l)
         else:
             if wl.shape[0] > wl.shape[1]:  # transform-first (see models/gnn)
                 h = spmm_coo(
@@ -142,7 +156,7 @@ def full_forward(
             if l == n_layers - 1:
                 h = log_softmax(h)
             else:
-                h = jax.nn.relu(bn(h))
+                h = drop(jax.nn.relu(bn(h)), l)
     return h
 
 
@@ -180,10 +194,16 @@ class FullBatchTrainer:
         self.params = init_model(
             jax.random.PRNGKey(cfg.seed), family, cfg.layer_sizes
         )
+        self._dropout_key = jax.random.PRNGKey(cfg.seed + 7919)
         # OPTIMIZER cfg key (adam | sgd), bias-corrected like the CPU
         # engines' learnC2C_with_decay_Adam (NtsScheduler.hpp:863)
         self.optimizer = make_optimizer(cfg, bias_correction=True)
         self.opt_state = self.optimizer.init(self.params)
+        halo = (halo or "all_gather").lower()
+        if halo not in ("all_gather", "targeted"):
+            raise ValueError(
+                f"HALO must be 'all_gather' or 'targeted', got {halo!r}"
+            )
         self.halo = halo
         if mesh is None:
             self.src, self.dst, self.w = (
@@ -200,17 +220,24 @@ class FullBatchTrainer:
         aggregator = self.aggregator
         heads = self.cfg.heads
         use_bn = bool(getattr(self.cfg, "batch_norm", False))
+        drop_rate = float(self.cfg.drop_rate)
 
         @jax.jit
-        def step(params, opt_state, x, y, mask, src, dst, w):
+        def step(params, opt_state, x, y, mask, src, dst, w, dkey):
             def loss_fn(p):
                 logp = full_forward(p, family, x, src, dst, w, v,
                                     aggregator=aggregator, heads=heads,
-                                    batch_norm=use_bn)
+                                    batch_norm=use_bn, drop_rate=drop_rate,
+                                    dropout_key=dkey)
                 return nll_loss_masked(logp, y, mask), logp
 
             (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             new_p, new_o = optimizer.update(grads, opt_state, params)
+            if drop_rate > 0.0:
+                # metrics from a dropout-free forward (reference ctx->eval())
+                logp = full_forward(params, family, x, src, dst, w, v,
+                                    aggregator=aggregator, heads=heads,
+                                    batch_norm=use_bn)
             pred = jnp.argmax(logp, axis=-1)
             return new_p, new_o, loss, pred
 
@@ -253,6 +280,7 @@ class FullBatchTrainer:
         heads = self.cfg.heads
         use_bn = bool(getattr(self.cfg, "batch_norm", False))
         v_real = v
+        drop_rate = float(self.cfg.drop_rate)
 
         halo_mode = self.halo
 
@@ -260,10 +288,11 @@ class FullBatchTrainer:
             shard_map,
             mesh=self.mesh,
             in_specs=(P(), P(), P("graph"), P("graph"), P("graph"),
-                      P("graph"), P("graph"), P("graph"), P("graph")),
+                      P("graph"), P("graph"), P("graph"), P("graph"), P()),
             out_specs=(P(), P(), P(), P("graph")),
         )
-        def step(params, opt_state, x, y, mask, src, dstl, w_edge, sidx):
+        def step(params, opt_state, x, y, mask, src, dstl, w_edge, sidx,
+                 dkey):
             from ..parallel.halo import (
                 sharded_aggregate,
                 sharded_aggregate_targeted,
@@ -279,9 +308,33 @@ class FullBatchTrainer:
                 def agg(h_):
                     return sharded_aggregate(h_, src[0], dstl[0], w_edge[0])
 
-            def loss_fn(p):
+            def fwd(p, dk):
                 from ..ops.reductions import segment_max_coo, segment_min_coo
                 from ..parallel.halo import targeted_halo_exchange
+
+                dkeys = (jax.random.split(dk, n_layers)
+                         if (drop_rate > 0.0 and dk is not None) else None)
+
+                def drop(t, l):
+                    # layout-invariant dropout: the keep mask is drawn for
+                    # the FULL [V, F] array with the same key/shape as the
+                    # single-device program (nn.functional.dropout), then
+                    # each shard slices its own rows — so sharded training
+                    # is bit-equal to single-device training under dropout
+                    if dkeys is None:
+                        return t
+                    keep = jax.random.bernoulli(
+                        dkeys[l], 1.0 - drop_rate, (v_real, t.shape[1])
+                    )
+                    keep = jnp.pad(keep, ((0, vpad - v_real), (0, 0)))
+                    k_idx = jax.lax.axis_index("graph")
+                    local = jax.lax.dynamic_slice(
+                        keep, (k_idx * t.shape[0], 0),
+                        (t.shape[0], t.shape[1]),
+                    )
+                    return jnp.where(
+                        local, t / (1.0 - drop_rate), 0.0
+                    ).astype(t.dtype)
 
                 def bn(t):
                     # synchronized batch norm (BATCH_NORM cfg key): global
@@ -320,7 +373,7 @@ class FullBatchTrainer:
                         h = red(ext, src[0], dstl[0], w_edge[0] != 0,
                                 h.shape[0])
                         h = (log_softmax(h) if l == n_layers - 1
-                             else jax.nn.relu(bn(h)))
+                             else drop(jax.nn.relu(bn(h)), l))
                         continue
                     if family == "gat":
                         # distributed attention (DistEdgeSoftMax parity):
@@ -335,6 +388,8 @@ class FullBatchTrainer:
                         h = jax.nn.relu(h if l == n_layers - 1 else bn(h))
                         if l == n_layers - 1:
                             h = log_softmax(h)
+                        else:
+                            h = drop(h, l)
                         continue
                     if wl.shape[0] > wl.shape[1]:
                         h = agg(
@@ -345,7 +400,7 @@ class FullBatchTrainer:
                             agg(h), wl, preferred_element_type=h.dtype,
                         )
                     h = (log_softmax(h) if l == n_layers - 1
-                         else jax.nn.relu(bn(h)))
+                         else drop(jax.nn.relu(bn(h)), l))
                 # masked NLL over the local shard, reduced globally
                 picked = jnp.take_along_axis(
                     h, y[:, None].astype(jnp.int32), axis=1
@@ -356,9 +411,15 @@ class FullBatchTrainer:
                 count = jax.lax.psum(local_n, "graph")
                 return total / jnp.maximum(count, 1), h
 
+            def loss_fn(p):
+                return fwd(p, dkey)
+
             (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = jax.lax.psum(grads, "graph")
             new_p, new_o = optimizer.update(grads, opt_state, params)
+            if drop_rate > 0.0:
+                # metrics from a dropout-free forward (reference ctx->eval())
+                _, logp = fwd(params, None)
             pred = jnp.argmax(logp, axis=-1)
             return new_p, new_o, loss, pred
 
@@ -366,10 +427,11 @@ class FullBatchTrainer:
 
     # ---------------------------------------------------------------- run
     def train_epoch(self) -> Tuple[float, float, float, float]:
+        self._dropout_key, dkey = jax.random.split(self._dropout_key)
         if self.mesh is None:
             self.params, self.opt_state, loss, pred = self._step(
                 self.params, self.opt_state, self.x, self.y, self.train_mask,
-                self.src, self.dst, self.w,
+                self.src, self.dst, self.w, dkey,
             )
         else:
             if self.targeted is not None:
@@ -386,7 +448,7 @@ class FullBatchTrainer:
                 w_l = self.sharded.weight
             self.params, self.opt_state, loss, pred = self._step(
                 self.params, self.opt_state, self.x, self.y, self.train_mask,
-                src_l, dst_l, w_l, sidx,
+                src_l, dst_l, w_l, sidx, dkey,
             )
         correct = pred == self.y
 
@@ -418,9 +480,14 @@ class FullBatchTrainer:
             src, dst, w = self.src, self.dst, self.w
             x = self.x
         else:
-            wk = WeightKind.NONE if self.family == "gat" else self.weight_kind
-            s_, d_, w_ = build_coo(self.adj, wk)
-            src, dst, w = jnp.asarray(s_), jnp.asarray(d_), jnp.asarray(w_)
+            if not hasattr(self, "_eval_coo"):
+                wk = (WeightKind.NONE if self.family == "gat"
+                      else self.weight_kind)
+                s_, d_, w_ = build_coo(self.adj, wk)
+                self._eval_coo = (
+                    jnp.asarray(s_), jnp.asarray(d_), jnp.asarray(w_)
+                )
+            src, dst, w = self._eval_coo
             # self.x is padded to the shard boundary; the unsharded forward
             # (and batch-norm statistics) must see only the real vertices
             x = self.x[: self.adj.num_vertices]
@@ -434,11 +501,13 @@ class FullBatchTrainer:
         return float((pred[nids] == np.asarray(self.y)[nids]).mean())
 
     def checkpoint_state(self):
-        return {"params": self.params, "opt_state": self.opt_state}
+        return {"params": self.params, "opt_state": self.opt_state,
+                "dropout_key": self._dropout_key}
 
     def load_checkpoint_state(self, state) -> None:
         self.params = jax.tree.map(lambda x: x, state["params"])
         self.opt_state = state["opt_state"]
+        self._dropout_key = state["dropout_key"]
 
     def run(self, epochs: Optional[int] = None):
         epochs = epochs or self.cfg.epochs
