@@ -83,17 +83,27 @@ def main(argv=None) -> int:
 def _run(args, cfg, ds, log) -> int:
     from sgnn_tpu.train import run_engine
     if args.coordinator:
-        # multi-host data-parallel: every device of every joined process
+        # multi-host: every device of every joined process joins one mesh.
+        # Sampled engines run data-parallel; *FULLBATCH engines run
+        # vertex-sharded graph-partition parallelism (the reference
+        # full-batch path's per-rank Gemini partitioning).
         from sgnn_tpu.parallel.multihost import (
             initialize_distributed, run_multihost_dp_epochs,
+            run_multihost_fullbatch_epochs,
         )
         from sgnn_tpu.train.engines import engine_from_config
 
         initialize_distributed(args.coordinator, args.nprocs, args.pid)
         spec = engine_from_config(cfg)
-        losses = run_multihost_dp_epochs(
-            cfg, ds, epochs=cfg.epochs, family=spec.family
-        )
+        if spec.fullbatch:
+            losses = run_multihost_fullbatch_epochs(
+                cfg, ds, epochs=cfg.epochs, family=spec.family,
+                halo=getattr(cfg, "halo", "all_gather"),
+            )
+        else:
+            losses = run_multihost_dp_epochs(
+                cfg, ds, epochs=cfg.epochs, family=spec.family
+            )
         log.info("multihost final loss: %.5f", losses[-1])
         return 0
     if args.checkpoint_dir:

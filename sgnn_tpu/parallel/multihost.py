@@ -227,3 +227,80 @@ def global_mesh(data: Optional[int] = None, graph: int = 1) -> Mesh:
     assert data * graph <= n
     arr = np.asarray(devs[: data * graph]).reshape(data, graph)
     return Mesh(arr, axis_names=("data", "graph"))
+
+
+def run_multihost_fullbatch_epochs(
+    cfg, dataset, epochs: Optional[int] = None, family: str = "gcn",
+    halo: str = "all_gather",
+):
+    """Vertex-sharded full-batch training over EVERY device of EVERY process.
+
+    The reference full-batch path IS multi-node (NeutronStar: Gemini
+    vertex-range partitioning per MPI rank + master/mirror halo exchange,
+    core/graph.hpp:640-1115/:2535-3530).  Here the same topology is one
+    global ("graph",) mesh across processes: every process builds the same
+    sharded COO (deterministic from the dataset), contributes the row
+    blocks its own devices own, and the shard_map step's all_gather /
+    all_to_all halo and grad psum ride DCN between hosts, ICI within.
+
+    Loss (and the step math) is process-layout independent: an N-process
+    run equals a single-process run over the same global device count,
+    dropout included (the keep mask is drawn layout-invariantly for the
+    full vertex array).  Returns per-epoch losses (same on every process).
+    """
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from ..train.fullbatch import FullBatchTrainer
+
+    devs = jax.devices()
+    mesh = Mesh(np.asarray(devs).reshape(len(devs)), ("graph",))
+    tr = FullBatchTrainer(cfg, dataset, family=family, mesh=mesh, halo=halo)
+    n = len(devs)
+    rows = tr.sharded.rows_per_shard
+    pid = jax.process_index()
+    local_ids = [i for i, d in enumerate(devs) if d.process_index == pid]
+    assert local_ids == list(range(min(local_ids), max(local_ids) + 1)), (
+        "expected process-contiguous device ordering"
+    )
+    lo_dev, hi_dev = min(local_ids), max(local_ids) + 1
+
+    def to_g(tree, spec):
+        return multihost_utils.host_local_array_to_global_array(
+            tree, mesh, spec
+        )
+
+    def rows_block(a):  # [vpad, ...] vertex-indexed → this process's rows
+        return to_g(np.asarray(a)[lo_dev * rows:hi_dev * rows], P("graph"))
+
+    def dev_block(a):   # [n, ...] stacked per-device → this process's stack
+        return to_g(np.asarray(a)[lo_dev:hi_dev], P("graph"))
+
+    params_g = to_g(tr.params, P())
+    opt_g = to_g(tr.opt_state, P())
+    x_g = rows_block(tr.x)
+    y_g = rows_block(tr.y)
+    mask_g = rows_block(tr.train_mask)
+    if tr.targeted is not None:
+        sidx_g = dev_block(tr.targeted.send_idx)
+        src_g = dev_block(tr.targeted.src_local)
+        dst_g = dev_block(tr.targeted.dst_local)
+        w_g = dev_block(tr.targeted.weight)
+    else:
+        sidx_g = dev_block(np.zeros((n, 1, 1), np.int32))
+        src_g = dev_block(tr.sharded.src)
+        dst_g = dev_block(tr.sharded.dst_local)
+        w_g = dev_block(tr.sharded.weight)
+
+    dropout_key = jax.random.PRNGKey(cfg.seed + 7919)
+    losses = []
+    for ep in range(epochs or cfg.epochs):
+        dropout_key, dkey = jax.random.split(dropout_key)
+        params_g, opt_g, loss, _pred = tr._step(
+            params_g, opt_g, x_g, y_g, mask_g, src_g, dst_g, w_g, sidx_g,
+            to_g(dkey, P()),
+        )
+        losses.append(float(np.asarray(loss.addressable_shards[0].data)))
+        log.info("multihost fullbatch epoch %d (%d proc, %d dev): loss %.6f",
+                 ep, jax.process_count(), n, losses[-1])
+    return losses

@@ -18,6 +18,7 @@ def main() -> None:
     ap.add_argument("--port", type=int, required=True)
     ap.add_argument("--local-devices", type=int, default=2)
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--mode", default="dp", choices=["dp", "fullbatch"])
     ap.add_argument("--out", required=True)
     a = ap.parse_args()
 
@@ -32,6 +33,7 @@ def main() -> None:
 
     from sgnn_tpu.parallel.multihost import (
         initialize_distributed, run_multihost_dp_epochs,
+        run_multihost_fullbatch_epochs,
     )
 
     if a.nprocs > 1:
@@ -44,11 +46,18 @@ def main() -> None:
     ds = random_graph_dataset(
         num_vertices=500, avg_degree=8, feature_dim=32, num_classes=5, seed=7
     )
-    cfg = RunConfig(
-        layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=32,
-        epochs=a.epochs, drop_rate=0.0, vertices=500,
-    )
-    losses = run_multihost_dp_epochs(cfg, ds, epochs=a.epochs)
+    if a.mode == "fullbatch":
+        cfg = RunConfig(
+            layer_sizes=[32, 16, 5], fanout=[1, 1], epochs=a.epochs,
+            learn_rate=0.02, drop_rate=0.5, vertices=500,
+        )
+        losses = run_multihost_fullbatch_epochs(cfg, ds, epochs=a.epochs)
+    else:
+        cfg = RunConfig(
+            layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=32,
+            epochs=a.epochs, drop_rate=0.0, vertices=500,
+        )
+        losses = run_multihost_dp_epochs(cfg, ds, epochs=a.epochs)
     if a.pid == 0:
         with open(a.out, "w") as f:
             json.dump(losses, f)

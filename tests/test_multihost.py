@@ -78,3 +78,34 @@ def test_two_process_dp_matches_single_process(tmp_path):
     np.testing.assert_allclose(mh, ref, rtol=1e-5)
     # and it actually learned
     assert mh[-1] < mh[0]
+
+
+def _launch_mode(nprocs, pid, port, local_devices, out, mode, epochs=3):
+    return subprocess.Popen(
+        [sys.executable, _WORKER, "--nprocs", str(nprocs), "--pid", str(pid),
+         "--port", str(port), "--local-devices", str(local_devices),
+         "--epochs", str(epochs), "--mode", mode, "--out", out],
+        env=_worker_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+
+
+def test_two_process_fullbatch_matches_single_process(tmp_path):
+    """Vertex-sharded full-batch (graph-partition parallelism) across TWO
+    jax.distributed processes: loss trajectory == single-process run over
+    the same 4 global devices, dropout included."""
+    ref_out = str(tmp_path / "ref.json")
+    _wait(_launch_mode(1, 0, _free_port(), 4, ref_out, "fullbatch"))
+    ref = json.load(open(ref_out))
+
+    port = _free_port()
+    mh_out = str(tmp_path / "mh.json")
+    p0 = _launch_mode(2, 0, port, 2, mh_out, "fullbatch")
+    p1 = _launch_mode(2, 1, port, 2, str(tmp_path / "unused.json"),
+                      "fullbatch")
+    _wait(p0)
+    _wait(p1)
+    mh = json.load(open(mh_out))
+
+    assert len(ref) == len(mh) == 3
+    np.testing.assert_allclose(mh, ref, rtol=1e-4)
+    assert mh[-1] < mh[0]
