@@ -98,6 +98,7 @@ def full_forward(
         return (t - mu) * jax.lax.rsqrt(var + 1e-5)
 
     h = x
+    w_edge = w_edge.astype(x.dtype)  # bf16 compute when DTYPE:bfloat16
     n_layers = len(params.weights)
     train_drop = drop_rate > 0.0 and dropout_key is not None
     dkeys = (jax.random.split(dropout_key, n_layers) if train_drop
@@ -110,19 +111,20 @@ def full_forward(
 
     valid = w_edge != 0
     for l in range(n_layers):
-        wl = params.weights[l]
+        wl = params.weights[l].astype(h.dtype)
         if aggregator in ("min", "max") and family != "gat":
             ht = jnp.dot(h, wl, preferred_element_type=h.dtype)
             red = segment_min_coo if aggregator == "min" else segment_max_coo
             h = red(ht, src, dst, valid, num_vertices)
-            h = (log_softmax(h) if l == n_layers - 1
+            h = (log_softmax(h.astype(jnp.float32))
+                 if l == n_layers - 1
                  else drop(jax.nn.relu(bn(h)), l))
             continue
         if family == "gat":
             ht = jnp.dot(h, wl, preferred_element_type=h.dtype)
             f = ht.shape[-1]
-            a_src = params.attn[l][:f, 0]
-            a_dst = params.attn[l][f:, 0]
+            a_src = params.attn[l][:f, 0].astype(ht.dtype)
+            a_dst = params.attn[l][f:, 0].astype(ht.dtype)
             hh = 1 if l == n_layers - 1 else heads  # logits stay 1-head
             if hh > 1:
                 fh = f // hh
@@ -139,7 +141,7 @@ def full_forward(
                 h = spmm_coo(ht, src, dst, att, num_vertices)
             h = jax.nn.relu(h if l == n_layers - 1 else bn(h))
             if l == n_layers - 1:
-                h = log_softmax(h)
+                h = log_softmax(h.astype(jnp.float32))
             else:
                 h = drop(h, l)
         else:
@@ -154,7 +156,7 @@ def full_forward(
                     preferred_element_type=h.dtype,
                 )
             if l == n_layers - 1:
-                h = log_softmax(h)
+                h = log_softmax(h.astype(jnp.float32))
             else:
                 h = drop(jax.nn.relu(bn(h)), l)
     return h
@@ -186,7 +188,9 @@ class FullBatchTrainer:
         wk = WeightKind.NONE if family == "gat" else weight_kind
         src, dst, w = build_coo(self.adj, wk)
         self.mesh = mesh
-        self.x = jnp.asarray(dataset.features)
+        self.compute_dtype = (jnp.bfloat16 if cfg.dtype == "bfloat16"
+                              else jnp.float32)
+        self.x = jnp.asarray(dataset.features, dtype=self.compute_dtype)
         self.y = jnp.asarray(dataset.labels.astype(np.int32))
         self.train_mask = jnp.asarray(dataset.masks == MASK_TRAIN)
         self.val_mask = jnp.asarray(dataset.masks == MASK_VAL)
@@ -268,7 +272,8 @@ class FullBatchTrainer:
             out[:v] = np.asarray(a)
             return jnp.asarray(out)
 
-        self.x = padv(self.dataset.features)
+        self.x = padv(np.asarray(self.dataset.features,
+                                 dtype=self.compute_dtype))
         self.y = padv(self.dataset.labels.astype(np.int32))
         self.train_mask = padv(np.asarray(self.dataset.masks == MASK_TRAIN))
         self.val_mask = padv(np.asarray(self.dataset.masks == MASK_VAL))
@@ -302,11 +307,14 @@ class FullBatchTrainer:
             if halo_mode == "targeted":
                 def agg(h_):
                     return sharded_aggregate_targeted(
-                        h_, sidx[0], src[0], dstl[0], w_edge[0]
+                        h_, sidx[0], src[0], dstl[0],
+                        w_edge[0].astype(h_.dtype),
                     )
             else:
                 def agg(h_):
-                    return sharded_aggregate(h_, src[0], dstl[0], w_edge[0])
+                    return sharded_aggregate(
+                        h_, src[0], dstl[0], w_edge[0].astype(h_.dtype)
+                    )
 
             def fwd(p, dk):
                 from ..ops.reductions import segment_max_coo, segment_min_coo
@@ -356,7 +364,7 @@ class FullBatchTrainer:
 
                 h = x
                 for l in range(n_layers):
-                    wl = p.weights[l]
+                    wl = p.weights[l].astype(h.dtype)
                     if aggregator in ("min", "max") and family != "gat":
                         # DistAggregateDstMin/Max parity: min/max over
                         # in-edges is shard-local after the halo (edges are
@@ -372,14 +380,16 @@ class FullBatchTrainer:
                                else segment_max_coo)
                         h = red(ext, src[0], dstl[0], w_edge[0] != 0,
                                 h.shape[0])
-                        h = (log_softmax(h) if l == n_layers - 1
+                        h = (log_softmax(h.astype(jnp.float32))
+                             if l == n_layers - 1
                              else drop(jax.nn.relu(bn(h)), l))
                         continue
                     if family == "gat":
                         # distributed attention (DistEdgeSoftMax parity):
                         # dst-partitioned edges make the softmax shard-local
                         h = sharded_gat_layer(
-                            h, wl, p.attn[l], src[0], dstl[0],
+                            h, wl, p.attn[l].astype(h.dtype), src[0],
+                            dstl[0],
                             w_edge[0] != 0,
                             send_idx=sidx[0] if halo_mode == "targeted"
                             else None,
@@ -387,7 +397,7 @@ class FullBatchTrainer:
                         )
                         h = jax.nn.relu(h if l == n_layers - 1 else bn(h))
                         if l == n_layers - 1:
-                            h = log_softmax(h)
+                            h = log_softmax(h.astype(jnp.float32))
                         else:
                             h = drop(h, l)
                         continue
@@ -399,7 +409,8 @@ class FullBatchTrainer:
                         h = jnp.dot(
                             agg(h), wl, preferred_element_type=h.dtype,
                         )
-                    h = (log_softmax(h) if l == n_layers - 1
+                    h = (log_softmax(h.astype(jnp.float32))
+                         if l == n_layers - 1
                          else drop(jax.nn.relu(bn(h)), l))
                 # masked NLL over the local shard, reduced globally
                 picked = jnp.take_along_axis(
