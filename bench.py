@@ -30,16 +30,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
-                      host_sampler: bool = False,
-                      dtype: str = "float32",
-                      src_pad_factor: float = 0.0,
-                      up_degree: bool = False) -> dict:
+def _reddit_like_cached(scale: float):
+    """Reddit-shaped synthetic dataset, cached as npz across runs."""
     import numpy as np
 
-    from sgnn_tpu.config import RunConfig
     from sgnn_tpu.data.synthetic import reddit_like_dataset
-    from sgnn_tpu.sampler.blocks import WeightKind
 
     t0 = time.perf_counter()
     cache_dir = "/root/.cache/sgnn_datasets"
@@ -60,6 +55,21 @@ def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
                  features=ds.features, labels=ds.labels, masks=ds.masks)
     log(f"[bench] reddit-like: {ds.num_vertices} V, {ds.num_edges} E "
         f"({time.perf_counter() - t0:.1f}s to build/load)")
+    return ds
+
+
+def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
+                      host_sampler: bool = False,
+                      dtype: str = "float32",
+                      src_pad_factor: float = 0.0,
+                      up_degree: bool = False) -> dict:
+    import numpy as np
+
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.data.synthetic import reddit_like_dataset
+    from sgnn_tpu.sampler.blocks import WeightKind
+
+    ds = _reddit_like_cached(scale)
     cfg = RunConfig(
         layer_sizes=[602, 128, 41],
         fanout=[25, 10],
@@ -136,6 +146,33 @@ def bench_feature_cache(scale: float, epochs: int, batch_size: int) -> dict:
         "transfer_saving_pct": round(100 * saving, 2),
         "train_acc": round(report.train_acc[-1], 4),
     }
+
+
+def bench_fullbatch(scale: float, epochs: int) -> dict:
+    """Whole-graph (FULLBATCH engine) epoch time at bench scale, bf16 —
+    exact full-neighborhood gradients, one jitted program per epoch."""
+    import numpy as np
+
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.train.fullbatch import FullBatchTrainer
+
+    ds = _reddit_like_cached(scale)
+    cfg = RunConfig(
+        layer_sizes=[602, 128, 41], fanout=[1, 1], epochs=epochs,
+        learn_rate=0.01, drop_rate=0.5, vertices=ds.num_vertices,
+        dtype="bfloat16",
+    )
+    tr = FullBatchTrainer(cfg, ds, family="gcn")
+    times, accs = [], []
+    for _ in range(epochs):
+        t0 = time.perf_counter()
+        _loss, a_tr, _va, _te = tr.train_epoch()
+        times.append(time.perf_counter() - t0)
+        accs.append(a_tr)
+    med = float(np.median(times[1:] or times))
+    log(f"[bench] fullbatch: epochs {[round(t, 3) for t in times]} "
+        f"train acc {accs[-1]:.4f}")
+    return {"epoch_time_s": round(med, 4), "train_acc": round(accs[-1], 4)}
 
 
 def bench_cora_gcn(epochs: int) -> dict:
@@ -243,6 +280,11 @@ def main():
     except Exception as e:  # keep the headline metric robust
         log(f"[bench] feature-cache stage failed ({e!r}); omitting")
         fcache = {}
+    try:
+        fullbatch = bench_fullbatch(args.scale, max(args.epochs, 3))
+    except Exception as e:
+        log(f"[bench] fullbatch stage failed ({e!r}); omitting")
+        fullbatch = {}
 
     result = {
         "metric": "reddit_sage_f25-10_edges_per_sec_per_chip",
@@ -262,6 +304,7 @@ def main():
             "src_pad_factor": 0.0 if args.exact_pads else 1.2,
             "degree_mode": "sampled" if args.up_degree else "global",
             "feature_cache": fcache,
+            "fullbatch_gcn": fullbatch,
         },
     }
     print(json.dumps(result), flush=True)
