@@ -66,7 +66,6 @@ def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
     import numpy as np
 
     from sgnn_tpu.config import RunConfig
-    from sgnn_tpu.data.synthetic import reddit_like_dataset
     from sgnn_tpu.sampler.blocks import WeightKind
 
     ds = _reddit_like_cached(scale)
@@ -122,11 +121,10 @@ def bench_feature_cache(scale: float, epochs: int, batch_size: int) -> dict:
     import numpy as np
 
     from sgnn_tpu.config import RunConfig
-    from sgnn_tpu.data.synthetic import reddit_like_dataset
     from sgnn_tpu.sampler.blocks import WeightKind
     from sgnn_tpu.train.trainer import SampleTrainer
 
-    ds = reddit_like_dataset(seed=0, scale=scale)
+    ds = _reddit_like_cached(scale)
     cfg = RunConfig(
         layer_sizes=[602, 128, 41], fanout=[25, 10], batch_size=batch_size,
         epochs=epochs, learn_rate=0.01, drop_rate=0.5,

@@ -99,6 +99,7 @@ def _run(args, cfg, ds, log) -> int:
             losses = run_multihost_fullbatch_epochs(
                 cfg, ds, epochs=cfg.epochs, family=spec.family,
                 halo=getattr(cfg, "halo", "all_gather"),
+                weight_kind=spec.weight_kind,
             )
         else:
             losses = run_multihost_dp_epochs(

@@ -31,7 +31,12 @@ def spmm_coo(
     ntsSingleGPUSampleGraphOp.hpp:258).
     """
     msgs = x[src] * weight[:, None]
-    return jax.ops.segment_sum(msgs, dst, num_segments=num_dst)
+    # accumulate in f32: bf16 segment sums lose updates once the running
+    # sum exceeds ~256x a summand (high-degree hub vertices)
+    out = jax.ops.segment_sum(
+        msgs.astype(jnp.float32), dst, num_segments=num_dst
+    )
+    return out.astype(x.dtype)
 
 
 def _spmm_fwd(x, src, dst, weight, num_dst):
@@ -41,8 +46,11 @@ def _spmm_fwd(x, src, dst, weight, num_dst):
 def _spmm_bwd(num_dst, res, g):
     x, src, dst, weight = res
     ge = g[dst] * weight[:, None]                       # [E, F]
-    dx = jax.ops.segment_sum(ge, src, num_segments=x.shape[0])
-    dw = jnp.einsum("ef,ef->e", g[dst], x[src]).astype(weight.dtype)
+    dx = jax.ops.segment_sum(
+        ge.astype(jnp.float32), src, num_segments=x.shape[0]
+    ).astype(x.dtype)
+    dw = jnp.einsum("ef,ef->e", g[dst], x[src],
+                    preferred_element_type=jnp.float32).astype(weight.dtype)
     return dx, None, None, dw
 
 
@@ -64,7 +72,9 @@ def segment_softmax_coo(
     seg_max = jax.ops.segment_max(s, dst, num_segments=num_dst)
     e = jnp.exp(s - jax.lax.stop_gradient(seg_max[dst]))
     e = jnp.where(valid, e, 0.0)
-    z = jax.ops.segment_sum(e, dst, num_segments=num_dst)
+    z = jax.ops.segment_sum(
+        e.astype(jnp.float32), dst, num_segments=num_dst
+    ).astype(e.dtype)
     return e / jnp.maximum(z[dst], jnp.finfo(scores.dtype).tiny)
 
 
@@ -84,5 +94,7 @@ def spmm_coo_multihead(
     e_total, heads = att.shape
     fh = x.shape[1] // heads
     msgs = x[src].reshape(e_total, heads, fh) * att[:, :, None].astype(x.dtype)
-    out = jax.ops.segment_sum(msgs, dst, num_segments=num_dst)
+    out = jax.ops.segment_sum(
+        msgs.astype(jnp.float32), dst, num_segments=num_dst
+    ).astype(x.dtype)
     return out.reshape(num_dst, heads * fh)

@@ -231,7 +231,7 @@ def global_mesh(data: Optional[int] = None, graph: int = 1) -> Mesh:
 
 def run_multihost_fullbatch_epochs(
     cfg, dataset, epochs: Optional[int] = None, family: str = "gcn",
-    halo: str = "all_gather",
+    halo: str = "all_gather", weight_kind=None,
 ):
     """Vertex-sharded full-batch training over EVERY device of EVERY process.
 
@@ -251,11 +251,16 @@ def run_multihost_fullbatch_epochs(
     from jax.experimental import multihost_utils
     from jax.sharding import PartitionSpec as P
 
+    from ..sampler.blocks import WeightKind
     from ..train.fullbatch import FullBatchTrainer
 
+    if weight_kind is None:  # same family defaults as the engine registry
+        weight_kind = {"gcn": WeightKind.GCN, "sage": WeightKind.MEAN,
+                       "gat": WeightKind.NONE}[family]
     devs = jax.devices()
     mesh = Mesh(np.asarray(devs).reshape(len(devs)), ("graph",))
-    tr = FullBatchTrainer(cfg, dataset, family=family, mesh=mesh, halo=halo)
+    tr = FullBatchTrainer(cfg, dataset, family=family, mesh=mesh, halo=halo,
+                          weight_kind=weight_kind)
     n = len(devs)
     rows = tr.sharded.rows_per_shard
     pid = jax.process_index()
@@ -292,10 +297,10 @@ def run_multihost_fullbatch_epochs(
         dst_g = dev_block(tr.sharded.dst_local)
         w_g = dev_block(tr.sharded.weight)
 
-    dropout_key = jax.random.PRNGKey(cfg.seed + 7919)
     losses = []
     for ep in range(epochs or cfg.epochs):
-        dropout_key, dkey = jax.random.split(dropout_key)
+        # single source of truth for the key schedule (matches train_epoch)
+        tr._dropout_key, dkey = jax.random.split(tr._dropout_key)
         params_g, opt_g, loss, _pred = tr._step(
             params_g, opt_g, x_g, y_g, mask_g, src_g, dst_g, w_g, sidx_g,
             to_g(dkey, P()),

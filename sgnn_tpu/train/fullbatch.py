@@ -93,9 +93,10 @@ def full_forward(
     def bn(t):
         if not batch_norm:
             return t
-        mu = jnp.mean(t, axis=0, keepdims=True)
-        var = jnp.var(t, axis=0, keepdims=True)
-        return (t - mu) * jax.lax.rsqrt(var + 1e-5)
+        t32 = t.astype(jnp.float32)  # stats in f32 even for bf16 compute
+        mu = jnp.mean(t32, axis=0, keepdims=True)
+        var = jnp.var(t32, axis=0, keepdims=True)
+        return ((t32 - mu) * jax.lax.rsqrt(var + 1e-5)).astype(t.dtype)
 
     h = x
     w_edge = w_edge.astype(x.dtype)  # bf16 compute when DTYPE:bfloat16
@@ -190,11 +191,12 @@ class FullBatchTrainer:
         self.mesh = mesh
         self.compute_dtype = (jnp.bfloat16 if cfg.dtype == "bfloat16"
                               else jnp.float32)
-        self.x = jnp.asarray(dataset.features, dtype=self.compute_dtype)
-        self.y = jnp.asarray(dataset.labels.astype(np.int32))
-        self.train_mask = jnp.asarray(dataset.masks == MASK_TRAIN)
-        self.val_mask = jnp.asarray(dataset.masks == MASK_VAL)
-        self.test_mask = jnp.asarray(dataset.masks == MASK_TEST)
+        if mesh is None:  # sharded init replaces these with padded copies
+            self.x = jnp.asarray(dataset.features, dtype=self.compute_dtype)
+            self.y = jnp.asarray(dataset.labels.astype(np.int32))
+            self.train_mask = jnp.asarray(dataset.masks == MASK_TRAIN)
+            self.val_mask = jnp.asarray(dataset.masks == MASK_VAL)
+            self.test_mask = jnp.asarray(dataset.masks == MASK_TEST)
         self.params = init_model(
             jax.random.PRNGKey(cfg.seed), family, cfg.layer_sizes
         )
@@ -267,10 +269,16 @@ class FullBatchTrainer:
         v = self.adj.num_vertices
         vpad = rows * n
         # pad vertex-indexed arrays to shard boundary
+        # Multi-process: keep vertex arrays host-side numpy — the multihost
+        # runner slices each process's row block before any device upload
+        # (a full-graph device copy per process would defeat the memory
+        # point of partitioning).  Single process: upload once here.
+        to_dev = jnp.asarray if jax.process_count() == 1 else (lambda a: a)
+
         def padv(a, fill=0):
             out = np.full((vpad, *a.shape[1:]), fill, dtype=a.dtype)
             out[:v] = np.asarray(a)
-            return jnp.asarray(out)
+            return to_dev(out)
 
         self.x = padv(np.asarray(self.dataset.features,
                                  dtype=self.compute_dtype))
@@ -354,13 +362,18 @@ class FullBatchTrainer:
                     k = jax.lax.axis_index("graph")
                     gidx = k * t.shape[0] + jnp.arange(t.shape[0])
                     m = (gidx < v_real)[:, None]
-                    cnt = jnp.asarray(v_real, t.dtype)
+                    # stats in f32: bf16 can neither count 233k vertices
+                    # nor accumulate their sums without rounding away
+                    t32 = t.astype(jnp.float32)
+                    cnt = jnp.float32(v_real)
                     mu = jax.lax.psum(
-                        jnp.sum(jnp.where(m, t, 0), axis=0), "graph"
+                        jnp.sum(jnp.where(m, t32, 0), axis=0), "graph"
                     ) / cnt
-                    d = jnp.where(m, t - mu, 0)
+                    d = jnp.where(m, t32 - mu, 0)
                     var = jax.lax.psum(jnp.sum(d * d, axis=0), "graph") / cnt
-                    return (t - mu) * jax.lax.rsqrt(var + 1e-5)
+                    return ((t32 - mu) * jax.lax.rsqrt(var + 1e-5)).astype(
+                        t.dtype
+                    )
 
                 h = x
                 for l in range(n_layers):

@@ -39,11 +39,11 @@ def _worker_env() -> dict:
     return env
 
 
-def _launch(nprocs, pid, port, local_devices, out, epochs=2):
+def _launch(nprocs, pid, port, local_devices, out, epochs=2, mode="dp"):
     return subprocess.Popen(
         [sys.executable, _WORKER, "--nprocs", str(nprocs), "--pid", str(pid),
          "--port", str(port), "--local-devices", str(local_devices),
-         "--epochs", str(epochs), "--out", out],
+         "--epochs", str(epochs), "--mode", mode, "--out", out],
         env=_worker_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
 
@@ -81,12 +81,8 @@ def test_two_process_dp_matches_single_process(tmp_path):
 
 
 def _launch_mode(nprocs, pid, port, local_devices, out, mode, epochs=3):
-    return subprocess.Popen(
-        [sys.executable, _WORKER, "--nprocs", str(nprocs), "--pid", str(pid),
-         "--port", str(port), "--local-devices", str(local_devices),
-         "--epochs", str(epochs), "--mode", mode, "--out", out],
-        env=_worker_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-    )
+    return _launch(nprocs, pid, port, local_devices, out, epochs=epochs,
+                   mode=mode)
 
 
 def test_two_process_fullbatch_matches_single_process(tmp_path):
