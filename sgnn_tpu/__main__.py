@@ -13,8 +13,11 @@ import sys
 
 
 def main(argv=None) -> int:
+    from sgnn_tpu.train.engines import ENGINES
+
     ap = argparse.ArgumentParser(
-        prog="sgnn_tpu", description="TPU-native sample-based GNN training"
+        prog="sgnn_tpu", description="TPU-native sample-based GNN training",
+        epilog="ALGORITHM strings: " + " ".join(sorted(ENGINES)),
     )
     ap.add_argument("config", help="KEY:VALUE .cfg file (reference format)")
     ap.add_argument("--epochs", type=int, default=None)
