@@ -144,7 +144,9 @@ def _run(args, cfg, ds, log) -> int:
             te = trainer.evaluate(owner.test_nids)
         else:
             logp = layerwise_inference(owner.params, spec.family, owner.adj,
-                                       ds.features, heads=cfg.heads)
+                                       ds.features, heads=cfg.heads,
+                                       batch_norm=bool(
+                                           getattr(cfg, "batch_norm", False)))
             va = exact_accuracy(owner.params, spec.family, owner.adj,
                                 ds.features, ds.labels, owner.val_nids,
                                 logp=logp)

@@ -105,6 +105,7 @@ class CachedSampleTrainer(SampleTrainer):
     def _build_step(self):
         family, drop_rate = self.family, self.cfg.drop_rate
         heads = self.cfg.heads
+        bn = bool(getattr(self.cfg, "batch_norm", False))
         optimizer = self.optimizer
 
         @jax.jit
@@ -118,6 +119,7 @@ class CachedSampleTrainer(SampleTrainer):
                 logp = model_forward(
                     p, family, batch_m, drop_rate=drop_rate, train=True,
                     dropout_key=key, cache_emb=cache_emb, heads=heads,
+                    batch_norm=bn,
                 )
                 return (
                     nll_loss_masked(logp, batch_m.labels, batch_m.label_valid),

@@ -125,12 +125,21 @@ def model_forward(
     cache_emb: Optional[jax.Array] = None,
     remat: bool = False,
     heads: int = 1,
+    batch_norm: bool = False,
 ) -> jax.Array:
     """Run the L-layer model; returns log-probs [num_seed_pad, classes].
 
     blocks are consumed input→output: layer l aggregates over
     batch.blocks[l], whose src set carries X_l (parity with the reference's
     reversed hop indexing, GAT_SAMPLE_ALL_GPU.hpp:323 `hop = L-2-i`).
+
+    batch_norm: the BATCH_NORM cfg key (GraphSegment.cpp:323 — the
+    reference parses and prints it but never consumes it; implemented for
+    real here, like the full-batch engine's whole-graph variant,
+    train/fullbatch.py): standardize each hidden layer's pre-activations
+    per feature over the hop's VALID destination rows.  Statistics are
+    masked so padded rows never contaminate them; batch-stats mode is used
+    at eval too (no running state — pure functions compose under scan).
     """
     n_layers = len(params.weights)
     assert batch.num_layers == n_layers
@@ -145,6 +154,16 @@ def model_forward(
         and batch.cache_mask is not None
         and n_layers > 1
     )
+    def bn(t, valid):
+        if not batch_norm:
+            return t
+        t32 = t.astype(jnp.float32)  # stats in f32 even for bf16 compute
+        m = valid.astype(jnp.float32)[:, None]
+        cnt = jnp.maximum(jnp.sum(m), 1.0)
+        mu = jnp.sum(t32 * m, axis=0, keepdims=True) / cnt
+        var = jnp.sum(jnp.square(t32 - mu) * m, axis=0, keepdims=True) / cnt
+        return ((t32 - mu) * jax.lax.rsqrt(var + 1e-5)).astype(t.dtype)
+
     # Sublinear activation memory (reference SubLinearMemCostNNOP,
     # ntsSubLinearNNOP.hpp:32): rematerialise hidden layers in backward
     # instead of storing their activations — jax.checkpoint does exactly
@@ -169,6 +188,8 @@ def model_forward(
                 pre = _merge_cache(pre, batch, cache_emb)
             # reference GAT applies relu at EVERY layer (X[i+1]=relu(nbr),
             # GAT_SAMPLE_ALL_GPU.hpp:389) and log_softmax at the loss (:397)
+            if not is_last:
+                pre = bn(pre, block.dst_valid)
             x = jax.nn.relu(pre)
             if is_last:
                 # classification head in f32 regardless of compute dtype
@@ -200,7 +221,7 @@ def model_forward(
                 # classification head in f32 regardless of compute dtype
                 x = log_softmax(y.astype(jnp.float32))
             else:
-                x = jax.nn.relu(y)
+                x = jax.nn.relu(bn(y, block.dst_valid))
                 if train and drop_rate > 0.0 and keys[l] is not None:
                     x = dropout(keys[l], x, drop_rate, train)
     return x

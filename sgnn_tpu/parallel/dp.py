@@ -32,7 +32,7 @@ log = get_logger("sgnn.dp")
 
 
 def make_dp_step(family: str, drop_rate: float, optimizer, mesh: Mesh,
-                 materialize=None, heads: int = 1):
+                 materialize=None, heads: int = 1, batch_norm: bool = False):
     """Build the jitted DP train step: per-device grads → psum → update.
 
     `materialize(batch, features, labels)` optionally gathers x0/labels from
@@ -52,6 +52,7 @@ def make_dp_step(family: str, drop_rate: float, optimizer, mesh: Mesh,
             logp = model_forward(
                 p, family, batch, drop_rate=drop_rate, train=True,
                 dropout_key=key, cache_emb=cache_emb, heads=heads,
+                batch_norm=batch_norm,
             )
             return nll_loss_masked(logp, batch.labels, batch.label_valid), logp
 
@@ -125,6 +126,7 @@ class DataParallelTrainer:
         self._dp_step = make_dp_step(
             base.family, base.cfg.drop_rate, base.optimizer, self.mesh,
             materialize=base._materialize, heads=base.cfg.heads,
+            batch_norm=bool(getattr(base.cfg, "batch_norm", False)),
         )
 
     # ------------------------------------------------------------------

@@ -88,6 +88,7 @@ class DeviceDataParallelTrainer:
         wk = base.weight_kind
         dm = base.dev_degree_mode
         remat = base.cfg.remat
+        bn = bool(getattr(base.cfg, "batch_norm", False))
         shard_feats = self.shard_features
 
         @functools.partial(
@@ -121,6 +122,7 @@ class DeviceDataParallelTrainer:
                     logp = model_forward(
                         p, family, batch, drop_rate=drop_rate, train=True,
                         dropout_key=dk, remat=remat, heads=heads,
+                        batch_norm=bn,
                     )
                     return (
                         nll_loss_masked(logp, batch.labels, batch.label_valid),
@@ -204,6 +206,7 @@ class DeviceDataParallelTrainer:
     def _build_dp_eval(self, src_pads):
         base = self.base
         family, heads = base.family, base.cfg.heads
+        bn = bool(getattr(base.cfg, "batch_norm", False))
         fanouts = tuple(base.cfg.fanout)
         wk = base.weight_kind
         dm = base.dev_degree_mode
@@ -232,7 +235,7 @@ class DeviceDataParallelTrainer:
                 if shard_feats:
                     batch = _fetch_sharded_x0(features, batch)
                 logp = model_forward(params, family, batch, train=False,
-                                     heads=heads)
+                                     heads=heads, batch_norm=bn)
                 return key, masked_accuracy(
                     logp, batch.labels, batch.label_valid
                 )

@@ -58,6 +58,7 @@ def _env_int(name: str) -> Optional[int]:
 
 
 def make_multihost_dp_step(family, drop_rate, optimizer, mesh: Mesh,
+                           batch_norm: bool = False,
                            materialize=None, heads: int = 1):
     """DP train step over a (possibly multi-process) global mesh.
 
@@ -82,7 +83,8 @@ def make_multihost_dp_step(family, drop_rate, optimizer, mesh: Mesh,
 
         def loss_fn(p):
             logp = model_forward(p, family, batch, drop_rate=drop_rate,
-                                 train=True, dropout_key=key, heads=heads)
+                                 train=True, dropout_key=key, heads=heads,
+                                 batch_norm=batch_norm)
             return nll_loss_masked(logp, batch.labels, batch.label_valid), logp
 
         (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -149,6 +151,7 @@ def run_multihost_dp_epochs(cfg, dataset, epochs: int = 1,
     step_fn = make_multihost_dp_step(
         base.family, cfg.drop_rate, base.optimizer, mesh,
         materialize=base._materialize, heads=cfg.heads,
+        batch_norm=bool(getattr(cfg, "batch_norm", False)),
     )
     params_g = to_global(base.params, P())
     opt_g = to_global(base.opt_state, P())

@@ -109,6 +109,7 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
     def _build_cached_epoch_fn(self):
         family, drop_rate = self.family, self.cfg.drop_rate
         heads = self.cfg.heads
+        bn = bool(getattr(self.cfg, "batch_norm", False))
         optimizer = self.optimizer
         remat = self.cfg.remat
         fanouts = tuple(self.cfg.fanout)
@@ -157,6 +158,7 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
                     logp = model_forward(
                         p, family, batch, drop_rate=drop_rate, train=True,
                         dropout_key=dk, cache_emb=cache_emb, remat=remat, heads=heads,
+                        batch_norm=bn,
                     )
                     return (
                         nll_loss_masked(logp, batch.labels, batch.label_valid),

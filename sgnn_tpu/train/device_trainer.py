@@ -139,6 +139,7 @@ class DeviceSampleTrainer(SampleTrainer):
     def _build_device_step(self):
         family, drop_rate = self.family, self.cfg.drop_rate
         heads = self.cfg.heads
+        bn = bool(getattr(self.cfg, "batch_norm", False))
         optimizer = self.optimizer
         remat = self.cfg.remat
         fanouts = tuple(self.cfg.fanout)
@@ -159,6 +160,7 @@ class DeviceSampleTrainer(SampleTrainer):
                 logp = model_forward(
                     p, family, batch, drop_rate=drop_rate, train=True,
                     dropout_key=dkey, remat=remat, heads=heads,
+                    batch_norm=bn,
                 )
                 return (
                     nll_loss_masked(logp, batch.labels, batch.label_valid),
@@ -183,6 +185,7 @@ class DeviceSampleTrainer(SampleTrainer):
         """
         family, drop_rate = self.family, self.cfg.drop_rate
         heads = self.cfg.heads
+        bn = bool(getattr(self.cfg, "batch_norm", False))
         optimizer = self.optimizer
         remat = self.cfg.remat
         fanouts = tuple(self.cfg.fanout)
@@ -208,6 +211,7 @@ class DeviceSampleTrainer(SampleTrainer):
                     logp = model_forward(
                         p, family, batch, drop_rate=drop_rate, train=True,
                         dropout_key=dk, remat=remat, heads=heads,
+                        batch_norm=bn,
                     )
                     return (
                         nll_loss_masked(logp, batch.labels, batch.label_valid),
@@ -238,6 +242,7 @@ class DeviceSampleTrainer(SampleTrainer):
 
     def _build_device_eval(self):
         family, heads = self.family, self.cfg.heads
+        bn = bool(getattr(self.cfg, "batch_norm", False))
         fanouts = tuple(self.cfg.fanout)
         src_pads = self.src_pads
         wk = self.weight_kind
@@ -252,7 +257,7 @@ class DeviceSampleTrainer(SampleTrainer):
                 degree_mode=dm,
             )
             logp = model_forward(params, family, batch, train=False,
-                     heads=heads)
+                     heads=heads, batch_norm=bn)
             return masked_accuracy(logp, batch.labels, batch.label_valid)
 
         return evaluate
@@ -260,6 +265,7 @@ class DeviceSampleTrainer(SampleTrainer):
     def _build_eval_epoch_fn(self):
         """Fused evaluation: one scan program over all eval batches."""
         family, heads = self.family, self.cfg.heads
+        bn = bool(getattr(self.cfg, "batch_norm", False))
         fanouts = tuple(self.cfg.fanout)
         src_pads = self.src_pads
         wk = self.weight_kind
@@ -277,7 +283,7 @@ class DeviceSampleTrainer(SampleTrainer):
                     degree_mode=dm,
                 )
                 logp = model_forward(params, family, batch, train=False,
-                     heads=heads)
+                     heads=heads, batch_norm=bn)
                 return key, masked_accuracy(
                     logp, batch.labels, batch.label_valid
                 )

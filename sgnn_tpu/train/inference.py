@@ -45,9 +45,10 @@ from ..utils.logging import get_logger
 log = get_logger("sgnn.infer")
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "heads", "last"))
+@functools.partial(jax.jit, static_argnames=("rows", "heads", "last",
+                                              "raw"))
 def _gat_chunk(src_rows, src_local, ht_dst, valid, dst_local, a_vec, rows,
-               heads, last):
+               heads, last, raw=False):
     """One destination chunk of a GAT layer: edge scores → per-dst softmax
     → attention-weighted aggregation (reference BatchGPUEdgeSoftMax +
     AggregateDst pipeline, ntsPushdownGraphOp.hpp:578/:670).
@@ -73,15 +74,20 @@ def _gat_chunk(src_rows, src_local, ht_dst, valid, dst_local, a_vec, rows,
         score = jax.nn.leaky_relu(score, 0.2)
         att = segment_softmax_coo(score, dst_local, valid, rows)
         h = spmm_coo(src_rows, src_local, dst_local, att, rows)
+    if raw:
+        return h  # pre-activation (BN mode normalizes globally, then relu)
     h = jax.nn.relu(h)
     return log_softmax(h) if last else h
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "last"))
-def _spmm_chunk(src_rows, src_local, weight, dst_local, rows, last):
+@functools.partial(jax.jit, static_argnames=("rows", "last", "raw"))
+def _spmm_chunk(src_rows, src_local, weight, dst_local, rows, last,
+                raw=False):
     """One destination chunk of a GCN/SAGE layer: weighted segment-sum of
     the (already transformed) unique source rows, edges reindexed local."""
     h = spmm_coo(src_rows, src_local, dst_local, weight, rows)
+    if raw:
+        return h  # pre-activation (BN mode normalizes globally, then relu)
     return log_softmax(h) if last else jax.nn.relu(h)
 
 
@@ -94,19 +100,20 @@ _full_fwd = None
 
 
 def _jit_full_forward(params, x, src, dst, w, *, family, num_vertices,
-                      heads):
+                      heads, batch_norm=False):
     """Lazily-jitted whole-graph forward (one compile per static config)."""
     global _full_fwd
     if _full_fwd is None:
         from .fullbatch import full_forward
 
         _full_fwd = jax.jit(
-            lambda p, x, s, d, w, fam, nv, h: full_forward(
-                p, fam, x, s, d, w, nv, heads=h
+            lambda p, x, s, d, w, fam, nv, h, bn: full_forward(
+                p, fam, x, s, d, w, nv, heads=h, batch_norm=bn
             ),
-            static_argnums=(5, 6, 7),
+            static_argnums=(5, 6, 7, 8),
         )
-    return _full_fwd(params, x, src, dst, w, family, num_vertices, heads)
+    return _full_fwd(params, x, src, dst, w, family, num_vertices, heads,
+                     batch_norm)
 
 
 def layerwise_inference(
@@ -121,6 +128,7 @@ def layerwise_inference(
     mean_style: str = "plain",
     whole_graph: Optional[bool] = None,
     hbm_budget_bytes: Optional[int] = None,
+    batch_norm: bool = False,
 ) -> np.ndarray:
     """Exact log-probabilities for ALL vertices: [V, classes] float32.
 
@@ -133,6 +141,12 @@ def layerwise_inference(
     sampled-count mean converges to it); "fullbatch" = the full-batch
     engine's sym-norm/indeg hybrid (fullbatch.build_coo), for models
     trained by FullBatchTrainer.
+
+    `batch_norm`: serve BN-trained models (BATCH_NORM cfg key) — hidden
+    pre-activations are standardized per feature over the FULL vertex set
+    ("population" statistics; the sampled trainers normalize over each
+    minibatch hop, so exact serving uses the deterministic whole-graph
+    analogue, exactly like the *FULLBATCH engines' forward).
 
     `whole_graph` (None = auto by an HBM estimate): when features,
     activations and the COO fit on the device, run the whole pass as ONE
@@ -180,6 +194,7 @@ def layerwise_inference(
             jnp.asarray(np.pad(dst_all, (0, pad))),
             jnp.asarray(np.pad(w_all, (0, pad))),
             family=family, num_vertices=v, heads=heads,
+            batch_norm=batch_norm,
         )
         return np.asarray(logp)
     del dst_all
@@ -227,13 +242,14 @@ def layerwise_inference(
             gather_rows(ht, idx, valid=uvalid, out=src_rows)
             valid = np.zeros(e_pad, bool)
             valid[:n_e] = True
+            raw = batch_norm and not last
             if family == "gat":
                 out = _gat_chunk(
                     jnp.asarray(src_rows), jnp.asarray(src_local),
                     jnp.asarray(ht[a:b]), jnp.asarray(valid),
                     jnp.asarray(dst_local),
                     jnp.asarray(np.asarray(params.attn[l], np.float32)),
-                    rows=b - a, heads=hh, last=last,
+                    rows=b - a, heads=hh, last=last, raw=raw,
                 )
             else:
                 wgt = np.zeros(e_pad, np.float32)
@@ -241,8 +257,16 @@ def layerwise_inference(
                 out = _spmm_chunk(jnp.asarray(src_rows),
                                   jnp.asarray(src_local), jnp.asarray(wgt),
                                   jnp.asarray(dst_local), rows=b - a,
-                                  last=last)
+                                  last=last, raw=raw)
             h_next[a:b] = np.asarray(out)
+        if batch_norm and not last:
+            # whole-graph BN (same arithmetic as fullbatch.full_forward's
+            # bn(): f32 stats, eps 1e-5), then the deferred relu
+            mu = h_next.mean(axis=0, keepdims=True, dtype=np.float32)
+            var = h_next.var(axis=0, keepdims=True, dtype=np.float32)
+            h_next = np.maximum(
+                (h_next - mu) / np.sqrt(var + 1e-5), 0.0
+            ).astype(np.float32)
         h = h_next
     return h
 
@@ -260,6 +284,7 @@ def exact_accuracy(
     chunk_size: Optional[int] = None,
     mean_style: str = "plain",
     logp: Optional[np.ndarray] = None,
+    batch_norm: bool = False,
 ) -> float:
     """Exact (full-neighborhood) accuracy on `nids`; pass `logp` to reuse a
     previous layerwise_inference result across splits."""
@@ -270,6 +295,7 @@ def exact_accuracy(
         logp = layerwise_inference(params, family, adj, features,
                                    weight_kind=weight_kind, heads=heads,
                                    chunk_size=chunk_size,
-                                   mean_style=mean_style)
+                                   mean_style=mean_style,
+                                   batch_norm=batch_norm)
     pred = np.argmax(logp[nids], axis=1)
     return float(np.mean(pred == np.asarray(labels)[nids]))

@@ -222,6 +222,7 @@ class SampleTrainer:
     def _build_step(self):
         family, drop_rate = self.family, self.cfg.drop_rate
         heads = self.cfg.heads
+        bn = bool(getattr(self.cfg, "batch_norm", False))
         optimizer = self.optimizer
         remat = self.cfg.remat
 
@@ -236,7 +237,7 @@ class SampleTrainer:
                 logp = model_forward(
                     p, family, batch_m,
                     drop_rate=drop_rate, train=True, dropout_key=key,
-                    remat=remat, heads=heads,
+                    remat=remat, heads=heads, batch_norm=bn,
                 )
                 return (
                     nll_loss_masked(logp, batch_m.labels, batch_m.label_valid),
@@ -252,6 +253,7 @@ class SampleTrainer:
 
     def _build_eval(self):
         family, heads = self.family, self.cfg.heads
+        bn = bool(getattr(self.cfg, "batch_norm", False))
 
         @jax.jit
         def evaluate(params: GNNParams, batch: SampledBatch, features, labels,
@@ -259,7 +261,7 @@ class SampleTrainer:
             batch_m = self._materialize(batch, features, labels,
                                         cache_rows, slot_map)
             logp = model_forward(params, family, batch_m, train=False,
-                                 heads=heads)
+                                 heads=heads, batch_norm=bn)
             return masked_accuracy(logp, batch_m.labels, batch_m.label_valid)
 
         return evaluate

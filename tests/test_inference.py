@@ -116,3 +116,40 @@ def test_whole_graph_mode_matches_chunked(tiny_ds, adj):
     tiny_budget = layerwise_inference(params, "gcn", adj, tiny_ds.features,
                                       chunk_size=128, hbm_budget_bytes=1)
     np.testing.assert_allclose(tiny_budget, chunked, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("family,wk,heads", [
+    ("gcn", WeightKind.GCN, 1),
+    ("gat", WeightKind.NONE, 2),
+])
+def test_layerwise_batch_norm_matches_full_forward(tiny_ds, adj, family, wk,
+                                                   heads):
+    """Serving BN-trained models: chunked layer-wise inference with
+    batch_norm=True equals full_forward(batch_norm=True) — the chunked path
+    defers relu, normalizes with whole-graph f32 statistics (eps 1e-5) and
+    then activates, exactly like the one-program path."""
+    params = init_model(jax.random.PRNGKey(5), family, [32, 16, 5])
+    src, dst, w = build_coo(adj, wk)
+    ref = np.asarray(full_forward(
+        params, family, jnp.asarray(tiny_ds.features), jnp.asarray(src),
+        jnp.asarray(dst), jnp.asarray(w), adj.num_vertices, heads=heads,
+        batch_norm=True,
+    ))
+    got = layerwise_inference(
+        params, family, adj, tiny_ds.features, weight_kind=wk, heads=heads,
+        chunk_size=128, mean_style="fullbatch", whole_graph=False,
+        batch_norm=True,
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    # whole-graph single-program serving path takes the same flag
+    got_wg = layerwise_inference(
+        params, family, adj, tiny_ds.features, weight_kind=wk, heads=heads,
+        mean_style="fullbatch", whole_graph=True, batch_norm=True,
+    )
+    np.testing.assert_allclose(got_wg, ref, rtol=2e-4, atol=2e-4)
+    # and the flag matters: BN-off serving of the same params differs
+    off = layerwise_inference(
+        params, family, adj, tiny_ds.features, weight_kind=wk, heads=heads,
+        chunk_size=128, mean_style="fullbatch", whole_graph=False,
+    )
+    assert not np.allclose(got, off, atol=1e-3)

@@ -162,3 +162,48 @@ def test_gat_multihead_grads_and_head_key(batch):
     for h in range(4):
         assert np.abs(a0[h * fh : (h + 1) * fh]).max() > 0, h
     assert np.isfinite(float(loss(params)))
+
+
+@pytest.mark.parametrize("family", ["gcn", "gat"])
+def test_batch_norm_sampled_masked_stats(batch, family):
+    """BATCH_NORM on the sampled path: statistics are masked by dst_valid,
+    so corrupting PADDED destination rows (giving them nonzero aggregation
+    weights) must not change valid rows' outputs.  Also checks the flag is
+    actually wired (logits change when it flips)."""
+    import dataclasses
+
+    params = init_model(jax.random.PRNGKey(3), family, [32, 16, 5])
+
+    base = model_forward(params, family, batch, batch_norm=True)
+    off = model_forward(params, family, batch, batch_norm=False)
+    valid = np.asarray(batch.label_valid)
+    assert not np.allclose(np.asarray(base)[valid], np.asarray(off)[valid]), \
+        "batch_norm flag had no effect"
+
+    # corrupt every hidden block's padded dst rows: point their edges at a
+    # valid src with weight 7 so their pre-activations become junk
+    blocks2 = []
+    for b in batch.blocks:
+        w2 = jnp.where(b.dst_valid[:, None], b.weight,
+                       jnp.full_like(b.weight, 7.0))
+        blocks2.append(dataclasses.replace(b, weight=w2))
+    batch2 = dataclasses.replace(batch, blocks=blocks2)
+
+    got = model_forward(params, family, batch2, batch_norm=True)
+    np.testing.assert_allclose(np.asarray(got)[valid],
+                               np.asarray(base)[valid], rtol=2e-5, atol=2e-5)
+
+
+def test_batch_norm_trains(batch):
+    """Gradients flow through the masked BN (f32 stats under bf16-safe
+    rsqrt) and the loss is finite."""
+    params = init_model(jax.random.PRNGKey(4), "gcn", [32, 16, 5])
+
+    def loss(p):
+        logp = model_forward(p, "gcn", batch, batch_norm=True)
+        return nll_loss_masked(logp, batch.labels, batch.label_valid)
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(float(loss(params)))
+    for gw in g.weights:
+        assert float(jnp.abs(gw).sum()) > 0.0
