@@ -145,8 +145,7 @@ def _run(args, cfg, ds, log) -> int:
         else:
             logp = layerwise_inference(owner.params, spec.family, owner.adj,
                                        ds.features, heads=cfg.heads,
-                                       batch_norm=bool(
-                                           getattr(cfg, "batch_norm", False)))
+                                       batch_norm=cfg.batch_norm)
             va = exact_accuracy(owner.params, spec.family, owner.adj,
                                 ds.features, ds.labels, owner.val_nids,
                                 logp=logp)

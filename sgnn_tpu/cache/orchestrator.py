@@ -105,7 +105,7 @@ class CachedSampleTrainer(SampleTrainer):
     def _build_step(self):
         family, drop_rate = self.family, self.cfg.drop_rate
         heads = self.cfg.heads
-        bn = bool(getattr(self.cfg, "batch_norm", False))
+        bn = self.cfg.batch_norm
         optimizer = self.optimizer
 
         @jax.jit

@@ -30,7 +30,7 @@ from typing import List, NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..nn.functional import dropout, log_softmax
+from ..nn.functional import BN_EPS, dropout, log_softmax
 from ..nn.layers import Dense, xavier_uniform_init
 from ..ops.aggregate import (
     aggregate_edges_to_dst,
@@ -162,7 +162,7 @@ def model_forward(
         cnt = jnp.maximum(jnp.sum(m), 1.0)
         mu = jnp.sum(t32 * m, axis=0, keepdims=True) / cnt
         var = jnp.sum(jnp.square(t32 - mu) * m, axis=0, keepdims=True) / cnt
-        return ((t32 - mu) * jax.lax.rsqrt(var + 1e-5)).astype(t.dtype)
+        return ((t32 - mu) * jax.lax.rsqrt(var + BN_EPS)).astype(t.dtype)
 
     # Sublinear activation memory (reference SubLinearMemCostNNOP,
     # ntsSubLinearNNOP.hpp:32): rematerialise hidden layers in backward

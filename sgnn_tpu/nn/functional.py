@@ -10,6 +10,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Batch-norm epsilon shared by EVERY BN site (sampled model,
+# full-batch forward, sharded sync-BN, exact layer-wise serving) so
+# train/serve parity cannot drift.
+BN_EPS = 1e-5
+
+
 
 def dropout(key: jax.Array, x: jax.Array, rate: float, train: bool) -> jax.Array:
     """Inverted dropout, torch::dropout parity (scale by 1/(1-rate))."""

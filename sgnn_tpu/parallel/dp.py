@@ -126,7 +126,7 @@ class DataParallelTrainer:
         self._dp_step = make_dp_step(
             base.family, base.cfg.drop_rate, base.optimizer, self.mesh,
             materialize=base._materialize, heads=base.cfg.heads,
-            batch_norm=bool(getattr(base.cfg, "batch_norm", False)),
+            batch_norm=base.cfg.batch_norm,
         )
 
     # ------------------------------------------------------------------

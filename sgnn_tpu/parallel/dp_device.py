@@ -88,7 +88,7 @@ class DeviceDataParallelTrainer:
         wk = base.weight_kind
         dm = base.dev_degree_mode
         remat = base.cfg.remat
-        bn = bool(getattr(base.cfg, "batch_norm", False))
+        bn = base.cfg.batch_norm
         shard_feats = self.shard_features
 
         @functools.partial(
@@ -206,7 +206,7 @@ class DeviceDataParallelTrainer:
     def _build_dp_eval(self, src_pads):
         base = self.base
         family, heads = base.family, base.cfg.heads
-        bn = bool(getattr(base.cfg, "batch_norm", False))
+        bn = base.cfg.batch_norm
         fanouts = tuple(base.cfg.fanout)
         wk = base.weight_kind
         dm = base.dev_degree_mode

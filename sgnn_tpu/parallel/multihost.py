@@ -58,8 +58,8 @@ def _env_int(name: str) -> Optional[int]:
 
 
 def make_multihost_dp_step(family, drop_rate, optimizer, mesh: Mesh,
-                           batch_norm: bool = False,
-                           materialize=None, heads: int = 1):
+                           materialize=None, heads: int = 1,
+                           batch_norm: bool = False):
     """DP train step over a (possibly multi-process) global mesh.
 
     Like dp.make_dp_step (per-device grads → psum SUM → replicated Adam,
@@ -151,7 +151,7 @@ def run_multihost_dp_epochs(cfg, dataset, epochs: int = 1,
     step_fn = make_multihost_dp_step(
         base.family, cfg.drop_rate, base.optimizer, mesh,
         materialize=base._materialize, heads=cfg.heads,
-        batch_norm=bool(getattr(cfg, "batch_norm", False)),
+        batch_norm=cfg.batch_norm,
     )
     params_g = to_global(base.params, P())
     opt_g = to_global(base.opt_state, P())

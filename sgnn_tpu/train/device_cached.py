@@ -109,7 +109,7 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
     def _build_cached_epoch_fn(self):
         family, drop_rate = self.family, self.cfg.drop_rate
         heads = self.cfg.heads
-        bn = bool(getattr(self.cfg, "batch_norm", False))
+        bn = self.cfg.batch_norm
         optimizer = self.optimizer
         remat = self.cfg.remat
         fanouts = tuple(self.cfg.fanout)

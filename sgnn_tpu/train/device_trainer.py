@@ -139,7 +139,7 @@ class DeviceSampleTrainer(SampleTrainer):
     def _build_device_step(self):
         family, drop_rate = self.family, self.cfg.drop_rate
         heads = self.cfg.heads
-        bn = bool(getattr(self.cfg, "batch_norm", False))
+        bn = self.cfg.batch_norm
         optimizer = self.optimizer
         remat = self.cfg.remat
         fanouts = tuple(self.cfg.fanout)
@@ -185,7 +185,7 @@ class DeviceSampleTrainer(SampleTrainer):
         """
         family, drop_rate = self.family, self.cfg.drop_rate
         heads = self.cfg.heads
-        bn = bool(getattr(self.cfg, "batch_norm", False))
+        bn = self.cfg.batch_norm
         optimizer = self.optimizer
         remat = self.cfg.remat
         fanouts = tuple(self.cfg.fanout)
@@ -242,7 +242,7 @@ class DeviceSampleTrainer(SampleTrainer):
 
     def _build_device_eval(self):
         family, heads = self.family, self.cfg.heads
-        bn = bool(getattr(self.cfg, "batch_norm", False))
+        bn = self.cfg.batch_norm
         fanouts = tuple(self.cfg.fanout)
         src_pads = self.src_pads
         wk = self.weight_kind
@@ -265,7 +265,7 @@ class DeviceSampleTrainer(SampleTrainer):
     def _build_eval_epoch_fn(self):
         """Fused evaluation: one scan program over all eval batches."""
         family, heads = self.family, self.cfg.heads
-        bn = bool(getattr(self.cfg, "batch_norm", False))
+        bn = self.cfg.batch_norm
         fanouts = tuple(self.cfg.fanout)
         src_pads = self.src_pads
         wk = self.weight_kind

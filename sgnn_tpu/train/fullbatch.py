@@ -26,7 +26,7 @@ from ..config import RunConfig
 from ..data.dataset import Dataset, MASK_TRAIN, MASK_VAL, MASK_TEST
 from ..graph.adjacency import Adjacency
 from ..models.gnn import GNNParams, init_model
-from ..nn.functional import dropout, log_softmax, nll_loss_masked
+from ..nn.functional import BN_EPS, dropout, log_softmax, nll_loss_masked
 from ..nn.optim import make_optimizer
 from ..ops.segment import segment_softmax_coo, spmm_coo, spmm_coo_multihead
 from ..sampler.blocks import WeightKind, pad_to
@@ -96,7 +96,7 @@ def full_forward(
         t32 = t.astype(jnp.float32)  # stats in f32 even for bf16 compute
         mu = jnp.mean(t32, axis=0, keepdims=True)
         var = jnp.var(t32, axis=0, keepdims=True)
-        return ((t32 - mu) * jax.lax.rsqrt(var + 1e-5)).astype(t.dtype)
+        return ((t32 - mu) * jax.lax.rsqrt(var + BN_EPS)).astype(t.dtype)
 
     h = x
     w_edge = w_edge.astype(x.dtype)  # bf16 compute when DTYPE:bfloat16
@@ -371,7 +371,7 @@ class FullBatchTrainer:
                     ) / cnt
                     d = jnp.where(m, t32 - mu, 0)
                     var = jax.lax.psum(jnp.sum(d * d, axis=0), "graph") / cnt
-                    return ((t32 - mu) * jax.lax.rsqrt(var + 1e-5)).astype(
+                    return ((t32 - mu) * jax.lax.rsqrt(var + BN_EPS)).astype(
                         t.dtype
                     )
 

@@ -36,7 +36,7 @@ import numpy as np
 
 from ..graph.adjacency import Adjacency
 from ..models.gnn import GNNParams
-from ..nn.functional import log_softmax
+from ..nn.functional import BN_EPS, log_softmax
 from ..ops.segment import segment_softmax_coo, spmm_coo, spmm_coo_multihead
 from ..sampler.blocks import WeightKind, pad_to
 from ..sampler.native import gather_rows
@@ -261,11 +261,11 @@ def layerwise_inference(
             h_next[a:b] = np.asarray(out)
         if batch_norm and not last:
             # whole-graph BN (same arithmetic as fullbatch.full_forward's
-            # bn(): f32 stats, eps 1e-5), then the deferred relu
+            # bn(): f32 stats, shared BN_EPS), then the deferred relu
             mu = h_next.mean(axis=0, keepdims=True, dtype=np.float32)
             var = h_next.var(axis=0, keepdims=True, dtype=np.float32)
             h_next = np.maximum(
-                (h_next - mu) / np.sqrt(var + 1e-5), 0.0
+                (h_next - mu) / np.sqrt(var + BN_EPS), 0.0
             ).astype(np.float32)
         h = h_next
     return h

@@ -222,7 +222,7 @@ class SampleTrainer:
     def _build_step(self):
         family, drop_rate = self.family, self.cfg.drop_rate
         heads = self.cfg.heads
-        bn = bool(getattr(self.cfg, "batch_norm", False))
+        bn = self.cfg.batch_norm
         optimizer = self.optimizer
         remat = self.cfg.remat
 
@@ -253,7 +253,7 @@ class SampleTrainer:
 
     def _build_eval(self):
         family, heads = self.family, self.cfg.heads
-        bn = bool(getattr(self.cfg, "batch_norm", False))
+        bn = self.cfg.batch_norm
 
         @jax.jit
         def evaluate(params: GNNParams, batch: SampledBatch, features, labels,
