@@ -114,15 +114,22 @@ def _run(args, cfg, ds, log) -> int:
         # checkpointed path: build the engine's trainer, run with per-epoch
         # saves and optional resume (reference has no checkpointing at all)
         from sgnn_tpu.train.checkpoint import run_with_checkpointing
+        from sgnn_tpu.train.guard import DivergenceError
         from sgnn_tpu.train.engines import build_trainer
 
         # build the trainer the ALGORITHM string actually names (engine
         # registry), so e.g. GCNSAMPLEALLGPU checkpoints the device-sampled
         # engine and GCNSAMPLEPDCACHE the cached one
         trainer = build_trainer(cfg, ds)
-        run_with_checkpointing(
-            trainer, args.checkpoint_dir, cfg.epochs, resume=args.resume
-        )
+        try:
+            run_with_checkpointing(
+                trainer, args.checkpoint_dir, cfg.epochs, resume=args.resume
+            )
+        except DivergenceError as exc:
+            # the poisoned state was NOT saved (guard fires before save);
+            # the message names the last good checkpoint to resume from
+            log.error("%s", exc)
+            return 1
         owner = getattr(trainer, "base", trainer)  # DP wrappers hold nids on .base
         va = trainer.evaluate(owner.val_nids) if owner.val_nids.size else 0
         te = trainer.evaluate(owner.test_nids) if owner.test_nids.size else 0

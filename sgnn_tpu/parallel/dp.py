@@ -26,6 +26,7 @@ from jax import shard_map
 
 from ..models.gnn import model_forward
 from ..nn.functional import masked_accuracy, nll_loss_masked
+from ..train.guard import check_finite_loss
 from ..utils.logging import get_logger
 
 log = get_logger("sgnn.dp")
@@ -242,6 +243,7 @@ class DataParallelTrainer:
         for ep in range(epochs):
             t0 = time.perf_counter()
             loss, tr_acc, edges = self.train_epoch()
+            check_finite_loss(loss, ep, type(self).__name__)
             jax.block_until_ready(base.params.weights[0])
             dt = time.perf_counter() - t0
             report.epoch_times.append(dt)

@@ -23,6 +23,7 @@ from ..models.gnn import model_forward
 from ..nn.functional import masked_accuracy, nll_loss_masked
 from ..sampler.device import device_sample_batch
 from ..train.device_trainer import DeviceSampleTrainer
+from ..train.guard import check_finite_loss
 from ..train.trainer import TrainReport
 from ..utils.logging import get_logger
 
@@ -277,6 +278,7 @@ class DeviceDataParallelTrainer:
         for ep in range(epochs):
             t0 = time.perf_counter()
             loss, tr_acc, edges = self.train_epoch()
+            check_finite_loss(loss, ep, type(self).__name__)
             dt = time.perf_counter() - t0
             report.epoch_times.append(dt)
             report.losses.append(loss)

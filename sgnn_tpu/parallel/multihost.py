@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
+from ..train.guard import check_finite_loss
 from ..utils.logging import get_logger
 
 log = get_logger("sgnn.dist")
@@ -211,6 +212,7 @@ def run_multihost_dp_epochs(cfg, dataset, epochs: int = 1,
             # loss is fully replicated: read this process's shard
             losses.append(float(np.asarray(loss.addressable_shards[0].data)))
         epoch_losses.append(float(np.mean(losses)))
+        check_finite_loss(epoch_losses[-1], ep, "run_multihost_dp_epochs")
         log.info("multihost dp epoch %d (%d proc, %d dev): loss %.6f",
                  ep, jax.process_count(), n_global, epoch_losses[-1])
     return epoch_losses
@@ -309,6 +311,7 @@ def run_multihost_fullbatch_epochs(
             to_g(dkey, P()),
         )
         losses.append(float(np.asarray(loss.addressable_shards[0].data)))
+        check_finite_loss(losses[-1], ep, "run_multihost_fullbatch_epochs")
         log.info("multihost fullbatch epoch %d (%d proc, %d dev): loss %.6f",
                  ep, jax.process_count(), n, losses[-1])
     return losses

@@ -18,6 +18,7 @@ import jax
 import numpy as np
 
 from ..utils.logging import get_logger
+from .guard import check_finite_loss
 
 log = get_logger("sgnn.ckpt")
 
@@ -179,9 +180,15 @@ def run_with_checkpointing(
         restored = mgr.restore(trainer)
         if restored is not None:
             start = restored + 1
+    last_saved = start - 1 if start > 0 else None
     for ep in range(start, epochs):
         loss, acc, edges = trainer.train_epoch()
+        # guard BEFORE saving: a poisoned state must never overwrite the
+        # last good checkpoint (train/guard.py)
+        check_finite_loss(loss, ep, type(trainer).__name__,
+                          last_good_epoch=last_saved)
         log.info("epoch %d: loss %.5f train %.4f", ep, loss, acc)
         if (ep + 1) % save_every == 0 or ep == epochs - 1:
             mgr.save(ep, trainer)
+            last_saved = ep
     return trainer

@@ -27,6 +27,7 @@ from ..data.dataset import Dataset, MASK_TRAIN, MASK_VAL, MASK_TEST
 from ..graph.adjacency import Adjacency
 from ..models.gnn import GNNParams, init_model
 from ..nn.functional import BN_EPS, dropout, log_softmax, nll_loss_masked
+from .guard import check_finite_loss
 from ..nn.optim import make_optimizer
 from ..ops.segment import segment_softmax_coo, spmm_coo, spmm_coo_multihead
 from ..sampler.blocks import WeightKind, pad_to
@@ -539,6 +540,7 @@ class FullBatchTrainer:
         for ep in range(epochs):
             t0 = time.perf_counter()
             loss, tr, va, te = self.train_epoch()
+            check_finite_loss(loss, ep, type(self).__name__)
             jax.block_until_ready(self.params.weights[0])
             dt = time.perf_counter() - t0
             hist.append(dict(loss=loss, train=tr, val=va, test=te, time=dt))

@@ -34,6 +34,7 @@ from ..sampler.blocks import SampledBatch, SampledBlock, WeightKind
 from ..sampler.host import HostSampledBatch, HostSampler
 from ..utils.logging import get_logger
 from ..utils.timing import PhaseTimer
+from .guard import check_finite_loss
 
 log = get_logger("sgnn.train")
 
@@ -426,6 +427,7 @@ class SampleTrainer:
         for ep in range(epochs):
             t0 = time.perf_counter()
             loss, tr_acc, edges = self.train_epoch()
+            check_finite_loss(loss, ep, type(self).__name__)
             jax.block_until_ready(self.params.weights[0])
             dt = time.perf_counter() - t0
             report.epoch_times.append(dt)

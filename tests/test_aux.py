@@ -248,3 +248,54 @@ def test_numpy_ckpt_preserves_rng_state(tmp_path, trainer):
     assert (st2["state"]["state"], st2["state"]["inc"]) == saved
     # the assertion above only bites if high words are nonzero
     assert max(saved) > (1 << 32)
+
+
+def test_divergence_guard_raises(tiny_ds):
+    """Failure detection (guard.py): corrupt input features (NaN rows — the
+    classic bad-data divergence) make the first epoch's loss non-finite and
+    the run loop raises DivergenceError instead of silently training
+    poisoned weights to the end (the reference has no detection — its only
+    handler is a SIGSEGV stacktrace printer, main.cpp:37-41)."""
+    import dataclasses
+
+    from sgnn_tpu.train.guard import DivergenceError
+
+    feats = tiny_ds.features.copy()
+    feats[::7] = np.nan
+    bad_ds = dataclasses.replace(tiny_ds, features=feats)
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=64,
+                    epochs=5, drop_rate=0.0,
+                    vertices=tiny_ds.num_vertices)
+    tr = SampleTrainer(cfg, bad_ds, family="gcn")
+    with pytest.raises(DivergenceError, match="diverged"):
+        tr.run()
+
+
+def test_divergence_guard_preserves_last_checkpoint(tmp_path, trainer):
+    """run_with_checkpointing fires the guard BEFORE saving, so a diverged
+    epoch never overwrites the last good checkpoint, and the error names
+    the epoch to resume from."""
+    from sgnn_tpu.train.checkpoint import CheckpointManager, \
+        run_with_checkpointing
+    from sgnn_tpu.train.guard import DivergenceError
+
+    real = trainer.train_epoch
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] >= 3:  # epochs 0,1 fine; epoch 2 diverges
+            return float("nan"), 0.0, 0
+        return real()
+
+    trainer.train_epoch = flaky
+    with pytest.raises(DivergenceError) as ei:
+        run_with_checkpointing(trainer, str(tmp_path), epochs=5,
+                               resume=False)
+    assert ei.value.epoch == 2
+    assert ei.value.last_good_epoch == 1
+    assert "resume" in str(ei.value)
+    # last good checkpoint (epoch 1) is intact and restorable
+    mgr = CheckpointManager(str(tmp_path))
+    trainer.train_epoch = real
+    assert mgr.restore(trainer) == 1
