@@ -36,6 +36,13 @@ def main(argv=None) -> int:
                          "dep/gemini/mpi.hpp:51)")
     ap.add_argument("--nprocs", type=int, default=None)
     ap.add_argument("--pid", type=int, default=None)
+    ap.add_argument("--infer", metavar="CKPT_DIR", default=None,
+                    help="pure serving: restore trained params from "
+                         "CKPT_DIR (no training) and run exact layer-wise "
+                         "full-graph inference; reports split accuracies")
+    ap.add_argument("--predictions-out", metavar="NPY", default=None,
+                    help="with --infer: write the [V, classes] log-prob "
+                         "matrix to NPY (np.save format)")
     ap.add_argument("--exact-eval", action="store_true",
                     help="after training, report EXACT val/test accuracy "
                          "via layer-wise full-graph inference (no fanout "
@@ -109,6 +116,46 @@ def _run(args, cfg, ds, log) -> int:
                 cfg, ds, epochs=cfg.epochs, family=spec.family
             )
         log.info("multihost final loss: %.5f", losses[-1])
+        return 0
+    if args.infer:
+        # pure serving: restore params from a checkpoint and run exact
+        # inference — the train→checkpoint→serve workflow (the reference
+        # can only evaluate inside a training run, Test() with sampling,
+        # GCN_SAMPLE_PD_CACHE.hpp:264-295)
+        import numpy as np
+
+        from sgnn_tpu.train.checkpoint import CheckpointManager
+        from sgnn_tpu.train.engines import build_trainer, engine_from_config
+        from sgnn_tpu.train.inference import exact_accuracy, \
+            layerwise_inference
+
+        trainer = build_trainer(cfg, ds)
+        ep = CheckpointManager(args.infer).restore(trainer)
+        if ep is None:
+            log.error("no checkpoint found in %s", args.infer)
+            return 1
+        log.info("restored epoch %d from %s", ep, args.infer)
+        owner = getattr(trainer, "base", trainer)
+        spec = engine_from_config(cfg)
+        # full-batch-trained models use the fullbatch edge-weight hybrid;
+        # sample-trained SAGE converges to the plain 1/indeg mean
+        mean_style = "fullbatch" if spec.fullbatch else "plain"
+        logp = layerwise_inference(
+            owner.params, spec.family, owner.adj, ds.features,
+            heads=cfg.heads, mean_style=mean_style,
+            batch_norm=cfg.batch_norm,
+        )
+        for split, nids in (("train", owner.train_nids),
+                            ("val", owner.val_nids),
+                            ("test", owner.test_nids)):
+            if len(nids):
+                acc = exact_accuracy(owner.params, spec.family, owner.adj,
+                                     ds.features, ds.labels, nids, logp=logp)
+                log.info("infer %s accuracy: %.4f", split, acc)
+        if args.predictions_out:
+            np.save(args.predictions_out, logp)
+            log.info("wrote [%d, %d] log-probs to %s", logp.shape[0],
+                     logp.shape[1], args.predictions_out)
         return 0
     if args.checkpoint_dir:
         # checkpointed path: build the engine's trainer, run with per-epoch

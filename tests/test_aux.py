@@ -299,3 +299,42 @@ def test_divergence_guard_preserves_last_checkpoint(tmp_path, trainer):
     mgr = CheckpointManager(str(tmp_path))
     trainer.train_epoch = real
     assert mgr.restore(trainer) == 1
+
+
+def test_cli_train_checkpoint_then_infer(tmp_path):
+    """The train→checkpoint→serve workflow through the CLI surface:
+    `--checkpoint-dir` trains + saves, then `--infer` restores the params
+    WITHOUT training and writes exact full-graph predictions
+    (--predictions-out).  The reference can only evaluate inside a training
+    run (sampled Test(), GCN_SAMPLE_PD_CACHE.hpp:264-295)."""
+    import os
+
+    from sgnn_tpu.__main__ import main
+
+    root = os.path.join(os.path.dirname(__file__), "..", "data")
+    cfg = tmp_path / "cli.cfg"
+    cfg.write_text("\n".join([
+        "ALGORITHM:GCNSAMPLEGPU",
+        "VERTICES:2708",
+        "LAYERS:1433-32-7",
+        "FANOUT:10-5",
+        "BATCH_SIZE:1024",
+        "EPOCHS:2",
+        f"EDGE_FILE:{root}/cora.2708.edge.self",
+        f"FEATURE_FILE:{root}/cora.featuretable",
+        f"LABEL_FILE:{root}/cora.labeltable",
+        f"MASK_FILE:{root}/cora.mask",
+        "LEARN_RATE:0.01",
+        "DROP_RATE:0.0",
+    ]) + "\n")
+    ckpt = tmp_path / "ckpt"
+    assert main([str(cfg), "--checkpoint-dir", str(ckpt)]) == 0
+    preds = tmp_path / "preds.npy"
+    assert main([str(cfg), "--infer", str(ckpt),
+                 "--predictions-out", str(preds)]) == 0
+    logp = np.load(preds)
+    assert logp.shape == (2708, 7)
+    assert np.isfinite(logp).all()
+    np.testing.assert_allclose(np.exp(logp).sum(axis=1), 1.0, atol=1e-3)
+    # --infer on an empty dir fails cleanly
+    assert main([str(cfg), "--infer", str(tmp_path / "nope")]) == 1
