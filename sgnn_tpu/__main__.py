@@ -137,14 +137,18 @@ def _run(args, cfg, ds, log) -> int:
         log.info("restored epoch %d from %s", ep, args.infer)
         owner = getattr(trainer, "base", trainer)
         spec = engine_from_config(cfg)
-        # full-batch-trained models use the fullbatch edge-weight hybrid;
-        # sample-trained SAGE converges to the plain 1/indeg mean
-        mean_style = "fullbatch" if spec.fullbatch else "plain"
-        logp = layerwise_inference(
-            owner.params, spec.family, owner.adj, ds.features,
-            heads=cfg.heads, mean_style=mean_style,
-            batch_norm=cfg.batch_norm,
-        )
+        if spec.fullbatch:
+            # *FULLBATCH checkpoints serve through the trainer's OWN forward
+            # (same edge weights, AGGREGATOR min/max, sync BATCH_NORM) —
+            # layerwise_inference has no aggregator support
+            logp = owner.predict()
+        else:
+            # sample-trained SAGE converges to the plain 1/indeg mean
+            logp = layerwise_inference(
+                owner.params, spec.family, owner.adj, ds.features,
+                heads=cfg.heads, mean_style="plain",
+                batch_norm=cfg.batch_norm,
+            )
         for split, nids in (("train", owner.train_nids),
                             ("val", owner.val_nids),
                             ("test", owner.test_nids)):

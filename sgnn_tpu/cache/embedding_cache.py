@@ -83,12 +83,19 @@ class EmbeddingCache:
         cache_ids: np.ndarray,
         weight_kind: WeightKind,
         pad_multiple: int = 512,
+        mean_style: str = "hybrid",
     ) -> "EmbeddingCache":
         """Build the static full-neighborhood COO for the hot set.
 
         Reference parity: PushDown aggregation uses the FULL in-neighborhood
         of each hot vertex over global features with the model's edge-weight
         scheme (CPU_sg sampled with fanout=-1 semantics).
+
+        mean_style must MATCH the trainer's sampler weights or cached rows
+        are scaled inconsistently with non-cached rows: "hybrid"
+        (gcn-norm/indeg — what degree_mode="sampled"/UP_DEGREE=1 samplers
+        converge to at full neighborhood) or "plain" (1/indeg — the plain
+        mean the degree_mode="global" samplers use).
         """
         v = adj.num_vertices
         cache_map = np.full(v, -1, dtype=np.int32)
@@ -103,10 +110,12 @@ class EmbeddingCache:
         dstv = cache_ids[slot] if slot.size else np.zeros(0, np.int32)
         if weight_kind == WeightKind.GCN:
             w = adj.gcn_edge_weight(src, dstv)
-        elif weight_kind == WeightKind.MEAN:
+        elif weight_kind == WeightKind.MEAN and mean_style == "hybrid":
             w = adj.gcn_edge_weight(src, dstv) / np.maximum(
                 adj.in_degree[dstv], 1
             )
+        elif weight_kind == WeightKind.MEAN:  # plain full-neighborhood mean
+            w = 1.0 / np.maximum(adj.in_degree[dstv], 1).astype(np.float32)
         else:  # GAT pushdown approximates with mean aggregation (reference
             # PD-cache engines reuse the plain PushDown op for GAT too)
             w = 1.0 / np.maximum(adj.in_degree[dstv], 1).astype(np.float32)

@@ -32,6 +32,7 @@ def hotness_scores(
     adj: Adjacency,
     train_nids: np.ndarray,
     fanouts: Sequence[int],
+    dst_of_edge: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Expected visit counts per vertex under fanout sampling from train nids.
 
@@ -40,19 +41,22 @@ def hotness_scores(
     in-edge) — the same counting model as the reference's preSample BFS.
     """
     v = adj.num_vertices
-    counts = np.zeros(v, dtype=np.float64)
     frontier = np.zeros(v, dtype=np.float64)
     frontier[train_nids] = 1.0
     deg = np.maximum(adj.in_degree.astype(np.float64), 1.0)
     total = np.zeros(v, dtype=np.float64)
+    # loop-invariant: dst id of every CSC edge (O(E); per-SB planning
+    # passes it in to avoid rebuilding it n_sb times)
+    if dst_of_edge is None:
+        dst_of_edge = np.repeat(
+            np.arange(v, dtype=np.int64),
+            np.diff(adj.indptr).astype(np.int64),
+        )
     for f in fanouts:
         # per-dst mass pushed to each in-edge
         scale = np.minimum(float(f), deg) / deg
         per_edge = (frontier * scale)  # [V] mass per in-edge of each dst
         # scatter to sources: for each edge (src -> dst): src += per_edge[dst]
-        dst_of_edge = np.repeat(
-            np.arange(v, dtype=np.int64), np.diff(adj.indptr).astype(np.int64)
-        )
         contrib = per_edge[dst_of_edge]
         nxt = np.bincount(adj.indices.astype(np.int64), weights=contrib,
                           minlength=v)
@@ -84,7 +88,12 @@ def presample_hotness(
         path = f"{edge_file}.sgnn_pre_sample_b{batch_size}_f{fan_s}.bin"
         if os.path.exists(path):
             raw = np.fromfile(path, dtype="<u4")
-            if raw.size >= 2 and raw[0] == _MAGIC and raw[1] == raw.size - 2:
+            if (raw.size >= 2 and raw[0] == _MAGIC
+                    and raw[1] == raw.size - 2
+                    and raw.size - 2 >= n_cache):
+                # the filename omits cache_rate (reference convention), so a
+                # file written under a SMALLER rate must not silently shrink
+                # the requested hot set — the >= n_cache check regenerates it
                 ids = raw[2:].astype(np.int32)
                 log.info("presample: loaded %d hot ids from %s", ids.size, path)
                 return ids[:n_cache]
@@ -154,9 +163,13 @@ def presample_hotness_per_sb(
                              ids.shape[0], c, path)
                     return ids[:, :c]
     per = np.zeros((n_sb, c), dtype=np.int32)
+    doe = np.repeat(
+        np.arange(adj.num_vertices, dtype=np.int64),
+        np.diff(adj.indptr).astype(np.int64),
+    )
     for k in range(n_sb):
         sb = train_nids[k * super_batch_size:(k + 1) * super_batch_size]
-        scores = hotness_scores(adj, sb, fanouts)
+        scores = hotness_scores(adj, sb, fanouts, dst_of_edge=doe)
         per[k] = np.argsort(-scores, kind="stable")[:c].astype(np.int32)
     if path:
         np.concatenate([

@@ -51,6 +51,17 @@ class CachedSampleTrainer(SampleTrainer):
         adj=None,
         per_sb: bool = True,
     ) -> None:
+        if len(cfg.layer_sizes) < 3:
+            # the hot-vertex cache stores LAYER-0 hidden embeddings that
+            # layer 1 consumes (model_forward merges only when n_layers > 1);
+            # a 1-layer model would sample omitted seeds as zero rows and
+            # silently train on them
+            raise ValueError(
+                "cached engines need >= 2 layers (LAYERS with a hidden "
+                "dim): the embedding cache holds layer-0 hidden outputs "
+                "consumed by layer 1 — use the non-cached engine for "
+                "single-layer models"
+            )
         super().__init__(
             cfg, dataset, family=family, weight_kind=weight_kind,
             degree_mode=degree_mode, bias_correction=bias_correction, adj=adj,
@@ -61,6 +72,9 @@ class CachedSampleTrainer(SampleTrainer):
         cache_rate = cfg.cache_rate if cfg.cache_rate > 0 else 0.1
         self.super_batch_size = cfg.batch_size * max(cfg.pipeline_num, 1)
         agg_kind = weight_kind if family != "gat" else WeightKind.MEAN
+        # cache weights must match the sampler's (global → plain mean)
+        ms = "plain" if degree_mode == "global" else "hybrid"
+
         # Per-super-batch cache planning (reference batch_cache_num,
         # ntsBaseOp.hpp:427-541): one hot set + cache index PER super-batch,
         # swapped in at every SB boundary (new_cache_var/set_cache_index,
@@ -76,7 +90,8 @@ class CachedSampleTrainer(SampleTrainer):
                 edge_file=cfg.edge_file or None, batch_size=cfg.batch_size,
             )
             self.sb_caches = [
-                EmbeddingCache.build(self.adj, ids, agg_kind) for ids in per
+                EmbeddingCache.build(self.adj, ids, agg_kind, mean_style=ms)
+                for ids in per
             ]
         else:
             cache_ids = presample_hotness(
@@ -84,7 +99,7 @@ class CachedSampleTrainer(SampleTrainer):
                 edge_file=cfg.edge_file or None, batch_size=cfg.batch_size,
             )
             self.sb_caches = [EmbeddingCache.build(self.adj, cache_ids,
-                                                   agg_kind)]
+                                                   agg_kind, mean_style=ms)]
         for c in self.sb_caches:
             c.init_refresh()
         self.cache = self.sb_caches[0]  # active (consumer-side) cache

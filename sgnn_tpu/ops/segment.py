@@ -6,14 +6,50 @@ Reference: the NeutronStar full-batch op family — `SingleCPUSrcDstScatterOp`,
 CSC/CSR.  On TPU a whole-graph layer is a ragged reduction, expressed with
 XLA's segment primitives over a statically padded COO edge list (padded
 edges carry weight 0 and point at a real dst slot, contributing nothing).
+
+Edge chunking: the naive SpMM materializes an [E, F] message tensor in BOTH
+directions (backward additionally converts it to f32 for accumulation), so
+one chip tops out near E·F·(2+4+4) bytes of HBM — measured OOM at 23.8M
+edges × 128 features (17.3 GB program).  When E·F exceeds a budget, forward
+and backward run as a `lax.scan` over fixed-size edge chunks, bounding the
+temps at [chunk, F] while the [num_dst, F] f32 accumulator is carried —
+whole-graph training then scales with V, not E, on a single chip.  The
+reference never hits this wall only because its full-batch path is
+multi-node-partitioned from the start (graph.hpp:2535).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# [E, F] element budget for one materialized message chunk (f32 ≈ 256 MiB);
+# override with SGNN_SPMM_CHUNK_ELEMS for tuning/tests.
+_CHUNK_ELEMS = int(os.environ.get("SGNN_SPMM_CHUNK_ELEMS", 64 * 1024 * 1024))
+
+
+def _edge_chunk(e_total: int, feat: int) -> int | None:
+    """Chunk length (edges) or None when the direct path fits the budget."""
+    if e_total * max(feat, 1) <= _CHUNK_ELEMS:
+        return None
+    return max(_CHUNK_ELEMS // max(feat, 1), 8192)
+
+
+def _pad_chunks(arrs, e_total: int, chunk: int):
+    """Pad [E]/[E, ...] edge arrays to a multiple of `chunk` and reshape to
+    [n_chunks, chunk, ...].  Padding edges carry weight 0 and point at slot
+    0 — the same nothing-contributes convention as the COO padding."""
+    n = -(-e_total // chunk)
+    pad = n * chunk - e_total
+    out = []
+    for a in arrs:
+        if pad:
+            a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        out.append(a.reshape((n, chunk) + a.shape[1:]))
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -28,30 +64,66 @@ def spmm_coo(
 
     Forward gathers by src and segment-sums by dst (reference CSC forward);
     backward swaps the roles (reference CSR backward,
-    ntsSingleGPUSampleGraphOp.hpp:258).
+    ntsSingleGPUSampleGraphOp.hpp:258).  Both directions chunk the edge
+    axis beyond _CHUNK_ELEMS (see module docstring).
     """
-    msgs = x[src] * weight[:, None]
-    # accumulate in f32: bf16 segment sums lose updates once the running
-    # sum exceeds ~256x a summand (high-degree hub vertices)
-    out = jax.ops.segment_sum(
-        msgs.astype(jnp.float32), dst, num_segments=num_dst
-    )
+    return _spmm_fwd_impl(x, src, dst, weight, num_dst)
+
+
+def _spmm_fwd_impl(x, src, dst, weight, num_dst):
+    chunk = _edge_chunk(src.shape[0], x.shape[1])
+    if chunk is None:
+        msgs = x[src] * weight[:, None]
+        # accumulate in f32: bf16 segment sums lose updates once the running
+        # sum exceeds ~256x a summand (high-degree hub vertices)
+        out = jax.ops.segment_sum(
+            msgs.astype(jnp.float32), dst, num_segments=num_dst
+        )
+        return out.astype(x.dtype)
+    src_c, dst_c, w_c = _pad_chunks((src, dst, weight), src.shape[0], chunk)
+
+    def body(acc, args):
+        s, d, w = args
+        m = (x[s] * w[:, None]).astype(jnp.float32)
+        return acc + jax.ops.segment_sum(m, d, num_segments=num_dst), None
+
+    acc0 = jnp.zeros((num_dst, x.shape[1]), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (src_c, dst_c, w_c))
     return out.astype(x.dtype)
 
 
 def _spmm_fwd(x, src, dst, weight, num_dst):
-    return spmm_coo(x, src, dst, weight, num_dst), (x, src, dst, weight)
+    return _spmm_fwd_impl(x, src, dst, weight, num_dst), (x, src, dst, weight)
 
 
 def _spmm_bwd(num_dst, res, g):
     x, src, dst, weight = res
-    ge = g[dst] * weight[:, None]                       # [E, F]
-    dx = jax.ops.segment_sum(
-        ge.astype(jnp.float32), src, num_segments=x.shape[0]
-    ).astype(x.dtype)
-    dw = jnp.einsum("ef,ef->e", g[dst], x[src],
-                    preferred_element_type=jnp.float32).astype(weight.dtype)
-    return dx, None, None, dw
+    chunk = _edge_chunk(src.shape[0], x.shape[1])
+    if chunk is None:
+        ge = g[dst] * weight[:, None]                       # [E, F]
+        dx = jax.ops.segment_sum(
+            ge.astype(jnp.float32), src, num_segments=x.shape[0]
+        ).astype(x.dtype)
+        dw = jnp.einsum("ef,ef->e", g[dst], x[src],
+                        preferred_element_type=jnp.float32
+                        ).astype(weight.dtype)
+        return dx, None, None, dw
+    e_total = src.shape[0]
+    src_c, dst_c, w_c = _pad_chunks((src, dst, weight), e_total, chunk)
+
+    def body(acc, args):
+        s, d, w = args
+        gd = g[d]                                           # [chunk, F]
+        ge = (gd * w[:, None]).astype(jnp.float32)
+        acc = acc + jax.ops.segment_sum(ge, s, num_segments=x.shape[0])
+        dw_c = jnp.einsum("ef,ef->e", gd, x[s],
+                          preferred_element_type=jnp.float32)
+        return acc, dw_c
+
+    acc0 = jnp.zeros((x.shape[0], x.shape[1]), jnp.float32)
+    dx, dw = jax.lax.scan(body, acc0, (src_c, dst_c, w_c))
+    return (dx.astype(x.dtype), None, None,
+            dw.reshape(-1)[:e_total].astype(weight.dtype))
 
 
 spmm_coo.defvjp(_spmm_fwd, _spmm_bwd)
@@ -89,12 +161,27 @@ def spmm_coo_multihead(
 
     out[d, h·Fh:(h+1)·Fh] = Σ_{e: dst[e]=d} att[e,h] · x[src[e], h·Fh:...].
     Autodiffed (segment_sum's VJP is the gather/scatter pair spmm_coo
-    hand-writes); used by the multi-head COO GAT paths.
+    hand-writes; scan's VJP chunks the backward exactly like the forward);
+    used by the multi-head COO GAT paths.
     """
     e_total, heads = att.shape
     fh = x.shape[1] // heads
-    msgs = x[src].reshape(e_total, heads, fh) * att[:, :, None].astype(x.dtype)
-    out = jax.ops.segment_sum(
-        msgs.astype(jnp.float32), dst, num_segments=num_dst
-    ).astype(x.dtype)
-    return out.reshape(num_dst, heads * fh)
+    chunk = _edge_chunk(e_total, x.shape[1])
+    if chunk is None:
+        msgs = (x[src].reshape(e_total, heads, fh)
+                * att[:, :, None].astype(x.dtype))
+        out = jax.ops.segment_sum(
+            msgs.astype(jnp.float32), dst, num_segments=num_dst
+        ).astype(x.dtype)
+        return out.reshape(num_dst, heads * fh)
+    src_c, dst_c, att_c = _pad_chunks((src, dst, att), e_total, chunk)
+
+    def body(acc, args):
+        s, d, a = args
+        m = (x[s].reshape(chunk, heads, fh)
+             * a[:, :, None].astype(x.dtype)).astype(jnp.float32)
+        return acc + jax.ops.segment_sum(m, d, num_segments=num_dst), None
+
+    acc0 = jnp.zeros((num_dst, heads, fh), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (src_c, dst_c, att_c))
+    return out.astype(x.dtype).reshape(num_dst, heads * fh)

@@ -51,6 +51,17 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
         adj=None,
         **_: object,
     ) -> None:
+        if len(cfg.layer_sizes) < 3:
+            # the hot-vertex cache stores LAYER-0 hidden embeddings that
+            # layer 1 consumes (model_forward merges only when n_layers > 1);
+            # a 1-layer model would sample omitted seeds as zero rows and
+            # silently train on them
+            raise ValueError(
+                "cached engines need >= 2 layers (LAYERS with a hidden "
+                "dim): the embedding cache holds layer-0 hidden outputs "
+                "consumed by layer 1 — use the non-cached engine for "
+                "single-layer models"
+            )
         super().__init__(
             cfg, dataset, family=family, weight_kind=weight_kind,
             bias_correction=bias_correction, adj=adj,
@@ -76,8 +87,11 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
                 self.adj, self.train_nids, cfg.fanout, cache_rate,
                 edge_file=cfg.edge_file or None, batch_size=cfg.batch_size,
             )[None]
+        # cache weights must match the sampler's (global → plain mean)
+        ms = "plain" if self.dev_degree_mode == "global" else "hybrid"
         self.sb_caches = [
-            EmbeddingCache.build(self.adj, ids, agg_kind) for ids in per_ids
+            EmbeddingCache.build(self.adj, ids, agg_kind, mean_style=ms)
+            for ids in per_ids
         ]
         self.cache = self.sb_caches[0]
         v_pad = self.dev_features.shape[0]

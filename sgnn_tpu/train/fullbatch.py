@@ -485,6 +485,10 @@ class FullBatchTrainer:
 
     # -------------------------------------------------- engine-surface ----
     @property
+    def train_nids(self) -> np.ndarray:
+        return np.nonzero(np.asarray(self.train_mask))[0].astype(np.int32)
+
+    @property
     def val_nids(self) -> np.ndarray:
         return np.nonzero(np.asarray(self.val_mask))[0].astype(np.int32)
 
@@ -501,6 +505,13 @@ class FullBatchTrainer:
         nids = np.asarray(nids)
         if nids.size == 0:
             return 0.0
+        pred = np.argmax(self.predict(), axis=-1)
+        return float((pred[nids] == np.asarray(self.y)[nids]).mean())
+
+    def predict(self) -> np.ndarray:
+        """Whole-graph [V, classes] log-probs via the trainer's OWN forward
+        (same edge weights, AGGREGATOR, BATCH_NORM) — the serving surface
+        the CLI --infer uses for *FULLBATCH checkpoints."""
         if self.mesh is None:
             src, dst, w = self.src, self.dst, self.w
             x = self.x
@@ -522,8 +533,7 @@ class FullBatchTrainer:
             heads=self.cfg.heads,
             batch_norm=bool(getattr(self.cfg, "batch_norm", False)),
         )
-        pred = np.asarray(jnp.argmax(logp, axis=-1))
-        return float((pred[nids] == np.asarray(self.y)[nids]).mean())
+        return np.asarray(logp, dtype=np.float32)
 
     def checkpoint_state(self):
         return {"params": self.params, "opt_state": self.opt_state,

@@ -167,6 +167,11 @@ def layerwise_inference(
                                       for w in params.weights]
         est = 4 * (v * (features.shape[1] + 2 * max(dims))
                    + 3 * adj.num_edges)
+        if family == "gat":
+            # per-edge score/attention/exp buffers ([E, heads] f32, several
+            # alive across segment_softmax_coo) — without this term big-E
+            # GAT graphs pick whole_graph mode and OOM instead of chunking
+            est += 4 * adj.num_edges * max(heads, 1) * 4
         budget = hbm_budget_bytes or (8 << 30)
         whole_graph = est < budget
     # full-graph edge weights (identical arithmetic to fullbatch.build_coo)

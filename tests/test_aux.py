@@ -338,3 +338,38 @@ def test_cli_train_checkpoint_then_infer(tmp_path):
     np.testing.assert_allclose(np.exp(logp).sum(axis=1), 1.0, atol=1e-3)
     # --infer on an empty dir fails cleanly
     assert main([str(cfg), "--infer", str(tmp_path / "nope")]) == 1
+
+
+def test_cli_infer_fullbatch_checkpoint(tmp_path):
+    """--infer serves *FULLBATCH checkpoints through the trainer's own
+    forward (predict(): same edge weights / AGGREGATOR / sync BATCH_NORM),
+    not the sampled-path layerwise inference."""
+    import os
+
+    from sgnn_tpu.__main__ import main
+
+    root = os.path.join(os.path.dirname(__file__), "..", "data")
+    cfg = tmp_path / "fb.cfg"
+    cfg.write_text("\n".join([
+        "ALGORITHM:GCNFULLBATCH",
+        "VERTICES:2708",
+        "LAYERS:1433-32-7",
+        "FANOUT:1-1",
+        "BATCH_SIZE:1024",
+        "EPOCHS:3",
+        f"EDGE_FILE:{root}/cora.2708.edge.self",
+        f"FEATURE_FILE:{root}/cora.featuretable",
+        f"LABEL_FILE:{root}/cora.labeltable",
+        f"MASK_FILE:{root}/cora.mask",
+        "LEARN_RATE:0.01",
+        "DROP_RATE:0.0",
+        "BATCH_NORM:1",
+    ]) + "\n")
+    ckpt = tmp_path / "ckpt"
+    assert main([str(cfg), "--checkpoint-dir", str(ckpt)]) == 0
+    preds = tmp_path / "fb_preds.npy"
+    assert main([str(cfg), "--infer", str(ckpt),
+                 "--predictions-out", str(preds)]) == 0
+    logp = np.load(preds)
+    assert logp.shape == (2708, 7)
+    assert np.isfinite(logp).all()

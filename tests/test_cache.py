@@ -279,3 +279,55 @@ def test_device_cached_per_sb_plans(tiny_ds):
     loss1, _, _ = tr.train_epoch()
     assert np.isfinite(loss1) and loss1 < loss0
     assert tr.cache_lookups > 0
+
+
+def test_presample_regenerates_when_rate_grows(tmp_path, adj, tiny_ds):
+    """The .bin filename omits cache_rate (reference convention), so a file
+    written under a smaller rate must NOT silently shrink a later, larger
+    request — the loader regenerates when the file holds too few ids."""
+    train = tiny_ds.nids_with_mask(0)
+    edge_file = str(tmp_path / "toy.edge")
+    small = presample_hotness(adj, train, [4, 3], 0.05, edge_file, 32)
+    assert small.size == 25
+    big = presample_hotness(adj, train, [4, 3], 0.2, edge_file, 32)
+    assert big.size == 100  # regenerated, not truncated to 25
+    np.testing.assert_array_equal(big[:25], small)  # same ranking prefix
+    # and the rewritten file now serves the larger request directly
+    again = presample_hotness(adj, train, [4, 3], 0.2, edge_file, 32)
+    np.testing.assert_array_equal(again, big)
+
+
+def test_embedding_cache_mean_style_matches_sampler(adj):
+    """Cache-refresh weights must match the trainer's sampler weights:
+    degree_mode="global" samplers use the PLAIN mean, whose
+    full-neighborhood limit is 1/indeg — not the sym-norm/indeg hybrid the
+    sampled-degree mode converges to."""
+    ids = np.array([3, 7, 11], dtype=np.int32)
+    plain = EmbeddingCache.build(adj, ids, WeightKind.MEAN,
+                                 mean_style="plain")
+    hybrid = EmbeddingCache.build(adj, ids, WeightKind.MEAN)
+    w_p = np.asarray(plain.coo_w)
+    w_h = np.asarray(hybrid.coo_w)
+    slot = np.asarray(plain.coo_slot)
+    n = sum(adj.neighbors(int(v)).size for v in ids)
+    for s_, vid in enumerate(ids):
+        indeg = max(int(adj.in_degree[vid]), 1)
+        rows = (slot[:n] == s_)
+        np.testing.assert_allclose(w_p[:n][rows], 1.0 / indeg, rtol=1e-6)
+    assert not np.allclose(w_p[:n], w_h[:n])  # styles genuinely differ
+
+
+def test_cached_engines_reject_single_layer(tiny_ds):
+    """A 1-layer model can't use the embedding cache (layer 0's output IS
+    the logits; omitted seeds would train on zero rows) — both cached
+    trainers refuse with a clear error instead of silently corrupting."""
+    from sgnn_tpu.cache.orchestrator import CachedSampleTrainer
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.train.device_cached import DeviceCachedSampleTrainer
+
+    cfg = RunConfig(layer_sizes=[32, 5], fanout=[4], batch_size=64,
+                    epochs=1, vertices=tiny_ds.num_vertices)
+    with pytest.raises(ValueError, match=">= 2 layers"):
+        DeviceCachedSampleTrainer(cfg, tiny_ds, family="sage")
+    with pytest.raises(ValueError, match=">= 2 layers"):
+        CachedSampleTrainer(cfg, tiny_ds, family="gcn")
