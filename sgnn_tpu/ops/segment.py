@@ -10,12 +10,18 @@ edges carry weight 0 and point at a real dst slot, contributing nothing).
 Edge chunking: the naive SpMM materializes an [E, F] message tensor in BOTH
 directions (backward additionally converts it to f32 for accumulation), so
 one chip tops out near E·F·(2+4+4) bytes of HBM — measured OOM at 23.8M
-edges × 128 features (17.3 GB program).  When E·F exceeds a budget, forward
-and backward run as a `lax.scan` over fixed-size edge chunks, bounding the
-temps at [chunk, F] while the [num_dst, F] f32 accumulator is carried —
-whole-graph training then scales with V, not E, on a single chip.  The
-reference never hits this wall only because its full-batch path is
-multi-node-partitioned from the start (graph.hpp:2535).
+edges × 128 features (17.3 GB program) on a 16 GB v5e.  Past a direct-path
+threshold, forward and backward run as a `lax.scan` over fixed-size edge
+chunks, bounding the temps at [chunk, F] while the [num_dst, F] f32
+accumulator is carried — whole-graph training then scales with V, not E,
+on a single chip.  The reference never hits this wall only because its
+full-batch path is multi-node-partitioned from the start (graph.hpp:2535).
+
+The TRIGGER and the CHUNK SIZE are separate knobs: the direct path is the
+fastest whenever it fits (11.9M edges × 128 feats = 1.5 G elements runs
+direct at 1.28 s/epoch, docs/PERF.md), so the trigger stays high (2 G
+elements ≈ 12+ GB of message temps); once chunking engages, each chunk is
+sized to keep its temps around ~1 GB (256 M elements).
 """
 
 from __future__ import annotations
@@ -26,14 +32,19 @@ import os
 import jax
 import jax.numpy as jnp
 
-# [E, F] element budget for one materialized message chunk (f32 ≈ 256 MiB);
+# direct path allowed up to this many E·F elements (≈2G ⇒ ~12 GB of live
+# message temps at f32-backward — the v5e ceiling); SGNN_SPMM_DIRECT_ELEMS
+# overrides (tests force tiny values to exercise chunking).
+_DIRECT_ELEMS = int(os.environ.get("SGNN_SPMM_DIRECT_ELEMS",
+                                   2 * 1024 * 1024 * 1024))
+# [E, F] element budget for one materialized message chunk (f32 ≈ 1 GiB);
 # override with SGNN_SPMM_CHUNK_ELEMS for tuning/tests.
-_CHUNK_ELEMS = int(os.environ.get("SGNN_SPMM_CHUNK_ELEMS", 64 * 1024 * 1024))
+_CHUNK_ELEMS = int(os.environ.get("SGNN_SPMM_CHUNK_ELEMS", 256 * 1024 * 1024))
 
 
 def _edge_chunk(e_total: int, feat: int) -> int | None:
     """Chunk length (edges) or None when the direct path fits the budget."""
-    if e_total * max(feat, 1) <= _CHUNK_ELEMS:
+    if e_total * max(feat, 1) <= max(_DIRECT_ELEMS, _CHUNK_ELEMS):
         return None
     return max(_CHUNK_ELEMS // max(feat, 1), 8192)
 

@@ -253,6 +253,7 @@ def test_spmm_coo_chunked_matches_direct(monkeypatch):
 
     (l0, out0), (dx0, dw0) = jax.value_and_grad(loss, argnums=(0, 1),
                                                 has_aux=True)(x, w)
+    monkeypatch.setattr(seg, "_DIRECT_ELEMS", 0)
     monkeypatch.setattr(seg, "_CHUNK_ELEMS", 64 * F)  # force 64-edge chunks
     (l1, out1), (dx1, dw1) = jax.value_and_grad(loss, argnums=(0, 1),
                                                 has_aux=True)(x, w)
@@ -283,6 +284,7 @@ def test_spmm_coo_multihead_chunked_matches_direct(monkeypatch):
 
     g0 = jax.grad(loss, argnums=(0, 1))(x, att)
     o0 = seg.spmm_coo_multihead(x, src, dst, att, D)
+    monkeypatch.setattr(seg, "_DIRECT_ELEMS", 0)
     monkeypatch.setattr(seg, "_CHUNK_ELEMS", 32 * H * FH)
     g1 = jax.grad(loss, argnums=(0, 1))(x, att)
     o1 = seg.spmm_coo_multihead(x, src, dst, att, D)
