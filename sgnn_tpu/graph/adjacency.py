@@ -36,7 +36,26 @@ class Adjacency:
 
     @staticmethod
     def from_edges(edges: np.ndarray, num_vertices: int) -> "Adjacency":
-        """Build from a COO [E, 2] (src, dst) edge list. Stable edge order."""
+        """Build from a COO [E, 2] (src, dst) edge list. Stable edge order.
+
+        Fast path: native OpenMP counting sort (sampler/native/sampler.cpp
+        sgnn_csc_build — reference graph-builder analog, Graph::load_directed
+        core/graph.hpp:1129).  Numpy argsort fallback is bit-identical.
+        """
+        built = None
+        if edges.size:
+            from sgnn_tpu.sampler import native  # lazy: avoids import cycle
+
+            built = native.build_csc(edges, num_vertices)
+        if built is not None:
+            indptr, indices, out_degree = built
+            return Adjacency(
+                num_vertices=num_vertices,
+                indptr=indptr,
+                indices=indices,
+                in_degree=np.diff(indptr).astype(np.int32),
+                out_degree=out_degree,
+            )
         src = edges[:, 0].astype(np.int64)
         dst = edges[:, 1].astype(np.int64)
         order = np.argsort(dst, kind="stable")

@@ -27,3 +27,13 @@ def gather_rows(features, idx, valid=None, out=None):
     from .bindings import gather_rows as _gr
 
     return _gr(features, idx, valid=valid, out=out, lib=lib)
+
+
+def build_csc(edges, num_vertices):
+    """Native stable CSC build; returns None when the lib is unavailable
+    (caller falls back to the numpy argsort path)."""
+    if lib is None:
+        return None
+    from .bindings import build_csc as _bc
+
+    return _bc(edges, num_vertices, lib)

@@ -138,6 +138,30 @@ def gather_rows(
     return out
 
 
+def build_csc(edges: np.ndarray, num_vertices: int, lib):
+    """Stable CSC build (counting sort by dst) — bit-identical to
+    ``np.argsort(dst, kind="stable")`` assembly but O(E) and OpenMP-parallel.
+    Returns (indptr[V+1] i64, indices[E] i32, out_degree[V] i32)."""
+    e = np.ascontiguousarray(edges, dtype=np.int32)
+    n_edges = int(e.shape[0])
+    if n_edges and (e.max() >= num_vertices or e.min() < 0):
+        raise ValueError(
+            f"edge endpoint out of range [0, {num_vertices})"
+        )
+    indptr = np.empty(num_vertices + 1, dtype=np.int64)
+    indices = np.empty(n_edges, dtype=np.int32)
+    out_degree = np.empty(num_vertices, dtype=np.int32)
+    lib.sgnn_csc_build(
+        _ptr(e, ctypes.c_int32),
+        n_edges,
+        num_vertices,
+        _ptr(indptr, ctypes.c_int64),
+        _ptr(indices, ctypes.c_int32),
+        _ptr(out_degree, ctypes.c_int32),
+    )
+    return indptr, indices, out_degree
+
+
 _MODE = {  # (WeightKind.value, degree_mode) → sgnn_weights mode enum
     ("gcn", "sampled"): 0,
     ("mean", "sampled"): 1,

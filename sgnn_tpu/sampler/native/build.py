@@ -71,4 +71,6 @@ def load_library() -> ctypes.CDLL:
     lib.sgnn_num_threads.restype = ctypes.c_int
     lib.sgnn_gather_rows.argtypes = [p_u8, c_i64, p_i32, c_i64, p_u8, p_u8]
     lib.sgnn_gather_rows.restype = None
+    lib.sgnn_csc_build.argtypes = [p_i32, c_i64, c_i64, p_i64, p_i32, p_i32]
+    lib.sgnn_csc_build.restype = None
     return lib

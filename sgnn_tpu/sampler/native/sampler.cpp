@@ -267,6 +267,81 @@ void sgnn_weights(const int32_t* nbr_local, const uint8_t* valid,
   delete[] out_counts;
 }
 
+// Stable parallel CSC build from an interleaved COO edge list
+// (src = edges[2e], dst = edges[2e+1]).  Plays the role of the reference's
+// graph-builder CSC construction (Graph::load_directed per-socket CSC
+// assembly, core/graph.hpp:1129; FullyRepGraph::ReadRepGraphFromRawFile,
+// core/FullyRepGraph.hpp:724), which also counting-sorts edges by
+// destination.  Replaces numpy's argsort(dst, kind="stable") + fancy-index
+// (O(E log E), single-threaded) with an O(E) two-pass counting sort whose
+// per-(thread, vertex) write cursors keep the original edge order within
+// each destination — bit-identical to the stable argsort result.
+// Also emits out_degree (bincount of src) in the same parallel region.
+void sgnn_csc_build(const int32_t* edges, int64_t n_edges,
+                    int64_t num_vertices, int64_t* indptr, int32_t* indices,
+                    int32_t* out_degree) {
+#if defined(_OPENMP)
+  int nthreads = omp_get_max_threads();
+#else
+  int nthreads = 1;
+#endif
+  // Bound the [T, V] cursor matrix at ~256 MB.
+  const int64_t budget = (int64_t)256 << 20;
+  while (nthreads > 1 &&
+         (int64_t)nthreads * num_vertices * (int64_t)sizeof(int64_t) > budget)
+    --nthreads;
+  int64_t* cursor = new int64_t[(size_t)num_vertices * nthreads]();
+  const int64_t chunk = (n_edges + nthreads - 1) / nthreads;
+#pragma omp parallel num_threads(nthreads)
+  {
+#if defined(_OPENMP)
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    int64_t* cnt = cursor + (size_t)num_vertices * tid;
+    const int64_t lo = tid * chunk;
+    const int64_t hi = lo + chunk < n_edges ? lo + chunk : n_edges;
+    // pass 1: per-thread destination histogram over its contiguous chunk
+    for (int64_t e = lo; e < hi; ++e) cnt[edges[2 * e + 1]] += 1;
+#pragma omp barrier
+    // serial prefix sum over (vertex, thread) turns histograms into
+    // absolute write cursors; thread order within a vertex = stability
+#pragma omp single
+    {
+      int64_t run = 0;
+      indptr[0] = 0;
+      for (int64_t v = 0; v < num_vertices; ++v) {
+        for (int t = 0; t < nthreads; ++t) {
+          int64_t* c = cursor + (size_t)num_vertices * t + v;
+          const int64_t n = *c;
+          *c = run;
+          run += n;
+        }
+        indptr[v + 1] = run;
+      }
+    }  // implicit barrier
+    // pass 2: stable scatter (chunks are in edge order; cursors ordered
+    // by thread id, so original order is preserved within each dst)
+    for (int64_t e = lo; e < hi; ++e) {
+      indices[cnt[edges[2 * e + 1]]++] = edges[2 * e];
+    }
+#pragma omp barrier
+    // pass 3: source histogram (out-degree), reusing the cursor rows
+    memset(cnt, 0, (size_t)num_vertices * sizeof(int64_t));
+    for (int64_t e = lo; e < hi; ++e) cnt[edges[2 * e]] += 1;
+#pragma omp barrier
+#pragma omp for schedule(static)
+    for (int64_t v = 0; v < num_vertices; ++v) {
+      int64_t acc = 0;
+      for (int t = 0; t < nthreads; ++t)
+        acc += cursor[(size_t)num_vertices * t + v];
+      out_degree[v] = static_cast<int32_t>(acc);
+    }
+  }
+  delete[] cursor;
+}
+
 int sgnn_num_threads() {
 #if defined(_OPENMP)
   return omp_get_max_threads();

@@ -250,6 +250,29 @@ def test_native_deterministic(adj):
 
 
 @pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
+def test_native_csc_build_matches_numpy():
+    """sgnn_csc_build is bit-identical to the stable-argsort numpy path."""
+    from sgnn_tpu.sampler import native
+
+    rng = np.random.default_rng(3)
+    for v, e in [(1, 0), (7, 1), (501, 4096), (33, 65536)]:
+        edges = np.stack(
+            [rng.integers(0, v, size=e), rng.integers(0, v, size=e)], axis=1
+        ).astype(np.int32)
+        indptr, indices, out_deg = native.build_csc(edges, v)
+        dst = edges[:, 1].astype(np.int64)
+        order = np.argsort(dst, kind="stable")
+        counts = np.bincount(dst, minlength=v)
+        ref_indptr = np.zeros(v + 1, np.int64)
+        np.cumsum(counts, out=ref_indptr[1:])
+        np.testing.assert_array_equal(indptr, ref_indptr)
+        np.testing.assert_array_equal(indices, edges[order, 0].astype(np.int32))
+        np.testing.assert_array_equal(
+            out_deg, np.bincount(edges[:, 0], minlength=v).astype(np.int32)
+        )
+
+
+@pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
 def test_native_omit(adj):
     omit = np.full(adj.num_vertices, -1, dtype=np.int32)
     omit[::2] = 1
