@@ -30,29 +30,45 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+_DS_KEYS = ("num_vertices", "edges", "features", "labels", "masks")
+
+
 def _reddit_like_cached(scale: float):
-    """Reddit-shaped synthetic dataset, cached as npz across runs."""
+    """Reddit-shaped synthetic dataset, cached as raw .npy files across runs.
+
+    Raw per-array .npy via sgnn_tpu.utils.io (one read() + frombuffer):
+    numpy's own np.load / np.fromfile loops move ~6 MB/s on this machine,
+    turning the 627 MB load into 100+ s; the fast reader streams at page-
+    cache speed (<1 s warm).  A legacy .npz cache, if present, is converted
+    once.
+    """
     import numpy as np
 
+    from sgnn_tpu.data.dataset import Dataset
     from sgnn_tpu.data.synthetic import reddit_like_dataset
+    from sgnn_tpu.utils.io import load_npy, save_npy
 
     t0 = time.perf_counter()
     cache_dir = "/root/.cache/sgnn_datasets"
     os.makedirs(cache_dir, exist_ok=True)
-    cache_f = os.path.join(cache_dir, f"reddit_like_s{scale}_seed0.npz")
-    if os.path.exists(cache_f):
-        from sgnn_tpu.data.dataset import Dataset
-
-        z = np.load(cache_f)
-        ds = Dataset(
-            num_vertices=int(z["num_vertices"]), edges=z["edges"],
-            features=z["features"], labels=z["labels"], masks=z["masks"],
-            name="reddit-like",
-        )
-    else:
-        ds = reddit_like_dataset(seed=0, scale=scale)
-        np.savez(cache_f, num_vertices=ds.num_vertices, edges=ds.edges,
-                 features=ds.features, labels=ds.labels, masks=ds.masks)
+    stem = os.path.join(cache_dir, f"reddit_like_s{scale}_seed0")
+    if not all(os.path.exists(f"{stem}.{k}.npy") for k in _DS_KEYS):
+        legacy = stem + ".npz"
+        if os.path.exists(legacy):
+            log(f"[bench] converting legacy npz cache {legacy}")
+            z = np.load(legacy)
+            arrs = {k: z[k] for k in _DS_KEYS}
+        else:
+            ds = reddit_like_dataset(seed=0, scale=scale)
+            arrs = {k: getattr(ds, k) for k in _DS_KEYS}
+        for k, v in arrs.items():
+            save_npy(f"{stem}.{k}.npy", np.asarray(v))
+    loaded = {k: load_npy(f"{stem}.{k}.npy") for k in _DS_KEYS}
+    ds = Dataset(
+        num_vertices=int(loaded["num_vertices"]), edges=loaded["edges"],
+        features=loaded["features"], labels=loaded["labels"],
+        masks=loaded["masks"], name="reddit-like",
+    )
     log(f"[bench] reddit-like: {ds.num_vertices} V, {ds.num_edges} E "
         f"({time.perf_counter() - t0:.1f}s to build/load)")
     return ds

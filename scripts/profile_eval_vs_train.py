@@ -9,7 +9,10 @@ from sgnn_tpu.data.dataset import Dataset
 from sgnn_tpu.sampler.blocks import WeightKind
 from sgnn_tpu.train.device_trainer import DeviceSampleTrainer
 
-z = np.load("/root/.cache/sgnn_datasets/reddit_like_s1.0_seed0.npz")
+from sgnn_tpu.utils.io import load_npy
+_stem = "/root/.cache/sgnn_datasets/reddit_like_s1.0_seed0"
+z = {k: load_npy(f"{_stem}.{k}.npy")
+     for k in ("num_vertices", "edges", "features", "labels", "masks")}
 ds = Dataset(num_vertices=int(z["num_vertices"]), edges=z["edges"],
              features=z["features"], labels=z["labels"], masks=z["masks"],
              name="reddit-like")

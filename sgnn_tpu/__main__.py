@@ -157,7 +157,9 @@ def _run(args, cfg, ds, log) -> int:
                                      ds.features, ds.labels, nids, logp=logp)
                 log.info("infer %s accuracy: %.4f", split, acc)
         if args.predictions_out:
-            np.save(args.predictions_out, logp)
+            from .utils.io import save_npy
+
+            save_npy(args.predictions_out, np.asarray(logp))
             log.info("wrote [%d, %d] log-probs to %s", logp.shape[0],
                      logp.shape[1], args.predictions_out)
         return 0

@@ -21,6 +21,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..graph.adjacency import Adjacency
+from ..utils.io import read_binary
 from ..utils.logging import get_logger
 
 log = get_logger("sgnn.cache")
@@ -87,7 +88,7 @@ def presample_hotness(
         fan_s = "-".join(str(f) for f in fanouts)
         path = f"{edge_file}.sgnn_pre_sample_b{batch_size}_f{fan_s}.bin"
         if os.path.exists(path):
-            raw = np.fromfile(path, dtype="<u4")
+            raw = read_binary(path, dtype="<u4")
             if (raw.size >= 2 and raw[0] == _MAGIC
                     and raw[1] == raw.size - 2
                     and raw.size - 2 >= n_cache):
@@ -101,9 +102,10 @@ def presample_hotness(
     order = np.argsort(-scores, kind="stable")
     ids = order[:n_cache].astype(np.int32)
     if path:
-        np.concatenate(
-            [np.array([_MAGIC, ids.size], dtype="<u4"), ids.astype("<u4")]
-        ).tofile(path)
+        with open(path, "wb") as f:
+            f.write(np.concatenate(
+                [np.array([_MAGIC, ids.size], dtype="<u4"), ids.astype("<u4")]
+            ).tobytes())
         log.info("presample: wrote %d hot ids to %s", ids.size, path)
     return ids
 
@@ -154,7 +156,7 @@ def presample_hotness_per_sb(
         path = (f"{edge_file}.sgnn_pre_sample_b{batch_size}_f{fan_s}"
                 f"_psb{n_sb}.bin")
         if os.path.exists(path):
-            raw = np.fromfile(path, dtype="<u4")
+            raw = read_binary(path, dtype="<u4")
             if (raw.size >= 3 and raw[0] == _MAGIC
                     and raw[1] * raw[2] == raw.size - 3):
                 ids = raw[3:].astype(np.int32).reshape(raw[1], raw[2])
@@ -172,9 +174,10 @@ def presample_hotness_per_sb(
         scores = hotness_scores(adj, sb, fanouts, dst_of_edge=doe)
         per[k] = np.argsort(-scores, kind="stable")[:c].astype(np.int32)
     if path:
-        np.concatenate([
-            np.array([_MAGIC, n_sb, c], dtype="<u4"),
-            per.astype("<u4").ravel(),
-        ]).tofile(path)
+        with open(path, "wb") as f:
+            f.write(np.concatenate([
+                np.array([_MAGIC, n_sb, c], dtype="<u4"),
+                per.astype("<u4").ravel(),
+            ]).tobytes())
         log.info("presample: wrote %dx%d per-SB hot ids to %s", n_sb, c, path)
     return per

@@ -27,7 +27,9 @@ _MASK_CODES = {"train": MASK_TRAIN, "val": MASK_VAL, "eval": MASK_VAL,
 
 def read_edge_binary(path: str, num_vertices: Optional[int] = None) -> np.ndarray:
     """Read a binary (src, dst) uint32 edge list → [E, 2] int32."""
-    raw = np.fromfile(path, dtype="<u4")
+    from ..utils.io import read_binary
+
+    raw = read_binary(path, dtype="<u4")
     if raw.size % 2 != 0:
         raise ValueError(f"{path}: odd number of uint32 words, not an edge pair file")
     edges = raw.reshape(-1, 2).astype(np.int32)
@@ -39,7 +41,8 @@ def read_edge_binary(path: str, num_vertices: Optional[int] = None) -> np.ndarra
 
 
 def write_edge_binary(path: str, edges: np.ndarray) -> None:
-    np.asarray(edges, dtype=np.uint32).astype("<u4").tofile(path)
+    with open(path, "wb") as f:
+        f.write(np.asarray(edges, dtype=np.uint32).astype("<u4").tobytes())
 
 
 def read_feature_table(path: str, num_vertices: int, feature_dim: int) -> np.ndarray:

@@ -373,3 +373,36 @@ def test_cli_infer_fullbatch_checkpoint(tmp_path):
     logp = np.load(preds)
     assert logp.shape == (2708, 7)
     assert np.isfinite(logp).all()
+
+
+def test_fast_io_npy_roundtrip(tmp_path):
+    """utils.io load/save are np.save/np.load-compatible both directions."""
+    from sgnn_tpu.utils.io import load_npy, read_binary, save_npy
+
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.standard_normal((37, 11)).astype(np.float32),
+        rng.integers(-5, 5, size=(64,)).astype(np.int32),
+        np.asfortranarray(rng.standard_normal((8, 9))),
+        np.array(42, dtype=np.int64),  # 0-d scalar
+        np.zeros((0, 3), np.float32),  # empty
+    ]
+    for i, a in enumerate(cases):
+        ours, theirs = tmp_path / f"a{i}.npy", tmp_path / f"b{i}.npy"
+        save_npy(str(ours), a)
+        np.save(str(theirs), a)
+        got_theirs = load_npy(str(theirs))  # our reader, numpy writer
+        got_ours = np.load(str(ours))       # numpy reader, our writer
+        np.testing.assert_array_equal(got_theirs, a)
+        np.testing.assert_array_equal(got_ours, a)
+        assert got_theirs.dtype == a.dtype and got_ours.dtype == a.dtype
+    # writability (frombuffer result must not be read-only)
+    save_npy(str(tmp_path / "w.npy"), cases[0])
+    w = load_npy(str(tmp_path / "w.npy"))
+    w[0, 0] = 7.0
+
+    raw = tmp_path / "raw.bin"
+    payload = rng.integers(0, 2**32, size=33, dtype=np.uint32)
+    raw.write_bytes(payload.astype("<u4").tobytes())
+    back = read_binary(str(raw), "<u4")
+    np.testing.assert_array_equal(back, payload)
