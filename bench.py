@@ -275,11 +275,16 @@ def main():
             up_degree=args.up_degree,
         )
 
-    try:
-        sage = run_sage()
-    except Exception as e:  # transient tunnel/runtime hiccup: one retry
-        log(f"[bench] sage run failed ({e!r}); retrying once")
-        sage = run_sage()
+    sage = None
+    for attempt in range(3):  # transient tunnel/runtime hiccups: retry
+        try:
+            sage = run_sage()
+            break
+        except Exception as e:
+            log(f"[bench] sage run failed ({e!r}); attempt {attempt + 1}/3")
+            if attempt == 2:
+                raise
+            time.sleep(60)
     if args.skip_cora:
         cora = {"avg_epoch_time": float("nan"), "final_train_acc": float("nan")}
         vs_baseline = 0.0

@@ -81,7 +81,27 @@ class Adjacency:
         Reference analog: Graph::transpose / generate_backward_structure
         (core/graph.hpp:1115/:4332) which materialise the reverse topology
         for backward propagation.
+
+        Fast path: native one-pass transpose (sgnn_csc_transpose) — no
+        [E, 2] reversed edge list is materialised; degree tables swap
+        roles, so no recount is needed either.
         """
+        built = None
+        if self.num_edges:
+            from sgnn_tpu.sampler import native  # lazy: avoids import cycle
+
+            built = native.transpose_csc(
+                self.indptr, self.indices, self.num_vertices
+            )
+        if built is not None:
+            indptr_t, indices_t = built
+            return Adjacency(
+                num_vertices=self.num_vertices,
+                indptr=indptr_t,
+                indices=indices_t,
+                in_degree=self.out_degree,
+                out_degree=self.in_degree,
+            )
         dst_of_edge = np.repeat(
             np.arange(self.num_vertices, dtype=np.int32),
             np.diff(self.indptr).astype(np.int64),

@@ -37,3 +37,12 @@ def build_csc(edges, num_vertices):
     from .bindings import build_csc as _bc
 
     return _bc(edges, num_vertices, lib)
+
+
+def transpose_csc(indptr, indices, num_vertices):
+    """Native CSC transpose; None when the lib is unavailable."""
+    if lib is None:
+        return None
+    from .bindings import transpose_csc as _tc
+
+    return _tc(indptr, indices, num_vertices, lib)

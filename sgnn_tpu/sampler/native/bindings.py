@@ -162,6 +162,26 @@ def build_csc(edges: np.ndarray, num_vertices: int, lib):
     return indptr, indices, out_degree
 
 
+def transpose_csc(indptr: np.ndarray, indices: np.ndarray,
+                  num_vertices: int, lib):
+    """CSC transpose without materialising the reversed edge list; output
+    bit-identical to build_csc over stack([dst_of_edge, indices])."""
+    ip = np.ascontiguousarray(indptr, dtype=np.int64)
+    ix = np.ascontiguousarray(indices, dtype=np.int32)
+    n_edges = int(ix.shape[0])
+    indptr_t = np.empty(num_vertices + 1, dtype=np.int64)
+    indices_t = np.empty(n_edges, dtype=np.int32)
+    lib.sgnn_csc_transpose(
+        _ptr(ip, ctypes.c_int64),
+        _ptr(ix, ctypes.c_int32),
+        num_vertices,
+        n_edges,
+        _ptr(indptr_t, ctypes.c_int64),
+        _ptr(indices_t, ctypes.c_int32),
+    )
+    return indptr_t, indices_t
+
+
 _MODE = {  # (WeightKind.value, degree_mode) → sgnn_weights mode enum
     ("gcn", "sampled"): 0,
     ("mean", "sampled"): 1,

@@ -273,6 +273,38 @@ def test_native_csc_build_matches_numpy():
 
 
 @pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
+def test_native_transpose_matches_numpy():
+    """sgnn_csc_transpose ≡ rebuild from the reversed edge list."""
+    from sgnn_tpu.graph.adjacency import Adjacency
+
+    rng = np.random.default_rng(5)
+    for v, e in [(9, 1), (101, 2048), (40, 30000)]:
+        edges = np.stack(
+            [rng.integers(0, v, size=e), rng.integers(0, v, size=e)], axis=1
+        ).astype(np.int32)
+        adj = Adjacency.from_edges(edges, v)
+        t = adj.transpose()  # native path
+        # reference: numpy rebuild from reversed edges
+        dst_of_edge = np.repeat(
+            np.arange(v, dtype=np.int32), np.diff(adj.indptr).astype(np.int64)
+        )
+        rev = np.stack([dst_of_edge, adj.indices], axis=1)
+        dst = rev[:, 1].astype(np.int64)
+        order = np.argsort(dst, kind="stable")
+        counts = np.bincount(dst, minlength=v)
+        ref_indptr = np.zeros(v + 1, np.int64)
+        np.cumsum(counts, out=ref_indptr[1:])
+        np.testing.assert_array_equal(t.indptr, ref_indptr)
+        np.testing.assert_array_equal(t.indices, rev[order, 0].astype(np.int32))
+        np.testing.assert_array_equal(t.in_degree, adj.out_degree)
+        np.testing.assert_array_equal(t.out_degree, adj.in_degree)
+        # involution: transposing twice restores the degrees and edge set
+        tt = t.transpose()
+        np.testing.assert_array_equal(tt.indptr, adj.indptr)
+        np.testing.assert_array_equal(np.sort(tt.indices), np.sort(adj.indices))
+
+
+@pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
 def test_native_omit(adj):
     omit = np.full(adj.num_vertices, -1, dtype=np.int32)
     omit[::2] = 1
