@@ -34,7 +34,7 @@ import numpy as np
 
 from ..graph.adjacency import Adjacency
 from ..sampler.blocks import WeightKind, pad_to
-from ..ops.segment import spmm_coo
+from ..ops.segment import spmm_coo_fwd_sorted
 
 
 class StalenessQueue:
@@ -121,7 +121,9 @@ class EmbeddingCache:
             w = 1.0 / np.maximum(adj.in_degree[dstv], 1).astype(np.float32)
         e_pad = pad_to(max(src.size, 1), pad_multiple)
         src_p = np.zeros(e_pad, np.int32)
-        slot_p = np.zeros(e_pad, np.int32)
+        # slot is ascending by construction (slot-major build above); pad at
+        # the last slot so the refresh segment-sum can run sorted
+        slot_p = np.full(e_pad, max(cache_ids.size - 1, 0), np.int32)
         w_p = np.zeros(e_pad, np.float32)
         src_p[: src.size] = src
         slot_p[: slot.size] = slot
@@ -143,7 +145,11 @@ class EmbeddingCache:
 
         @jax.jit
         def refresh(features, w0, coo_src, coo_slot, coo_w):
-            agg = spmm_coo(features, coo_src, coo_slot, coo_w, num_slots)
+            # slot-major plan → sorted segment sum; no grads flow through
+            # the refresh (the merge stop-gradients it), so the
+            # forward-only sorted variant suffices
+            agg = spmm_coo_fwd_sorted(
+                features, coo_src, coo_slot, coo_w, num_slots)
             return jnp.dot(agg, w0, preferred_element_type=agg.dtype)
 
         return refresh

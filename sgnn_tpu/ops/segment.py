@@ -49,16 +49,20 @@ def _edge_chunk(e_total: int, feat: int) -> int | None:
     return max(_CHUNK_ELEMS // max(feat, 1), 8192)
 
 
-def _pad_chunks(arrs, e_total: int, chunk: int):
+def _pad_chunks(arrs, e_total: int, chunk: int, fills=None):
     """Pad [E]/[E, ...] edge arrays to a multiple of `chunk` and reshape to
     [n_chunks, chunk, ...].  Padding edges carry weight 0 and point at slot
-    0 — the same nothing-contributes convention as the COO padding."""
+    0 — the same nothing-contributes convention as the COO padding.  When an
+    index array is claimed sorted (`indices_are_sorted=True` downstream), its
+    `fill` must be the max segment id so the claim stays true in the tail."""
     n = -(-e_total // chunk)
     pad = n * chunk - e_total
     out = []
-    for a in arrs:
+    for i, a in enumerate(arrs):
         if pad:
-            a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+            fill = 0 if fills is None else fills[i]
+            a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                        constant_values=fill)
         out.append(a.reshape((n, chunk) + a.shape[1:]))
     return out
 
@@ -140,23 +144,136 @@ def _spmm_bwd(num_dst, res, g):
 spmm_coo.defvjp(_spmm_fwd, _spmm_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Sorted-order SpMM: exploits the static CSC/CSR orderings of a WHOLE-graph
+# edge list.  The full-batch COO comes straight out of the CSC (edges sorted
+# by dst), and the src-sorted permutation is computed ONCE at graph build —
+# so both the forward segment sum (by dst) and the backward segment sum (by
+# src) can run with `indices_are_sorted=True`, which XLA lowers to a faster
+# TPU emitter than the general scatter-add.  This mirrors the reference
+# keeping BOTH structures: CSC for forward, CSR for backward
+# (ntsSingleGPUSampleGraphOp.hpp:258, coocsc.hpp:82 csc_to_csr) — there the
+# CSR buys locality for the scatter; here it buys the sorted-segment emitter.
+# The sampled path can NOT use this (per-batch sort costs more than it saves,
+# measured in docs/PERF.md); for the full graph the sort is free.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def spmm_coo_csc(
+    x: jax.Array,        # [S, F] source features
+    src: jax.Array,      # [E] int32 edge source ids
+    dst: jax.Array,      # [E] int32 edge destinations, ASCENDING (CSC order;
+                         #     weight-0 padding tail must point at num_dst-1)
+    weight: jax.Array,   # [E] edge weights (0 ⇒ padded edge)
+    perm: jax.Array,     # [E] int32 stable argsort of src (CSR order)
+    inv_perm: jax.Array, # [E] int32 inverse of perm
+    num_dst: int,
+) -> jax.Array:
+    """`spmm_coo` for statically double-sorted whole-graph edge lists."""
+    return _spmm_csc_fwd_impl(x, src, dst, weight, num_dst)
+
+
+def _spmm_csc_fwd_impl(x, src, dst, weight, num_dst):
+    chunk = _edge_chunk(src.shape[0], x.shape[1])
+    if chunk is None:
+        msgs = x[src] * weight[:, None].astype(x.dtype)
+        out = jax.ops.segment_sum(
+            msgs.astype(jnp.float32), dst, num_segments=num_dst,
+            indices_are_sorted=True,
+        )
+        return out.astype(x.dtype)
+    src_c, dst_c, w_c = _pad_chunks(
+        (src, dst, weight), src.shape[0], chunk, fills=(0, num_dst - 1, 0))
+
+    def body(acc, args):
+        s, d, w = args
+        m = (x[s] * w[:, None].astype(x.dtype)).astype(jnp.float32)
+        return acc + jax.ops.segment_sum(
+            m, d, num_segments=num_dst, indices_are_sorted=True), None
+
+    acc0 = jnp.zeros((num_dst, x.shape[1]), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (src_c, dst_c, w_c))
+    return out.astype(x.dtype)
+
+
+def _spmm_csc_fwd(x, src, dst, weight, perm, inv_perm, num_dst):
+    return (_spmm_csc_fwd_impl(x, src, dst, weight, num_dst),
+            (x, src, dst, weight, perm, inv_perm))
+
+
+def _spmm_csc_bwd(num_dst, res, g):
+    x, src, dst, weight, perm, inv_perm = res
+    # CSR-order views: [E] int32 gathers, trivially cheap next to the [E, F]
+    # row work; sp is ascending so the dx segment sum runs sorted too.
+    sp, dp, wp = src[perm], dst[perm], weight[perm]
+    num_src = x.shape[0]
+    chunk = _edge_chunk(src.shape[0], x.shape[1])
+    if chunk is None:
+        gd = g[dp]                                           # [E, F]
+        ge = (gd * wp[:, None].astype(g.dtype)).astype(jnp.float32)
+        dx = jax.ops.segment_sum(
+            ge, sp, num_segments=num_src, indices_are_sorted=True
+        ).astype(x.dtype)
+        dw_p = jnp.einsum("ef,ef->e", gd, x[sp],
+                          preferred_element_type=jnp.float32)
+        dw = dw_p[inv_perm].astype(weight.dtype)  # back to caller edge order
+        return dx, None, None, dw, None, None
+    e_total = src.shape[0]
+    sp_c, dp_c, wp_c = _pad_chunks(
+        (sp, dp, wp), e_total, chunk, fills=(num_src - 1, 0, 0))
+
+    def body(acc, args):
+        s, d, w = args
+        gd = g[d]
+        ge = (gd * w[:, None].astype(g.dtype)).astype(jnp.float32)
+        acc = acc + jax.ops.segment_sum(
+            ge, s, num_segments=num_src, indices_are_sorted=True)
+        dw_c = jnp.einsum("ef,ef->e", gd, x[s],
+                          preferred_element_type=jnp.float32)
+        return acc, dw_c
+
+    acc0 = jnp.zeros((num_src, x.shape[1]), jnp.float32)
+    dx, dw_p = jax.lax.scan(body, acc0, (sp_c, dp_c, wp_c))
+    dw = dw_p.reshape(-1)[:e_total][inv_perm].astype(weight.dtype)
+    return dx.astype(x.dtype), None, None, dw, None, None
+
+
+spmm_coo_csc.defvjp(_spmm_csc_fwd, _spmm_csc_bwd)
+
+
+def spmm_coo_fwd_sorted(x, src, dst, weight, num_dst):
+    """Forward-only sorted SpMM: `dst` must be ascending (CSC order, padding
+    tail at num_dst-1).  For inference/serving paths that never take grads —
+    under autodiff this still differentiates correctly (segment_sum's VJP is
+    a gather; x[src]'s is a scatter-add), just without the sorted-backward
+    speedup of spmm_coo_csc."""
+    return _spmm_csc_fwd_impl(x, src, dst, weight, num_dst)
+
+
 def segment_softmax_coo(
-    scores: jax.Array, dst: jax.Array, valid: jax.Array, num_dst: int
+    scores: jax.Array, dst: jax.Array, valid: jax.Array, num_dst: int,
+    indices_are_sorted: bool = False,
 ) -> jax.Array:
     """Numerically-stable softmax over each destination's edge segment.
 
     Reference `SingleEdgeSoftMax` (ntsSingleCPUGraphOp.hpp) / CUDA
     block-per-dst kernel (ntsCUDADistKernel.cuh:319), COO edition.
+    Pass `indices_are_sorted=True` only when `dst` is ascending (the
+    whole-graph CSC order) — invalid (padded) edges may point anywhere
+    since they are masked, but the ids themselves must be sorted.
     """
     if scores.ndim == 2 and valid.ndim == 1:
         valid = valid[:, None]       # [E, H] multi-head scores
     neg = jnp.finfo(scores.dtype).min
     s = jnp.where(valid, scores, neg)
-    seg_max = jax.ops.segment_max(s, dst, num_segments=num_dst)
+    seg_max = jax.ops.segment_max(
+        s, dst, num_segments=num_dst, indices_are_sorted=indices_are_sorted)
     e = jnp.exp(s - jax.lax.stop_gradient(seg_max[dst]))
     e = jnp.where(valid, e, 0.0)
     z = jax.ops.segment_sum(
-        e.astype(jnp.float32), dst, num_segments=num_dst
+        e.astype(jnp.float32), dst, num_segments=num_dst,
+        indices_are_sorted=indices_are_sorted,
     ).astype(e.dtype)
     return e / jnp.maximum(z[dst], jnp.finfo(scores.dtype).tiny)
 

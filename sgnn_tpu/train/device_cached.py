@@ -29,7 +29,7 @@ from ..config import RunConfig
 from ..data.dataset import Dataset
 from ..models.gnn import model_forward
 from ..nn.functional import masked_accuracy, nll_loss_masked
-from ..ops.segment import spmm_coo
+from ..ops.segment import spmm_coo_fwd_sorted
 from ..sampler.blocks import WeightKind
 from ..sampler.device import device_sample_batch
 from ..utils.logging import get_logger
@@ -99,7 +99,10 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
         e_pad = max(int(c.coo_src.shape[0]) for c in self.sb_caches)
         cmaps = np.full((n_sb, v_pad), -1, np.int32)
         coo_src = np.zeros((n_sb, e_pad), np.int32)
-        coo_slot = np.zeros((n_sb, e_pad), np.int32)
+        # pad at the last slot: each per-SB plan is slot-major (ascending),
+        # so the refresh segment-sum can claim indices_are_sorted
+        coo_slot = np.full(
+            (n_sb, e_pad), max(self.cache.num_cached - 1, 0), np.int32)
         coo_w = np.zeros((n_sb, e_pad), np.float32)
         for k, c in enumerate(self.sb_caches):
             cmaps[k, : self.adj.num_vertices] = c.cache_map_host
@@ -145,8 +148,9 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
                 # segment-sum + matmul).  No whole-matrix astype: bf16 rows
                 # promote elementwise against the f32 edge weights inside
                 # the segment sum.
-                agg = spmm_coo(features, coo_src_all[sb], coo_slot_all[sb],
-                               coo_w_all[sb], num_slots)
+                agg = spmm_coo_fwd_sorted(
+                    features, coo_src_all[sb], coo_slot_all[sb],
+                    coo_w_all[sb], num_slots)
                 return jnp.dot(agg.astype(jnp.float32), w0,
                                preferred_element_type=jnp.float32)
 

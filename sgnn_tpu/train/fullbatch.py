@@ -29,7 +29,10 @@ from ..models.gnn import GNNParams, init_model
 from ..nn.functional import BN_EPS, dropout, log_softmax, nll_loss_masked
 from .guard import check_finite_loss
 from ..nn.optim import make_optimizer
-from ..ops.segment import segment_softmax_coo, spmm_coo, spmm_coo_multihead
+from ..ops.segment import (
+    segment_softmax_coo, spmm_coo, spmm_coo_csc, spmm_coo_fwd_sorted,
+    spmm_coo_multihead,
+)
 from ..sampler.blocks import WeightKind, pad_to
 from ..utils.logging import get_logger
 
@@ -54,9 +57,23 @@ def build_coo(
     pad = e_pad - src.size
     if pad:
         src = np.concatenate([src, np.zeros(pad, np.int32)])
-        dst = np.concatenate([dst, np.zeros(pad, np.int32)])
+        # padding dst = v-1 keeps the CSC edge list ASCENDING end to end, so
+        # segment reductions can run with indices_are_sorted=True (weight 0
+        # still contributes nothing wherever the padding points)
+        dst = np.concatenate([dst, np.full(pad, v - 1, np.int32)])
         w = np.concatenate([w, np.zeros(pad, np.float32)])
     return src, dst, w.astype(np.float32)
+
+
+def csr_order(src: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(perm, inv_perm) putting the CSC edge list into CSR (src-sorted)
+    order.  Computed ONCE at graph build — the static analogue of the
+    reference's csc_to_csr (coocsc.hpp:82) — so the backward scatter can run
+    as a sorted segment sum (see ops/segment.spmm_coo_csc)."""
+    perm = np.argsort(src, kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    return perm, inv
 
 
 def full_forward(
@@ -72,8 +89,14 @@ def full_forward(
     batch_norm: bool = False,
     drop_rate: float = 0.0,
     dropout_key: Optional[jax.Array] = None,
+    csr: Optional[Tuple[jax.Array, jax.Array]] = None,
+    fwd_sorted: bool = False,
 ) -> jax.Array:
     """L-layer whole-graph forward (GCN/SAGE via SpMM; GAT via COO softmax).
+
+    csr: optional (perm, inv_perm) from `csr_order` — requires `dst`
+    ascending (build_coo order).  Routes the SpMMs through the
+    double-sorted segment-sum path (ops/segment.spmm_coo_csc).
 
     aggregator "min"/"max" (AGGREGATOR cfg key) replaces the weighted-sum
     SpMM with the elementwise extreme over each destination's in-edge
@@ -112,6 +135,16 @@ def full_forward(
         return dropout(dkeys[l], t, drop_rate, train_drop)
 
     valid = w_edge != 0
+    sorted_dst = csr is not None or fwd_sorted
+
+    def agg(t, wgt):
+        if csr is not None:
+            return spmm_coo_csc(t, src, dst, wgt, csr[0], csr[1],
+                                num_vertices)
+        if fwd_sorted:  # inference paths: dst ascending, no grads taken
+            return spmm_coo_fwd_sorted(t, src, dst, wgt, num_vertices)
+        return spmm_coo(t, src, dst, wgt, num_vertices)
+
     for l in range(n_layers):
         wl = params.weights[l].astype(h.dtype)
         if aggregator in ("min", "max") and family != "gat":
@@ -134,13 +167,15 @@ def full_forward(
                 ha_s = jnp.einsum("shf,hf->sh", ht_h, a_src.reshape(hh, fh))
                 ha_d = jnp.einsum("shf,hf->sh", ht_h, a_dst.reshape(hh, fh))
                 score = jax.nn.leaky_relu(ha_s[src] + ha_d[dst], 0.2)
-                att = segment_softmax_coo(score, dst, valid, num_vertices)
+                att = segment_softmax_coo(score, dst, valid, num_vertices,
+                                          indices_are_sorted=sorted_dst)
                 h = spmm_coo_multihead(ht, src, dst, att, num_vertices)
             else:
                 score = ht[src] @ a_src + ht[dst] @ a_dst
                 score = jax.nn.leaky_relu(score, 0.2)
-                att = segment_softmax_coo(score, dst, valid, num_vertices)
-                h = spmm_coo(ht, src, dst, att, num_vertices)
+                att = segment_softmax_coo(score, dst, valid, num_vertices,
+                                          indices_are_sorted=sorted_dst)
+                h = agg(ht, att)
             h = jax.nn.relu(h if l == n_layers - 1 else bn(h))
             if l == n_layers - 1:
                 h = log_softmax(h.astype(jnp.float32))
@@ -148,13 +183,11 @@ def full_forward(
                 h = drop(h, l)
         else:
             if wl.shape[0] > wl.shape[1]:  # transform-first (see models/gnn)
-                h = spmm_coo(
-                    jnp.dot(h, wl, preferred_element_type=h.dtype),
-                    src, dst, w_edge, num_vertices,
-                )
+                h = agg(jnp.dot(h, wl, preferred_element_type=h.dtype),
+                        w_edge)
             else:
                 h = jnp.dot(
-                    spmm_coo(h, src, dst, w_edge, num_vertices), wl,
+                    agg(h, w_edge), wl,
                     preferred_element_type=h.dtype,
                 )
             if l == n_layers - 1:
@@ -216,6 +249,10 @@ class FullBatchTrainer:
             self.src, self.dst, self.w = (
                 jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
             )
+            # static CSR-order permutation → sorted segment sums in both
+            # SpMM directions (measured win over scatter-add, docs/PERF.md)
+            perm, inv = csr_order(src)
+            self.perm, self.inv_perm = jnp.asarray(perm), jnp.asarray(inv)
             self._step = self._build_single_step()
         else:
             self._init_sharded(src, dst, w)
@@ -230,12 +267,15 @@ class FullBatchTrainer:
         drop_rate = float(self.cfg.drop_rate)
 
         @jax.jit
-        def step(params, opt_state, x, y, mask, src, dst, w, dkey):
+        def step(params, opt_state, x, y, mask, src, dst, w, perm, invp,
+                 dkey):
+            csr = (perm, invp)
+
             def loss_fn(p):
                 logp = full_forward(p, family, x, src, dst, w, v,
                                     aggregator=aggregator, heads=heads,
                                     batch_norm=use_bn, drop_rate=drop_rate,
-                                    dropout_key=dkey)
+                                    dropout_key=dkey, csr=csr)
                 return nll_loss_masked(logp, y, mask), logp
 
             (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -244,7 +284,7 @@ class FullBatchTrainer:
                 # metrics from a dropout-free forward (reference ctx->eval())
                 logp = full_forward(params, family, x, src, dst, w, v,
                                     aggregator=aggregator, heads=heads,
-                                    batch_norm=use_bn)
+                                    batch_norm=use_bn, csr=csr)
             pred = jnp.argmax(logp, axis=-1)
             return new_p, new_o, loss, pred
 
@@ -456,7 +496,7 @@ class FullBatchTrainer:
         if self.mesh is None:
             self.params, self.opt_state, loss, pred = self._step(
                 self.params, self.opt_state, self.x, self.y, self.train_mask,
-                self.src, self.dst, self.w, dkey,
+                self.src, self.dst, self.w, self.perm, self.inv_perm, dkey,
             )
         else:
             if self.targeted is not None:

@@ -37,7 +37,9 @@ import numpy as np
 from ..graph.adjacency import Adjacency
 from ..models.gnn import GNNParams
 from ..nn.functional import BN_EPS, log_softmax
-from ..ops.segment import segment_softmax_coo, spmm_coo, spmm_coo_multihead
+from ..ops.segment import (
+    segment_softmax_coo, spmm_coo_fwd_sorted, spmm_coo_multihead,
+)
 from ..sampler.blocks import WeightKind, pad_to
 from ..sampler.native import gather_rows
 from ..utils.logging import get_logger
@@ -56,7 +58,9 @@ def _gat_chunk(src_rows, src_local, ht_dst, valid, dst_local, a_vec, rows,
     `src_rows` holds the chunk's UNIQUE transformed source rows;
     `src_local` maps each edge to its row (local reindex, the reference
     sampCSC pattern) — dedup cuts the host→HBM staging by the average
-    in-chunk source multiplicity."""
+    in-chunk source multiplicity.  `dst_local` must be ascending with its
+    padding tail at rows-1 (the chunk builder guarantees this) — the
+    segment ops run with indices_are_sorted=True."""
     f = src_rows.shape[-1]
     a_src, a_dst = a_vec[:f, 0], a_vec[f:, 0]
     if heads > 1:
@@ -66,14 +70,16 @@ def _gat_chunk(src_rows, src_local, ht_dst, valid, dst_local, a_vec, rows,
         ha_d = jnp.einsum("shf,hf->sh", ht_dst.reshape(-1, heads, fh),
                           a_dst.reshape(heads, fh))
         score = jax.nn.leaky_relu(ha_s[src_local] + ha_d[dst_local], 0.2)
-        att = segment_softmax_coo(score, dst_local, valid, rows)
+        att = segment_softmax_coo(score, dst_local, valid, rows,
+                                  indices_are_sorted=True)
         h = spmm_coo_multihead(src_rows, src_local, dst_local, att, rows)
     else:
         score = ((src_rows @ a_src)[src_local]
                  + (ht_dst @ a_dst)[dst_local])
         score = jax.nn.leaky_relu(score, 0.2)
-        att = segment_softmax_coo(score, dst_local, valid, rows)
-        h = spmm_coo(src_rows, src_local, dst_local, att, rows)
+        att = segment_softmax_coo(score, dst_local, valid, rows,
+                                  indices_are_sorted=True)
+        h = spmm_coo_fwd_sorted(src_rows, src_local, dst_local, att, rows)
     if raw:
         return h  # pre-activation (BN mode normalizes globally, then relu)
     h = jax.nn.relu(h)
@@ -84,8 +90,9 @@ def _gat_chunk(src_rows, src_local, ht_dst, valid, dst_local, a_vec, rows,
 def _spmm_chunk(src_rows, src_local, weight, dst_local, rows, last,
                 raw=False):
     """One destination chunk of a GCN/SAGE layer: weighted segment-sum of
-    the (already transformed) unique source rows, edges reindexed local."""
-    h = spmm_coo(src_rows, src_local, dst_local, weight, rows)
+    the (already transformed) unique source rows, edges reindexed local.
+    `dst_local` ascending with padding at rows-1 → sorted segment sum."""
+    h = spmm_coo_fwd_sorted(src_rows, src_local, dst_local, weight, rows)
     if raw:
         return h  # pre-activation (BN mode normalizes globally, then relu)
     return log_softmax(h) if last else jax.nn.relu(h)
@@ -108,7 +115,8 @@ def _jit_full_forward(params, x, src, dst, w, *, family, num_vertices,
 
         _full_fwd = jax.jit(
             lambda p, x, s, d, w, fam, nv, h, bn: full_forward(
-                p, fam, x, s, d, w, nv, heads=h, batch_norm=bn
+                p, fam, x, s, d, w, nv, heads=h, batch_norm=bn,
+                fwd_sorted=True,  # dst is CSC-ascending, padded at nv-1
             ),
             static_argnums=(5, 6, 7, 8),
         )
@@ -196,7 +204,9 @@ def layerwise_inference(
             params,
             jnp.asarray(np.ascontiguousarray(features, np.float32)),
             jnp.asarray(np.pad(src_all, (0, pad))),
-            jnp.asarray(np.pad(dst_all, (0, pad))),
+            # pad dst at v-1: keeps the CSC edge list ascending so the
+            # forward runs with indices_are_sorted=True (weight stays 0)
+            jnp.asarray(np.pad(dst_all, (0, pad), constant_values=v - 1)),
             jnp.asarray(np.pad(w_all, (0, pad))),
             family=family, num_vertices=v, heads=heads,
             batch_norm=batch_norm,
@@ -238,7 +248,11 @@ def layerwise_inference(
         src_rows = np.empty((s_pad, out_dim), np.float32)
         for a, b, lo, hi, uniq, inv, dst_loc in chunks:
             n_e = hi - lo
-            dst_local = np.pad(dst_loc, (0, e_pad - n_e))
+            # pad at the last local row: dst_local stays ascending so the
+            # chunk kernels can claim indices_are_sorted (weight/valid mask
+            # the padding out of the result)
+            dst_local = np.pad(dst_loc, (0, e_pad - n_e),
+                               constant_values=max(b - a - 1, 0))
             src_local = np.pad(inv, (0, e_pad - n_e))
             # native OpenMP gather of the chunk's UNIQUE source rows
             idx = np.pad(uniq, (0, s_pad - uniq.size))

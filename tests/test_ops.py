@@ -293,3 +293,51 @@ def test_spmm_coo_multihead_chunked_matches_direct(monkeypatch):
     for a, b in zip(g1, g0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("chunked", [False, True])
+def test_spmm_coo_csc_matches_unsorted(monkeypatch, chunked):
+    """Double-sorted SpMM (spmm_coo_csc): forward, d_x and d_weight equal
+    spmm_coo on the same edges, direct and edge-chunked."""
+    import sgnn_tpu.ops.segment as seg
+
+    rng = np.random.default_rng(7)
+    S, F, D = 37, 16, 29
+    deg = rng.integers(0, 9, D)
+    dst = np.repeat(np.arange(D, dtype=np.int32), deg)  # CSC: ascending dst
+    E = dst.size
+    src = rng.integers(0, S, E).astype(np.int32)
+    w = rng.normal(size=E).astype(np.float32)
+    pad = 13                                            # weight-0 tail
+    dst = np.concatenate([dst, np.full(pad, D - 1, np.int32)])
+    src = np.concatenate([src, np.zeros(pad, np.int32)])
+    w = np.concatenate([w, np.zeros(pad, np.float32)])
+    perm = np.argsort(src, kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    x = jnp.asarray(rng.normal(size=(S, F)).astype(np.float32))
+    src, dst, w = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
+    permj, invj = jnp.asarray(perm), jnp.asarray(inv)
+
+    if chunked:
+        monkeypatch.setattr(seg, "_DIRECT_ELEMS", 0)
+        monkeypatch.setattr(seg, "_CHUNK_ELEMS", 64 * F)  # 64-edge chunks
+
+    def loss_ref(x_, w_):
+        out = seg.spmm_coo(x_, src, dst, w_, D)
+        return jnp.sum(out * jnp.cos(out)), out
+
+    def loss_csc(x_, w_):
+        out = seg.spmm_coo_csc(x_, src, dst, w_, permj, invj, D)
+        return jnp.sum(out * jnp.cos(out)), out
+
+    (l0, o0), (dx0, dw0) = jax.value_and_grad(
+        loss_ref, argnums=(0, 1), has_aux=True)(x, w)
+    (l1, o1), (dx1, dw1) = jax.value_and_grad(
+        loss_csc, argnums=(0, 1), has_aux=True)(x, w)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw0),
+                               rtol=1e-5, atol=1e-5)
