@@ -44,8 +44,12 @@ class ShardedGraph(NamedTuple):
 
     offsets: np.ndarray          # [n_parts+1] owned-range boundaries
     src: jax.Array               # [n_parts, E_pad] int32 global src ids
-    dst_local: jax.Array         # [n_parts, E_pad] int32 local dst ids
+    dst_local: jax.Array         # [n_parts, E_pad] int32 local dst ids,
+                                 #     ASCENDING (padding tail at rows-1)
     weight: jax.Array            # [n_parts, E_pad] f32, 0 = padding
+    perm: jax.Array              # [n_parts, E_pad] int32 per-shard stable
+                                 #     argsort of src (CSR order, static)
+    inv_perm: jax.Array          # [n_parts, E_pad] int32 inverse of perm
     rows_per_shard: int          # padded owned-vertex count per shard
 
     @property
@@ -81,19 +85,36 @@ def shard_graph(
         e_pad = max(e_pad, src.size)
     e_pad = pad_to(e_pad, pad_multiple)
     srcs = np.zeros((num_parts, e_pad), np.int32)
-    dsts = np.zeros((num_parts, e_pad), np.int32)
+    # pad dst at the last local row: each shard's dst_local stays ascending
+    # (CSC order within the shard), so segment sums can run sorted
+    dsts = np.full((num_parts, e_pad), rows - 1, np.int32)
     ws = np.zeros((num_parts, e_pad), np.float32)
     for p, (src, dst, w) in enumerate(per_part):
         srcs[p, : src.size] = src
         dsts[p, : dst.size] = dst
         ws[p, : w.size] = w
+    perm, inv = _csr_orders(srcs)
     return ShardedGraph(
         offsets=offsets.astype(np.int64),
         src=jnp.asarray(srcs),
         dst_local=jnp.asarray(dsts),
         weight=jnp.asarray(ws),
+        perm=jnp.asarray(perm),
+        inv_perm=jnp.asarray(inv),
         rows_per_shard=rows,
     )
+
+
+def _csr_orders(srcs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-shard (perm, inv_perm): stable argsort of each row of [n, E_pad]
+    srcs — the static CSR ordering that lets the backward scatter run as a
+    sorted segment sum (ops/segment.spmm_coo_csc)."""
+    perm = np.argsort(srcs, axis=1, kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    ar = np.arange(perm.shape[1], dtype=np.int32)
+    for p in range(perm.shape[0]):
+        inv[p, perm[p]] = ar
+    return perm, inv
 
 
 def sharded_aggregate(
@@ -101,6 +122,8 @@ def sharded_aggregate(
     src: jax.Array,           # [E_pad] global src ids (local shard of stack)
     dst_local: jax.Array,     # [E_pad]
     weight: jax.Array,        # [E_pad]
+    perm: "jax.Array | None" = None,      # ShardedGraph.perm row (sorted
+    inv_perm: "jax.Array | None" = None,  #   segment sums when provided)
     axis_name: str = "graph",
 ) -> jax.Array:
     """One partition-parallel aggregation step (call inside shard_map).
@@ -109,9 +132,12 @@ def sharded_aggregate(
     autodiff of the gather yields the mirror→master gradient reduction
     (reference backward decoupled engines) as a psum_scatter.
     """
-    from ..ops.segment import spmm_coo
+    from ..ops.segment import spmm_coo, spmm_coo_csc
 
     x_full = jax.lax.all_gather(x_shard, axis_name, axis=0, tiled=True)
+    if perm is not None:
+        return spmm_coo_csc(x_full, src, dst_local, weight, perm, inv_perm,
+                            x_shard.shape[0])
     return spmm_coo(x_full, src, dst_local, weight, x_shard.shape[0])
 
 
@@ -135,8 +161,10 @@ class TargetedHalo(NamedTuple):
 
     send_idx: jax.Array     # [n, n, H_pad] int32 (dim0 = owner p, dim1 = q)
     src_local: jax.Array    # [n, E_pad] int32 edge srcs in concat space
-    dst_local: jax.Array    # [n, E_pad] int32
+    dst_local: jax.Array    # [n, E_pad] int32 (ascending, pad at rows-1)
     weight: jax.Array       # [n, E_pad] f32
+    perm: jax.Array         # [n, E_pad] int32 per-shard argsort of src_local
+    inv_perm: jax.Array     # [n, E_pad] int32 inverse of perm
     rows_per_shard: int
     halo_pad: int
 
@@ -183,11 +211,14 @@ def build_targeted_halo(
             u = need[q][p]
             lookup[u] = rows + p * h_pad + np.arange(u.size)
         src_local[q] = lookup[np.maximum(src_np[q], 0)]
+    perm, inv = _csr_orders(src_local)
     return TargetedHalo(
         send_idx=jnp.asarray(send_idx),
         src_local=jnp.asarray(src_local),
         dst_local=sg.dst_local,
         weight=sg.weight,
+        perm=jnp.asarray(perm),
+        inv_perm=jnp.asarray(inv),
         rows_per_shard=rows,
         halo_pad=h_pad,
     )
@@ -199,6 +230,8 @@ def sharded_aggregate_targeted(
     src_local: jax.Array,     # [E_pad] concat-space edge srcs
     dst_local: jax.Array,     # [E_pad]
     weight: jax.Array,        # [E_pad]
+    perm: "jax.Array | None" = None,      # TargetedHalo.perm row (sorted
+    inv_perm: "jax.Array | None" = None,  #   segment sums when provided)
     axis_name: str = "graph",
 ) -> jax.Array:
     """Aggregation with a targeted all_to_all halo (call inside shard_map).
@@ -208,9 +241,12 @@ def sharded_aggregate_targeted(
     routes mirror gradients back through the reverse all_to_all (the
     reference's mirror→master push, graph.hpp:3023).
     """
-    from ..ops.segment import spmm_coo
+    from ..ops.segment import spmm_coo, spmm_coo_csc
 
     ext = targeted_halo_exchange(x_shard, send_idx, axis_name)
+    if perm is not None:
+        return spmm_coo_csc(ext, src_local, dst_local, weight, perm,
+                            inv_perm, x_shard.shape[0])
     return spmm_coo(ext, src_local, dst_local, weight, x_shard.shape[0])
 
 
@@ -241,6 +277,8 @@ def sharded_gat_layer(
     send_idx: "jax.Array | None" = None,  # targeted-halo plan, else all_gather
     axis_name: str = "graph",
     heads: int = 1,
+    perm: "jax.Array | None" = None,      # per-shard CSR order → sorted
+    inv_perm: "jax.Array | None" = None,  #   segment ops when provided
 ) -> jax.Array:
     """One partition-parallel GAT layer (call inside shard_map).
 
@@ -254,9 +292,11 @@ def sharded_gat_layer(
     from ..ops.segment import (
         segment_softmax_coo,
         spmm_coo,
+        spmm_coo_csc,
         spmm_coo_multihead,
     )
 
+    sorted_dst = perm is not None  # new-style shards pad dst at rows-1
     ht = jnp.dot(h_shard, wl, preferred_element_type=h_shard.dtype)
     f = ht.shape[-1]
     if send_idx is None:
@@ -271,9 +311,14 @@ def sharded_gat_layer(
         ha_ext = jnp.einsum("shf,hf->sh", ext.reshape(-1, heads, fh), a_s)
         ha_dst = jnp.einsum("shf,hf->sh", ht.reshape(-1, heads, fh), a_d)
         score = jax.nn.leaky_relu(ha_ext[src_idx] + ha_dst[dst_local], 0.2)
-        att = segment_softmax_coo(score, dst_local, valid, rows)
+        att = segment_softmax_coo(score, dst_local, valid, rows,
+                                  indices_are_sorted=sorted_dst)
         return spmm_coo_multihead(ext, src_idx, dst_local, att, rows)
     score = ext[src_idx] @ attn[:f, 0] + ht[dst_local] @ attn[f:, 0]
     score = jax.nn.leaky_relu(score, 0.2)
-    att = segment_softmax_coo(score, dst_local, valid, rows)
+    att = segment_softmax_coo(score, dst_local, valid, rows,
+                              indices_are_sorted=sorted_dst)
+    if perm is not None:
+        return spmm_coo_csc(ext, src_idx, dst_local, att, perm, inv_perm,
+                            rows)
     return spmm_coo(ext, src_idx, dst_local, att, rows)

@@ -296,11 +296,15 @@ def run_multihost_fullbatch_epochs(
         src_g = dev_block(tr.targeted.src_local)
         dst_g = dev_block(tr.targeted.dst_local)
         w_g = dev_block(tr.targeted.weight)
+        perm_g = dev_block(tr.targeted.perm)
+        inv_g = dev_block(tr.targeted.inv_perm)
     else:
         sidx_g = dev_block(np.zeros((n, 1, 1), np.int32))
         src_g = dev_block(tr.sharded.src)
         dst_g = dev_block(tr.sharded.dst_local)
         w_g = dev_block(tr.sharded.weight)
+        perm_g = dev_block(tr.sharded.perm)
+        inv_g = dev_block(tr.sharded.inv_perm)
 
     losses = []
     for ep in range(epochs or cfg.epochs):
@@ -308,7 +312,7 @@ def run_multihost_fullbatch_epochs(
         tr._dropout_key, dkey = jax.random.split(tr._dropout_key)
         params_g, opt_g, loss, _pred = tr._step(
             params_g, opt_g, x_g, y_g, mask_g, src_g, dst_g, w_g, sidx_g,
-            to_g(dkey, P()),
+            perm_g, inv_g, to_g(dkey, P()),
         )
         losses.append(float(np.asarray(loss.addressable_shards[0].data)))
         check_finite_loss(losses[-1], ep, "run_multihost_fullbatch_epochs")

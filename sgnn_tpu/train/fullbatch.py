@@ -342,11 +342,12 @@ class FullBatchTrainer:
             shard_map,
             mesh=self.mesh,
             in_specs=(P(), P(), P("graph"), P("graph"), P("graph"),
-                      P("graph"), P("graph"), P("graph"), P("graph"), P()),
+                      P("graph"), P("graph"), P("graph"), P("graph"),
+                      P("graph"), P("graph"), P()),
             out_specs=(P(), P(), P(), P("graph")),
         )
         def step(params, opt_state, x, y, mask, src, dstl, w_edge, sidx,
-                 dkey):
+                 perm, invp, dkey):
             from ..parallel.halo import (
                 sharded_aggregate,
                 sharded_aggregate_targeted,
@@ -357,12 +358,13 @@ class FullBatchTrainer:
                 def agg(h_):
                     return sharded_aggregate_targeted(
                         h_, sidx[0], src[0], dstl[0],
-                        w_edge[0].astype(h_.dtype),
+                        w_edge[0].astype(h_.dtype), perm[0], invp[0],
                     )
             else:
                 def agg(h_):
                     return sharded_aggregate(
-                        h_, src[0], dstl[0], w_edge[0].astype(h_.dtype)
+                        h_, src[0], dstl[0], w_edge[0].astype(h_.dtype),
+                        perm[0], invp[0],
                     )
 
             def fwd(p, dk):
@@ -448,6 +450,7 @@ class FullBatchTrainer:
                             send_idx=sidx[0] if halo_mode == "targeted"
                             else None,
                             heads=1 if l == n_layers - 1 else heads,
+                            perm=perm[0], inv_perm=invp[0],
                         )
                         h = jax.nn.relu(h if l == n_layers - 1 else bn(h))
                         if l == n_layers - 1:
@@ -504,6 +507,8 @@ class FullBatchTrainer:
                 src_l = self.targeted.src_local
                 dst_l = self.targeted.dst_local
                 w_l = self.targeted.weight
+                perm_l = self.targeted.perm
+                inv_l = self.targeted.inv_perm
             else:
                 sidx = jnp.zeros(
                     (int(np.prod(self.mesh.devices.shape)), 1, 1), jnp.int32
@@ -511,9 +516,11 @@ class FullBatchTrainer:
                 src_l = self.sharded.src
                 dst_l = self.sharded.dst_local
                 w_l = self.sharded.weight
+                perm_l = self.sharded.perm
+                inv_l = self.sharded.inv_perm
             self.params, self.opt_state, loss, pred = self._step(
                 self.params, self.opt_state, self.x, self.y, self.train_mask,
-                src_l, dst_l, w_l, sidx, dkey,
+                src_l, dst_l, w_l, sidx, perm_l, inv_l, dkey,
             )
         correct = pred == self.y
 
