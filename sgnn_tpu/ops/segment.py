@@ -42,11 +42,16 @@ _DIRECT_ELEMS = int(os.environ.get("SGNN_SPMM_DIRECT_ELEMS",
 _CHUNK_ELEMS = int(os.environ.get("SGNN_SPMM_CHUNK_ELEMS", 256 * 1024 * 1024))
 
 
+# lower bound on the edge-chunk length (tests shrink it to force genuinely
+# multi-chunk programs on small graphs)
+_CHUNK_FLOOR = 8192
+
+
 def _edge_chunk(e_total: int, feat: int) -> int | None:
     """Chunk length (edges) or None when the direct path fits the budget."""
     if e_total * max(feat, 1) <= max(_DIRECT_ELEMS, _CHUNK_ELEMS):
         return None
-    return max(_CHUNK_ELEMS // max(feat, 1), 8192)
+    return max(_CHUNK_ELEMS // max(feat, 1), _CHUNK_FLOOR)
 
 
 def _pad_chunks(arrs, e_total: int, chunk: int, fills=None):
@@ -175,9 +180,11 @@ def spmm_coo_csc(
 
 
 def _spmm_csc_fwd_impl(x, src, dst, weight, num_dst):
+    # weight multiplies under jnp promotion (f32 weights promote bf16 rows
+    # to f32 messages) — identical arithmetic to spmm_coo
     chunk = _edge_chunk(src.shape[0], x.shape[1])
     if chunk is None:
-        msgs = x[src] * weight[:, None].astype(x.dtype)
+        msgs = x[src] * weight[:, None]
         out = jax.ops.segment_sum(
             msgs.astype(jnp.float32), dst, num_segments=num_dst,
             indices_are_sorted=True,
@@ -188,7 +195,7 @@ def _spmm_csc_fwd_impl(x, src, dst, weight, num_dst):
 
     def body(acc, args):
         s, d, w = args
-        m = (x[s] * w[:, None].astype(x.dtype)).astype(jnp.float32)
+        m = (x[s] * w[:, None]).astype(jnp.float32)
         return acc + jax.ops.segment_sum(
             m, d, num_segments=num_dst, indices_are_sorted=True), None
 
@@ -211,7 +218,7 @@ def _spmm_csc_bwd(num_dst, res, g):
     chunk = _edge_chunk(src.shape[0], x.shape[1])
     if chunk is None:
         gd = g[dp]                                           # [E, F]
-        ge = (gd * wp[:, None].astype(g.dtype)).astype(jnp.float32)
+        ge = (gd * wp[:, None]).astype(jnp.float32)
         dx = jax.ops.segment_sum(
             ge, sp, num_segments=num_src, indices_are_sorted=True
         ).astype(x.dtype)
@@ -226,7 +233,7 @@ def _spmm_csc_bwd(num_dst, res, g):
     def body(acc, args):
         s, d, w = args
         gd = g[d]
-        ge = (gd * w[:, None].astype(g.dtype)).astype(jnp.float32)
+        ge = (gd * w[:, None]).astype(jnp.float32)
         acc = acc + jax.ops.segment_sum(
             ge, s, num_segments=num_src, indices_are_sorted=True)
         dw_c = jnp.einsum("ef,ef->e", gd, x[s],

@@ -108,11 +108,16 @@ def shard_graph(
 def _csr_orders(srcs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Per-shard (perm, inv_perm): stable argsort of each row of [n, E_pad]
     srcs — the static CSR ordering that lets the backward scatter run as a
-    sorted segment sum (ops/segment.spmm_coo_csc)."""
-    perm = np.argsort(srcs, axis=1, kind="stable").astype(np.int32)
+    sorted segment sum (ops/segment.spmm_coo_csc).  Native O(E) counting
+    sort per shard (numpy fallback bit-identical)."""
+    from ..sampler.native import stable_argsort
+
+    key_range = int(srcs.max()) + 1 if srcs.size else 1
+    perm = np.empty(srcs.shape, np.int32)
     inv = np.empty_like(perm)
     ar = np.arange(perm.shape[1], dtype=np.int32)
     for p in range(perm.shape[0]):
+        perm[p] = stable_argsort(srcs[p], key_range)
         inv[p, perm[p]] = ar
     return perm, inv
 

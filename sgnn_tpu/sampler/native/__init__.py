@@ -46,3 +46,15 @@ def transpose_csc(indptr, indices, num_vertices):
     from .bindings import transpose_csc as _tc
 
     return _tc(indptr, indices, num_vertices, lib)
+
+
+def stable_argsort(keys, key_range):
+    """Stable argsort of int32 keys in [0, key_range) — native O(E) OpenMP
+    counting sort, numpy fallback bit-identical."""
+    if lib is None:
+        import numpy as np
+
+        return np.argsort(keys, kind="stable").astype(np.int32)
+    from .bindings import stable_argsort as _sa
+
+    return _sa(keys, key_range, lib)

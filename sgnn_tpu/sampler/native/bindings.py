@@ -162,6 +162,21 @@ def build_csc(edges: np.ndarray, num_vertices: int, lib):
     return indptr, indices, out_degree
 
 
+def stable_argsort(keys: np.ndarray, key_range: int, lib) -> np.ndarray:
+    """Stable argsort of int32 keys in [0, key_range) — OpenMP counting
+    sort, bit-identical to ``np.argsort(keys, kind="stable")`` (used for
+    the static CSR-order permutations of whole-graph edge lists,
+    ops/segment.spmm_coo_csc)."""
+    k = np.ascontiguousarray(keys, dtype=np.int32)
+    n = int(k.shape[0])
+    if n and (int(k.max()) >= key_range or int(k.min()) < 0):
+        raise ValueError(f"key out of range [0, {key_range})")
+    perm = np.empty(n, dtype=np.int32)
+    lib.sgnn_stable_argsort(
+        _ptr(k, ctypes.c_int32), n, key_range, _ptr(perm, ctypes.c_int32))
+    return perm
+
+
 def transpose_csc(indptr: np.ndarray, indices: np.ndarray,
                   num_vertices: int, lib):
     """CSC transpose without materialising the reversed edge list; output

@@ -73,6 +73,8 @@ def load_library() -> ctypes.CDLL:
     lib.sgnn_gather_rows.restype = None
     lib.sgnn_csc_build.argtypes = [p_i32, c_i64, c_i64, p_i64, p_i32, p_i32]
     lib.sgnn_csc_build.restype = None
+    lib.sgnn_stable_argsort.argtypes = [p_i32, c_i64, c_i64, p_i32]
+    lib.sgnn_stable_argsort.restype = None
     lib.sgnn_csc_transpose.argtypes = [p_i64, p_i32, c_i64, c_i64, p_i64,
                                        p_i32]
     lib.sgnn_csc_transpose.restype = None

@@ -267,6 +267,56 @@ void sgnn_weights(const int32_t* nbr_local, const uint8_t* valid,
   delete[] out_counts;
 }
 
+// Stable parallel argsort of int32 keys in [0, key_range): the same
+// per-(thread, key) cursor counting sort as sgnn_csc_build below, with the
+// payload being each element's position.  Output is bit-identical to
+// numpy's argsort(keys, kind="stable").  Used for the static CSR-order
+// permutations that let whole-graph SpMM backward scatters run as sorted
+// segment sums (reference csc_to_csr, core/coocsc.hpp:82).
+void sgnn_stable_argsort(const int32_t* keys, int64_t n, int64_t key_range,
+                         int32_t* perm) {
+#if defined(_OPENMP)
+  int nthreads = omp_get_max_threads();
+#else
+  int nthreads = 1;
+#endif
+  const int64_t budget = (int64_t)256 << 20;
+  while (nthreads > 1 &&
+         (int64_t)nthreads * key_range * (int64_t)sizeof(int64_t) > budget)
+    --nthreads;
+  int64_t* cursor = new int64_t[(size_t)key_range * nthreads]();
+  const int64_t chunk = (n + nthreads - 1) / nthreads;
+#pragma omp parallel num_threads(nthreads)
+  {
+#if defined(_OPENMP)
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    int64_t* cnt = cursor + (size_t)key_range * tid;
+    const int64_t lo = tid * chunk;
+    const int64_t hi = lo + chunk < n ? lo + chunk : n;
+    for (int64_t e = lo; e < hi; ++e) cnt[keys[e]] += 1;
+#pragma omp barrier
+#pragma omp single
+    {
+      int64_t run = 0;
+      for (int64_t k = 0; k < key_range; ++k) {
+        for (int t = 0; t < nthreads; ++t) {
+          int64_t* c = cursor + (size_t)key_range * t + k;
+          const int64_t cn = *c;
+          *c = run;
+          run += cn;
+        }
+      }
+    }  // implicit barrier
+    for (int64_t e = lo; e < hi; ++e) {
+      perm[cnt[keys[e]]++] = static_cast<int32_t>(e);
+    }
+  }
+  delete[] cursor;
+}
+
 // Stable parallel CSC build from an interleaved COO edge list
 // (src = edges[2e], dst = edges[2e+1]).  Plays the role of the reference's
 // graph-builder CSC construction (Graph::load_directed per-socket CSC

@@ -69,8 +69,13 @@ def csr_order(src: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(perm, inv_perm) putting the CSC edge list into CSR (src-sorted)
     order.  Computed ONCE at graph build — the static analogue of the
     reference's csc_to_csr (coocsc.hpp:82) — so the backward scatter can run
-    as a sorted segment sum (see ops/segment.spmm_coo_csc)."""
-    perm = np.argsort(src, kind="stable").astype(np.int32)
+    as a sorted segment sum (see ops/segment.spmm_coo_csc).  Uses the native
+    O(E) OpenMP counting sort (numpy argsort is the measured CSC-build
+    bottleneck at scale, docs/PERF.md)."""
+    from ..sampler.native import stable_argsort
+
+    key_range = int(src.max()) + 1 if src.size else 1
+    perm = stable_argsort(src, key_range)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(perm.size, dtype=np.int32)
     return perm, inv

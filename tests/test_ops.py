@@ -254,7 +254,8 @@ def test_spmm_coo_chunked_matches_direct(monkeypatch):
     (l0, out0), (dx0, dw0) = jax.value_and_grad(loss, argnums=(0, 1),
                                                 has_aux=True)(x, w)
     monkeypatch.setattr(seg, "_DIRECT_ELEMS", 0)
-    monkeypatch.setattr(seg, "_CHUNK_ELEMS", 64 * F)  # force 64-edge chunks
+    monkeypatch.setattr(seg, "_CHUNK_ELEMS", 64 * F)
+    monkeypatch.setattr(seg, "_CHUNK_FLOOR", 64)  # force 64-edge chunks
     (l1, out1), (dx1, dw1) = jax.value_and_grad(loss, argnums=(0, 1),
                                                 has_aux=True)(x, w)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
@@ -286,6 +287,7 @@ def test_spmm_coo_multihead_chunked_matches_direct(monkeypatch):
     o0 = seg.spmm_coo_multihead(x, src, dst, att, D)
     monkeypatch.setattr(seg, "_DIRECT_ELEMS", 0)
     monkeypatch.setattr(seg, "_CHUNK_ELEMS", 32 * H * FH)
+    monkeypatch.setattr(seg, "_CHUNK_FLOOR", 32)  # genuinely multi-chunk
     g1 = jax.grad(loss, argnums=(0, 1))(x, att)
     o1 = seg.spmm_coo_multihead(x, src, dst, att, D)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
@@ -321,7 +323,8 @@ def test_spmm_coo_csc_matches_unsorted(monkeypatch, chunked):
 
     if chunked:
         monkeypatch.setattr(seg, "_DIRECT_ELEMS", 0)
-        monkeypatch.setattr(seg, "_CHUNK_ELEMS", 64 * F)  # 64-edge chunks
+        monkeypatch.setattr(seg, "_CHUNK_ELEMS", 64 * F)
+        monkeypatch.setattr(seg, "_CHUNK_FLOOR", 64)  # 64-edge chunks
 
     def loss_ref(x_, w_):
         out = seg.spmm_coo(x_, src, dst, w_, D)
