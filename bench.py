@@ -189,6 +189,34 @@ def bench_fullbatch(scale: float, epochs: int) -> dict:
     return {"epoch_time_s": round(med, 4), "train_acc": round(accs[-1], 4)}
 
 
+def bench_serving(scale: float) -> dict:
+    """Exact full-graph serving pass (train/inference.py): log-probs for
+    ALL vertices at full neighborhood — the production inference path
+    (CLI --infer / --exact-eval).  Whole-graph mode when HBM fits."""
+    import numpy as np
+
+    from sgnn_tpu.graph.adjacency import Adjacency
+    from sgnn_tpu.models.gnn import init_model
+    from sgnn_tpu.train.inference import layerwise_inference
+
+    ds = _reddit_like_cached(scale)
+    adj = Adjacency.from_edges(ds.edges, ds.num_vertices)
+    import jax
+
+    params = init_model(jax.random.PRNGKey(0), "gcn", [602, 128, 41])
+    times = []
+    for _ in range(3):  # first pass compiles; median of the rest
+        t0 = time.perf_counter()
+        logp = layerwise_inference(params, "gcn", adj, ds.features,
+                                   mean_style="fullbatch")
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times[1:]))
+    log(f"[bench] serving: passes {[round(t, 3) for t in times]} "
+        f"({logp.shape[0]} vertices)")
+    return {"pass_time_s": round(med, 4),
+            "vertices_per_sec": round(logp.shape[0] / med, 1)}
+
+
 def bench_cora_gcn(epochs: int) -> dict:
     import numpy as np
 
@@ -304,6 +332,11 @@ def main():
     except Exception as e:
         log(f"[bench] fullbatch stage failed ({e!r}); omitting")
         fullbatch = {}
+    try:
+        serving = bench_serving(args.scale)
+    except Exception as e:
+        log(f"[bench] serving stage failed ({e!r}); omitting")
+        serving = {}
 
     result = {
         "metric": "reddit_sage_f25-10_edges_per_sec_per_chip",
@@ -324,6 +357,7 @@ def main():
             "degree_mode": "sampled" if args.up_degree else "global",
             "feature_cache": fcache,
             "fullbatch_gcn": fullbatch,
+            "serving_exact": serving,
         },
     }
     print(json.dumps(result), flush=True)
