@@ -370,3 +370,38 @@ def test_batch_norm_changes_forward(tiny_ds):
     hist = tr.run(4)
     assert np.isfinite(hist[-1]["loss"])
     assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_sortedness_invariants(tiny_ds):
+    """The indices_are_sorted=True claims rest on builder invariants: a
+    builder change that breaks ascending order would corrupt results
+    SILENTLY on TPU, so pin each invariant explicitly."""
+    from sgnn_tpu.cache.embedding_cache import EmbeddingCache
+    from sgnn_tpu.parallel.halo import build_targeted_halo, shard_graph
+    from sgnn_tpu.train.fullbatch import build_coo, csr_order
+
+    adj = Adjacency.from_edges(tiny_ds.edges, tiny_ds.num_vertices)
+    src, dst, w = build_coo(adj, WeightKind.GCN)
+    assert np.all(np.diff(dst) >= 0), "build_coo dst must be ascending"
+    perm, inv = csr_order(src)
+    assert np.all(np.diff(src[perm]) >= 0), "csr_order must sort src"
+    assert np.array_equal(perm[inv], np.arange(perm.size)), "inv_perm wrong"
+    # numpy-fallback parity for the native argsort
+    ref = np.argsort(src, kind="stable").astype(np.int32)
+    assert np.array_equal(perm, ref), "stable_argsort != numpy stable"
+
+    w_real = w[: adj.num_edges]
+    sg = shard_graph(adj, 4, np.asarray(w_real))
+    th = build_targeted_halo(adj, 4, np.asarray(w_real))
+    for p in range(4):
+        assert np.all(np.diff(np.asarray(sg.dst_local[p])) >= 0)
+        assert np.all(np.diff(np.asarray(sg.src[p])[np.asarray(sg.perm[p])])
+                      >= 0)
+        assert np.all(np.diff(np.asarray(th.dst_local[p])) >= 0)
+        assert np.all(
+            np.diff(np.asarray(th.src_local[p])[np.asarray(th.perm[p])]) >= 0)
+
+    hot = np.array([5, 0, 9, 3], np.int32)  # deliberately unsorted hot ids
+    ec = EmbeddingCache.build(adj, hot, "gcn")
+    assert np.all(np.diff(np.asarray(ec.coo_slot)) >= 0), \
+        "cache plan slots must be slot-major ascending"
