@@ -189,6 +189,36 @@ def bench_fullbatch(scale: float, epochs: int) -> dict:
     return {"epoch_time_s": round(med, 4), "train_acc": round(accs[-1], 4)}
 
 
+def _wait_for_device_contact(tries: int = 7, probe_timeout: int = 300):
+    """Tunnel outages make jax.devices() block forever IN-PROCESS (observed:
+    multi-hour axon outage, 2026-08-18) — and once an interpreter's PJRT
+    init hangs there is no way to cancel it.  Probe device contact in fresh
+    SUBPROCESSES first, so this process only calls jax.devices() after a
+    probe has succeeded recently.  If every probe fails we fall through and
+    try anyway (same behavior as before, minus the retry window)."""
+    import subprocess
+
+    for i in range(tries):
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0])"],
+                timeout=probe_timeout, capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                log(f"[bench] device contact ok "
+                    f"({time.perf_counter() - t0:.0f}s)")
+                return
+            log(f"[bench] device probe {i + 1}/{tries} exited "
+                f"{r.returncode}: {r.stderr.strip()[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"[bench] device probe {i + 1}/{tries} timed out "
+                f"({probe_timeout}s) — tunnel down, retrying")
+        time.sleep(30)
+    log("[bench] WARNING: no device contact after all probes; proceeding")
+
+
 def bench_serving(scale: float) -> dict:
     """Exact full-graph serving pass (train/inference.py): log-probs for
     ALL vertices at full neighborhood — the production inference path
@@ -291,6 +321,8 @@ def main():
 
     import jax
 
+    if not (args.smoke or args.cpu):
+        _wait_for_device_contact()
     dev = jax.devices()[0]
     log(f"[bench] backend={jax.default_backend()} device={dev}")
 
