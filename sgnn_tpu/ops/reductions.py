@@ -39,18 +39,23 @@ def gather_max(x_src: jax.Array, nbr: jax.Array, edge_mask: jax.Array) -> jax.Ar
     return jnp.where(any_valid, out, 0.0)
 
 
-def segment_min_coo(x, src, dst, valid, num_dst):
-    """COO full-graph min (reference DistAggregateDstMin)."""
+def segment_min_coo(x, src, dst, valid, num_dst, indices_are_sorted=False):
+    """COO full-graph min (reference DistAggregateDstMin).  Pass
+    indices_are_sorted=True only when dst is ascending (build_coo /
+    shard_graph order) — invalid edges are masked but must still point at
+    in-order ids."""
     big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
     msgs = jnp.where(valid[:, None], x[src], big)
-    out = jax.ops.segment_min(msgs, dst, num_segments=num_dst)
+    out = jax.ops.segment_min(msgs, dst, num_segments=num_dst,
+                              indices_are_sorted=indices_are_sorted)
     return jnp.where(jnp.isfinite(out) & (out < big), out, 0.0)
 
 
-def segment_max_coo(x, src, dst, valid, num_dst):
+def segment_max_coo(x, src, dst, valid, num_dst, indices_are_sorted=False):
     small = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
     msgs = jnp.where(valid[:, None], x[src], small)
-    out = jax.ops.segment_max(msgs, dst, num_segments=num_dst)
+    out = jax.ops.segment_max(msgs, dst, num_segments=num_dst,
+                              indices_are_sorted=indices_are_sorted)
     return jnp.where(jnp.isfinite(out) & (out > small), out, 0.0)
 
 

@@ -291,13 +291,15 @@ def spmm_coo_multihead(
     dst: jax.Array,      # [E] int32 edge destination ids
     att: jax.Array,      # [E, H] per-head edge weights (0 ⇒ padded edge)
     num_dst: int,
+    indices_are_sorted: bool = False,  # dst ascending (pad at num_dst-1)
 ) -> jax.Array:
     """Multi-head SpMM: head h weights its own F/H feature block.
 
     out[d, h·Fh:(h+1)·Fh] = Σ_{e: dst[e]=d} att[e,h] · x[src[e], h·Fh:...].
     Autodiffed (segment_sum's VJP is the gather/scatter pair spmm_coo
     hand-writes; scan's VJP chunks the backward exactly like the forward);
-    used by the multi-head COO GAT paths.
+    used by the multi-head COO GAT paths.  The sorted hint only affects
+    the forward segment sum (its VJP is a gather), so it is autodiff-safe.
     """
     e_total, heads = att.shape
     fh = x.shape[1] // heads
@@ -306,16 +308,21 @@ def spmm_coo_multihead(
         msgs = (x[src].reshape(e_total, heads, fh)
                 * att[:, :, None].astype(x.dtype))
         out = jax.ops.segment_sum(
-            msgs.astype(jnp.float32), dst, num_segments=num_dst
+            msgs.astype(jnp.float32), dst, num_segments=num_dst,
+            indices_are_sorted=indices_are_sorted,
         ).astype(x.dtype)
         return out.reshape(num_dst, heads * fh)
-    src_c, dst_c, att_c = _pad_chunks((src, dst, att), e_total, chunk)
+    src_c, dst_c, att_c = _pad_chunks(
+        (src, dst, att), e_total, chunk,
+        fills=(0, num_dst - 1 if indices_are_sorted else 0, 0))
 
     def body(acc, args):
         s, d, a = args
         m = (x[s].reshape(chunk, heads, fh)
              * a[:, :, None].astype(x.dtype)).astype(jnp.float32)
-        return acc + jax.ops.segment_sum(m, d, num_segments=num_dst), None
+        return acc + jax.ops.segment_sum(
+            m, d, num_segments=num_dst,
+            indices_are_sorted=indices_are_sorted), None
 
     acc0 = jnp.zeros((num_dst, heads, fh), jnp.float32)
     out, _ = jax.lax.scan(body, acc0, (src_c, dst_c, att_c))

@@ -318,7 +318,8 @@ def sharded_gat_layer(
         score = jax.nn.leaky_relu(ha_ext[src_idx] + ha_dst[dst_local], 0.2)
         att = segment_softmax_coo(score, dst_local, valid, rows,
                                   indices_are_sorted=sorted_dst)
-        return spmm_coo_multihead(ext, src_idx, dst_local, att, rows)
+        return spmm_coo_multihead(ext, src_idx, dst_local, att, rows,
+                                  indices_are_sorted=sorted_dst)
     score = ext[src_idx] @ attn[:f, 0] + ht[dst_local] @ attn[f:, 0]
     score = jax.nn.leaky_relu(score, 0.2)
     att = segment_softmax_coo(score, dst_local, valid, rows,

@@ -155,7 +155,8 @@ def full_forward(
         if aggregator in ("min", "max") and family != "gat":
             ht = jnp.dot(h, wl, preferred_element_type=h.dtype)
             red = segment_min_coo if aggregator == "min" else segment_max_coo
-            h = red(ht, src, dst, valid, num_vertices)
+            h = red(ht, src, dst, valid, num_vertices,
+                    indices_are_sorted=sorted_dst)
             h = (log_softmax(h.astype(jnp.float32))
                  if l == n_layers - 1
                  else drop(jax.nn.relu(bn(h)), l))
@@ -174,7 +175,8 @@ def full_forward(
                 score = jax.nn.leaky_relu(ha_s[src] + ha_d[dst], 0.2)
                 att = segment_softmax_coo(score, dst, valid, num_vertices,
                                           indices_are_sorted=sorted_dst)
-                h = spmm_coo_multihead(ht, src, dst, att, num_vertices)
+                h = spmm_coo_multihead(ht, src, dst, att, num_vertices,
+                                       indices_are_sorted=sorted_dst)
             else:
                 score = ht[src] @ a_src + ht[dst] @ a_dst
                 score = jax.nn.leaky_relu(score, 0.2)
@@ -440,7 +442,7 @@ class FullBatchTrainer:
                         red = (segment_min_coo if aggregator == "min"
                                else segment_max_coo)
                         h = red(ext, src[0], dstl[0], w_edge[0] != 0,
-                                h.shape[0])
+                                h.shape[0], indices_are_sorted=True)
                         h = (log_softmax(h.astype(jnp.float32))
                              if l == n_layers - 1
                              else drop(jax.nn.relu(bn(h)), l))

@@ -72,7 +72,8 @@ def _gat_chunk(src_rows, src_local, ht_dst, valid, dst_local, a_vec, rows,
         score = jax.nn.leaky_relu(ha_s[src_local] + ha_d[dst_local], 0.2)
         att = segment_softmax_coo(score, dst_local, valid, rows,
                                   indices_are_sorted=True)
-        h = spmm_coo_multihead(src_rows, src_local, dst_local, att, rows)
+        h = spmm_coo_multihead(src_rows, src_local, dst_local, att, rows,
+                               indices_are_sorted=True)
     else:
         score = ((src_rows @ a_src)[src_local]
                  + (ht_dst @ a_dst)[dst_local])
