@@ -249,6 +249,97 @@ def _spmm_csc_bwd(num_dst, res, g):
 spmm_coo_csc.defvjp(_spmm_csc_fwd, _spmm_csc_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def spmm_coo_multihead_csc(
+    x: jax.Array,        # [S, F] source features, F = H·Fh
+    src: jax.Array,      # [E] int32 edge source ids
+    dst: jax.Array,      # [E] int32 edge destinations, ASCENDING (CSC)
+    att: jax.Array,      # [E, H] per-head edge weights (0 ⇒ padded edge)
+    perm: jax.Array,     # [E] int32 stable argsort of src (CSR order)
+    inv_perm: jax.Array, # [E] int32 inverse of perm
+    num_dst: int,
+) -> jax.Array:
+    """`spmm_coo_multihead` for statically double-sorted edge lists: both
+    the forward (by dst) and the dx backward (by src) run as sorted segment
+    sums; d_att comes back in caller edge order via inv_perm."""
+    return _mh_csc_fwd_impl(x, src, dst, att, num_dst)
+
+
+def _mh_csc_fwd_impl(x, src, dst, att, num_dst):
+    e_total, heads = att.shape
+    fh = x.shape[1] // heads
+    chunk = _edge_chunk(e_total, x.shape[1])
+    if chunk is None:
+        msgs = (x[src].reshape(e_total, heads, fh)
+                * att[:, :, None].astype(x.dtype))
+        out = jax.ops.segment_sum(
+            msgs.astype(jnp.float32), dst, num_segments=num_dst,
+            indices_are_sorted=True,
+        ).astype(x.dtype)
+        return out.reshape(num_dst, heads * fh)
+    src_c, dst_c, att_c = _pad_chunks(
+        (src, dst, att), e_total, chunk, fills=(0, num_dst - 1, 0))
+
+    def body(acc, args):
+        s, d, a = args
+        m = (x[s].reshape(chunk, heads, fh)
+             * a[:, :, None].astype(x.dtype)).astype(jnp.float32)
+        return acc + jax.ops.segment_sum(
+            m, d, num_segments=num_dst, indices_are_sorted=True), None
+
+    acc0 = jnp.zeros((num_dst, heads, fh), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (src_c, dst_c, att_c))
+    return out.astype(x.dtype).reshape(num_dst, heads * fh)
+
+
+def _mh_csc_fwd(x, src, dst, att, perm, inv_perm, num_dst):
+    return (_mh_csc_fwd_impl(x, src, dst, att, num_dst),
+            (x, src, dst, att, perm, inv_perm))
+
+
+def _mh_csc_bwd(num_dst, res, g):
+    x, src, dst, att, perm, inv_perm = res
+    e_total, heads = att.shape
+    fh = x.shape[1] // heads
+    num_src = x.shape[0]
+    sp, dp, attp = src[perm], dst[perm], att[perm]
+    g2 = g.reshape(num_dst, heads, fh)
+    chunk = _edge_chunk(e_total, x.shape[1])
+    if chunk is None:
+        gd = g2[dp]                                        # [E, H, Fh]
+        ge = (gd * attp[:, :, None].astype(g.dtype)).astype(jnp.float32)
+        dx = jax.ops.segment_sum(
+            ge.reshape(e_total, heads * fh), sp, num_segments=num_src,
+            indices_are_sorted=True,
+        ).astype(x.dtype)
+        da_p = jnp.einsum("ehf,ehf->eh", gd,
+                          x[sp].reshape(e_total, heads, fh),
+                          preferred_element_type=jnp.float32)
+        da = da_p[inv_perm].astype(att.dtype)
+        return dx, None, None, da, None, None
+    sp_c, dp_c, attp_c = _pad_chunks(
+        (sp, dp, attp), e_total, chunk, fills=(num_src - 1, 0, 0))
+
+    def body(acc, args):
+        s, d, a = args
+        gd = g2[d]
+        ge = (gd * a[:, :, None].astype(g.dtype)).astype(jnp.float32)
+        acc = acc + jax.ops.segment_sum(
+            ge.reshape(chunk, heads * fh), s, num_segments=num_src,
+            indices_are_sorted=True)
+        da_c = jnp.einsum("ehf,ehf->eh", gd, x[s].reshape(chunk, heads, fh),
+                          preferred_element_type=jnp.float32)
+        return acc, da_c
+
+    acc0 = jnp.zeros((num_src, heads * fh), jnp.float32)
+    dx, da_p = jax.lax.scan(body, acc0, (sp_c, dp_c, attp_c))
+    da = da_p.reshape(-1, heads)[:e_total][inv_perm].astype(att.dtype)
+    return dx.astype(x.dtype), None, None, da, None, None
+
+
+spmm_coo_multihead_csc.defvjp(_mh_csc_fwd, _mh_csc_bwd)
+
+
 def spmm_coo_fwd_sorted(x, src, dst, weight, num_dst):
     """Forward-only sorted SpMM: `dst` must be ascending (CSC order, padding
     tail at num_dst-1).  For inference/serving paths that never take grads —

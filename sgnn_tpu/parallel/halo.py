@@ -299,6 +299,7 @@ def sharded_gat_layer(
         spmm_coo,
         spmm_coo_csc,
         spmm_coo_multihead,
+        spmm_coo_multihead_csc,
     )
 
     sorted_dst = perm is not None  # new-style shards pad dst at rows-1
@@ -318,8 +319,10 @@ def sharded_gat_layer(
         score = jax.nn.leaky_relu(ha_ext[src_idx] + ha_dst[dst_local], 0.2)
         att = segment_softmax_coo(score, dst_local, valid, rows,
                                   indices_are_sorted=sorted_dst)
-        return spmm_coo_multihead(ext, src_idx, dst_local, att, rows,
-                                  indices_are_sorted=sorted_dst)
+        if perm is not None:
+            return spmm_coo_multihead_csc(ext, src_idx, dst_local, att,
+                                          perm, inv_perm, rows)
+        return spmm_coo_multihead(ext, src_idx, dst_local, att, rows)
     score = ext[src_idx] @ attn[:f, 0] + ht[dst_local] @ attn[f:, 0]
     score = jax.nn.leaky_relu(score, 0.2)
     att = segment_softmax_coo(score, dst_local, valid, rows,

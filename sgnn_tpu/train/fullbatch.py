@@ -31,7 +31,7 @@ from .guard import check_finite_loss
 from ..nn.optim import make_optimizer
 from ..ops.segment import (
     segment_softmax_coo, spmm_coo, spmm_coo_csc, spmm_coo_fwd_sorted,
-    spmm_coo_multihead,
+    spmm_coo_multihead, spmm_coo_multihead_csc,
 )
 from ..sampler.blocks import WeightKind, pad_to
 from ..utils.logging import get_logger
@@ -175,8 +175,12 @@ def full_forward(
                 score = jax.nn.leaky_relu(ha_s[src] + ha_d[dst], 0.2)
                 att = segment_softmax_coo(score, dst, valid, num_vertices,
                                           indices_are_sorted=sorted_dst)
-                h = spmm_coo_multihead(ht, src, dst, att, num_vertices,
-                                       indices_are_sorted=sorted_dst)
+                if csr is not None:
+                    h = spmm_coo_multihead_csc(ht, src, dst, att, csr[0],
+                                               csr[1], num_vertices)
+                else:
+                    h = spmm_coo_multihead(ht, src, dst, att, num_vertices,
+                                           indices_are_sorted=sorted_dst)
             else:
                 score = ht[src] @ a_src + ht[dst] @ a_dst
                 score = jax.nn.leaky_relu(score, 0.2)

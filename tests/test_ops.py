@@ -344,3 +344,51 @@ def test_spmm_coo_csc_matches_unsorted(monkeypatch, chunked):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw0),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("chunked", [False, True])
+def test_spmm_coo_multihead_csc_matches_unsorted(monkeypatch, chunked):
+    """Double-sorted multihead SpMM: forward, d_x and d_att equal the
+    autodiffed spmm_coo_multihead on the same edges."""
+    import sgnn_tpu.ops.segment as seg
+
+    rng = np.random.default_rng(11)
+    S, H, FH, D = 33, 4, 8, 21
+    deg = rng.integers(0, 7, D)
+    dst = np.repeat(np.arange(D, dtype=np.int32), deg)
+    E = dst.size
+    src = rng.integers(0, S, E).astype(np.int32)
+    att = rng.normal(size=(E, H)).astype(np.float32)
+    pad = 9
+    dst = np.concatenate([dst, np.full(pad, D - 1, np.int32)])
+    src = np.concatenate([src, np.zeros(pad, np.int32)])
+    att = np.concatenate([att, np.zeros((pad, H), np.float32)])
+    perm = np.argsort(src, kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    x = jnp.asarray(rng.normal(size=(S, H * FH)).astype(np.float32))
+    src, dst, att = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(att)
+    permj, invj = jnp.asarray(perm), jnp.asarray(inv)
+
+    if chunked:
+        monkeypatch.setattr(seg, "_DIRECT_ELEMS", 0)
+        monkeypatch.setattr(seg, "_CHUNK_ELEMS", 16 * H * FH)
+        monkeypatch.setattr(seg, "_CHUNK_FLOOR", 16)  # genuinely multi-chunk
+
+    def loss_ref(x_, a_):
+        out = seg.spmm_coo_multihead(x_, src, dst, a_, D)
+        return jnp.sum(out * jnp.sin(out))
+
+    def loss_csc(x_, a_):
+        out = seg.spmm_coo_multihead_csc(x_, src, dst, a_, permj, invj, D)
+        return jnp.sum(out * jnp.sin(out))
+
+    g0 = jax.grad(loss_ref, argnums=(0, 1))(x, att)
+    g1 = jax.grad(loss_csc, argnums=(0, 1))(x, att)
+    o0 = seg.spmm_coo_multihead(x, src, dst, att, D)
+    o1 = seg.spmm_coo_multihead_csc(x, src, dst, att, permj, invj, D)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
