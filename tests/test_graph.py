@@ -62,3 +62,22 @@ def test_partition_halo(tiny_ds):
         # halo owners are correct
         for h, o in zip(p.halo[:50], p.halo_owner[:50]):
             assert parts[o].start <= h < parts[o].end
+
+
+def test_native_stable_argsort_fuzz():
+    """Native counting argsort == numpy stable argsort on edge cases and
+    random draws (empty, single key value, maximal key, varied sizes)."""
+    from sgnn_tpu.sampler.native import stable_argsort
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (np.zeros(0, np.int32), 1),
+        (np.zeros(17, np.int32), 1),          # all-equal keys
+        (np.full(5, 6, np.int32), 7),         # max key value
+        (rng.integers(0, 3, 1000).astype(np.int32), 3),
+        (rng.integers(0, 100000, 50000).astype(np.int32), 100000),
+    ]
+    for keys, rng_hi in cases:
+        got = stable_argsort(keys, rng_hi)
+        ref = np.argsort(keys, kind="stable").astype(np.int32)
+        assert np.array_equal(got, ref), (keys.size, rng_hi)
