@@ -349,16 +349,12 @@ class FullBatchTrainer:
 
         halo_mode = self.halo
 
-        @functools.partial(
-            shard_map,
-            mesh=self.mesh,
-            in_specs=(P(), P(), P("graph"), P("graph"), P("graph"),
-                      P("graph"), P("graph"), P("graph"), P("graph"),
-                      P("graph"), P("graph"), P()),
-            out_specs=(P(), P(), P(), P("graph")),
-        )
-        def step(params, opt_state, x, y, mask, src, dstl, w_edge, sidx,
-                 perm, invp, dkey):
+        def _forward_local(p, dk, x, src, dstl, w_edge, sidx, perm, invp):
+            """Shard-local L-layer forward (inside a shard_map body).
+
+            Shared by the training step and the sharded predict program —
+            returns this shard's [rows, classes] log-probs.  `dk=None`
+            disables dropout (the eval/serving mode)."""
             from ..parallel.halo import (
                 sharded_aggregate,
                 sharded_aggregate_targeted,
@@ -480,6 +476,23 @@ class FullBatchTrainer:
                     h = (log_softmax(h.astype(jnp.float32))
                          if l == n_layers - 1
                          else drop(jax.nn.relu(bn(h)), l))
+                return h
+
+            return fwd(p, dk)
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P("graph"), P("graph"), P("graph"),
+                      P("graph"), P("graph"), P("graph"), P("graph"),
+                      P("graph"), P("graph"), P()),
+            out_specs=(P(), P(), P(), P("graph")),
+        )
+        def step(params, opt_state, x, y, mask, src, dstl, w_edge, sidx,
+                 perm, invp, dkey):
+            def fwd(p, dk):
+                h = _forward_local(p, dk, x, src, dstl, w_edge, sidx,
+                                   perm, invp)
                 # masked NLL over the local shard, reduced globally
                 picked = jnp.take_along_axis(
                     h, y[:, None].astype(jnp.int32), axis=1
@@ -504,6 +517,37 @@ class FullBatchTrainer:
 
         self._step = jax.jit(step)
 
+        # Sharded serving program: the SAME shard-local forward without
+        # dropout, log-probs returned still vertex-sharded over the mesh —
+        # a graph that only fits partitioned across chips is served
+        # partitioned (the single-device rebuild predict() used before
+        # cannot exist for such graphs).
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), P("graph"), P("graph"), P("graph"), P("graph"),
+                      P("graph"), P("graph"), P("graph")),
+            out_specs=P("graph"),
+        )
+        def predict_local(params, x, src, dstl, w_edge, sidx, perm, invp):
+            return _forward_local(params, None, x, src, dstl, w_edge, sidx,
+                                  perm, invp)
+
+        self._predict_step = jax.jit(predict_local)
+
+    def _sharded_operands(self):
+        """Edge operands for the sharded step/predict programs, in the
+        (src, dst_local, weight, send_idx, perm, inv_perm) argument order."""
+        if self.targeted is not None:
+            t = self.targeted
+            return (t.src_local, t.dst_local, t.weight, t.send_idx,
+                    t.perm, t.inv_perm)
+        sidx = jnp.zeros(
+            (int(np.prod(self.mesh.devices.shape)), 1, 1), jnp.int32
+        )
+        s = self.sharded
+        return s.src, s.dst_local, s.weight, sidx, s.perm, s.inv_perm
+
     # ---------------------------------------------------------------- run
     def train_epoch(self) -> Tuple[float, float, float, float]:
         self._dropout_key, dkey = jax.random.split(self._dropout_key)
@@ -513,22 +557,7 @@ class FullBatchTrainer:
                 self.src, self.dst, self.w, self.perm, self.inv_perm, dkey,
             )
         else:
-            if self.targeted is not None:
-                sidx = self.targeted.send_idx
-                src_l = self.targeted.src_local
-                dst_l = self.targeted.dst_local
-                w_l = self.targeted.weight
-                perm_l = self.targeted.perm
-                inv_l = self.targeted.inv_perm
-            else:
-                sidx = jnp.zeros(
-                    (int(np.prod(self.mesh.devices.shape)), 1, 1), jnp.int32
-                )
-                src_l = self.sharded.src
-                dst_l = self.sharded.dst_local
-                w_l = self.sharded.weight
-                perm_l = self.sharded.perm
-                inv_l = self.sharded.inv_perm
+            src_l, dst_l, w_l, sidx, perm_l, inv_l = self._sharded_operands()
             self.params, self.opt_state, loss, pred = self._step(
                 self.params, self.opt_state, self.x, self.y, self.train_mask,
                 src_l, dst_l, w_l, sidx, perm_l, inv_l, dkey,
@@ -569,7 +598,21 @@ class FullBatchTrainer:
     def predict(self) -> np.ndarray:
         """Whole-graph [V, classes] log-probs via the trainer's OWN forward
         (same edge weights, AGGREGATOR, BATCH_NORM) — the serving surface
-        the CLI --infer uses for *FULLBATCH checkpoints."""
+        the CLI --infer uses for *FULLBATCH checkpoints.
+
+        Sharded mode runs the SHARDED forward over the mesh (each chip
+        holds only its vertex range — a graph that only fits partitioned is
+        also served partitioned; reference Dist* engines likewise evaluate
+        through their distributed forward, ntsDistCPUGraphOp.hpp:34).
+        Multi-process serving goes through run_multihost_fullbatch_epochs;
+        this method handles the single-process meshes."""
+        if self.mesh is not None and jax.process_count() == 1:
+            logp = self._predict_step(
+                self.params, self.x, *self._sharded_operands()
+            )
+            return np.asarray(
+                logp, dtype=np.float32
+            )[: self.adj.num_vertices]
         if self.mesh is None:
             src, dst, w = self.src, self.dst, self.w
             x = self.x

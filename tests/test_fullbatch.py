@@ -405,3 +405,31 @@ def test_sortedness_invariants(tiny_ds):
     ec = EmbeddingCache.build(adj, hot, "gcn")
     assert np.all(np.diff(np.asarray(ec.coo_slot)) >= 0), \
         "cache plan slots must be slot-major ascending"
+
+
+def test_sharded_predict_matches_single(tiny_ds):
+    """Mesh-sharded predict() (serving without rebuilding the unsharded
+    graph on one device) == the single-device exact forward, for GCN and
+    GAT, both halo modes."""
+    from jax.sharding import Mesh
+
+    gmesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("graph",))
+    for family, halo in (("gcn", "all_gather"), ("gcn", "targeted"),
+                         ("gat", "all_gather")):
+        cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[1, 1], epochs=1,
+                        learn_rate=0.01, seed=3,
+                        vertices=tiny_ds.num_vertices)
+        single = FullBatchTrainer(cfg, tiny_ds, family=family)
+        sharded = FullBatchTrainer(cfg, tiny_ds, family=family, mesh=gmesh,
+                                   halo=halo)
+        sharded.params = single.params  # same weights, untrained
+        p1 = single.predict()
+        p2 = sharded.predict()
+        assert p2.shape == p1.shape == (tiny_ds.num_vertices,
+                                        cfg.layer_sizes[-1])
+        assert np.allclose(p1, p2, rtol=1e-4, atol=1e-5), (
+            family, halo, np.abs(p1 - p2).max())
+        # evaluate() rides the sharded predict too
+        nids = np.arange(0, tiny_ds.num_vertices, 3, dtype=np.int32)
+        assert sharded.evaluate(nids) == pytest.approx(
+            single.evaluate(nids))
