@@ -227,7 +227,7 @@ def bench_serving(scale: float) -> dict:
 
     from sgnn_tpu.graph.adjacency import Adjacency
     from sgnn_tpu.models.gnn import init_model
-    from sgnn_tpu.train.inference import layerwise_inference
+    from sgnn_tpu.train.inference import InferenceServer, layerwise_inference
 
     ds = _reddit_like_cached(scale)
     adj = Adjacency.from_edges(ds.edges, ds.num_vertices)
@@ -243,8 +243,22 @@ def bench_serving(scale: float) -> dict:
     med = float(np.median(times[1:]))
     log(f"[bench] serving: passes {[round(t, 3) for t in times]} "
         f"({logp.shape[0]} vertices)")
+    # production serving loop: COO + features device-RESIDENT (uploaded
+    # once) — each pass is one device program, no host re-staging
+    srv = InferenceServer(params, "gcn", adj, ds.features,
+                          mean_style="fullbatch")
+    res_times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        srv.logprobs(as_numpy=False).block_until_ready()
+        res_times.append(time.perf_counter() - t0)
+    res = float(np.median(res_times[1:]))
+    log(f"[bench] serving (resident): passes "
+        f"{[round(t, 4) for t in res_times]}")
     return {"pass_time_s": round(med, 4),
-            "vertices_per_sec": round(logp.shape[0] / med, 1)}
+            "vertices_per_sec": round(logp.shape[0] / med, 1),
+            "resident_pass_time_s": round(res, 4),
+            "resident_vertices_per_sec": round(logp.shape[0] / res, 1)}
 
 
 def bench_cora_gcn(epochs: int) -> dict:

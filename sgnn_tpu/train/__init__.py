@@ -1,6 +1,6 @@
 from .trainer import SampleTrainer, TrainReport
 from .engines import ENGINES, EngineSpec, run_engine, engine_from_config
-from .inference import exact_accuracy, layerwise_inference
+from .inference import InferenceServer, exact_accuracy, layerwise_inference
 
 __all__ = [
     "SampleTrainer",
@@ -11,4 +11,5 @@ __all__ = [
     "engine_from_config",
     "exact_accuracy",
     "layerwise_inference",
+    "InferenceServer",
 ]

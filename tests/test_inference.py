@@ -153,3 +153,43 @@ def test_layerwise_batch_norm_matches_full_forward(tiny_ds, adj, family, wk,
         chunk_size=128, mean_style="fullbatch", whole_graph=False,
     )
     assert not np.allclose(got, off, atol=1e-3)
+
+
+@pytest.mark.parametrize("family,wk,heads", [
+    ("gcn", WeightKind.GCN, 1),
+    ("gat", WeightKind.NONE, 2),
+])
+def test_inference_server_matches_layerwise(tiny_ds, adj, family, wk, heads):
+    """InferenceServer (resident serving loop) == layerwise_inference
+    whole-graph mode bit-for-bit: both run the same jitted program over the
+    same padded COO; the server just keeps its operands on the device."""
+    from sgnn_tpu.train import InferenceServer
+
+    params = init_model(jax.random.PRNGKey(11), family, [32, 16, 5])
+    ref = layerwise_inference(params, family, adj, tiny_ds.features,
+                              weight_kind=wk, heads=heads, whole_graph=True)
+    srv = InferenceServer(params, family, adj, tiny_ds.features,
+                          weight_kind=wk, heads=heads)
+    np.testing.assert_allclose(srv.logprobs(), ref, rtol=0, atol=0)
+    assert srv.predict().shape == (adj.num_vertices,)
+    # update_params serves the new weights (not the construction-time ones)
+    params2 = init_model(jax.random.PRNGKey(12), family, [32, 16, 5])
+    srv.update_params(params2)
+    ref2 = layerwise_inference(params2, family, adj, tiny_ds.features,
+                               weight_kind=wk, heads=heads, whole_graph=True)
+    np.testing.assert_allclose(srv.logprobs(), ref2, rtol=0, atol=0)
+    assert not np.allclose(ref, ref2, atol=1e-3)
+
+
+def test_inference_server_bf16(tiny_ds, adj):
+    """dtype=bfloat16 halves residency; the head stays f32 so log-probs
+    remain close to the f32 serve (same tolerance as the bf16 trainers)."""
+    from sgnn_tpu.train import InferenceServer
+
+    params = init_model(jax.random.PRNGKey(13), "gcn", [32, 16, 5])
+    f32 = InferenceServer(params, "gcn", adj, tiny_ds.features).logprobs()
+    srv = InferenceServer(params, "gcn", adj, tiny_ds.features,
+                          dtype=jnp.bfloat16)
+    bf16 = srv.logprobs()
+    assert bf16.dtype == np.float32  # f32 classification head
+    assert np.mean(np.argmax(bf16, 1) == np.argmax(f32, 1)) > 0.98
