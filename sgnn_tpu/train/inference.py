@@ -330,6 +330,92 @@ def exact_accuracy(
     return float(np.mean(pred == np.asarray(labels)[nids]))
 
 
+def _bucket(n: int, minimum: int) -> int:
+    """Next power of two ≥ max(n, minimum) — bounds the number of distinct
+    compiled shapes per layer to O(log V) across all request sizes."""
+    return 1 << max(n - 1, minimum - 1, 1).bit_length()
+
+
+def _in_edges(indptr: np.ndarray, dsts: np.ndarray):
+    """(edge_ids, dst_local) for ALL in-edges of `dsts` (ascending ids).
+
+    `edge_ids` index the global CSC arrays (indices / serving weights);
+    `dst_local` is ascending because `dsts` is ascending and each
+    destination's edges are contiguous in CSC order."""
+    starts = indptr[dsts]
+    lens = indptr[dsts + 1] - starts
+    total = int(lens.sum())
+    pos = np.cumsum(lens) - lens
+    edge_ids = (np.arange(total, dtype=np.int64)
+                - np.repeat(pos, lens) + np.repeat(starts, lens))
+    dst_local = np.repeat(np.arange(dsts.size, dtype=np.int32),
+                          lens).astype(np.int32)
+    return edge_ids, dst_local
+
+
+@functools.partial(jax.jit, static_argnames=("family", "heads"))
+def _query_forward(params, x_all, gids0, layers, family, heads):
+    """Exact forward over an L-hop query neighborhood (one device program).
+
+    `layers[l] = (src_local, dst_local, w, dst_in_src)`: the layer's edges
+    local-reindexed to its source/destination vertex sets, `dst_local`
+    ascending with the padding tail at the last row (sorted segment ops),
+    `w == 0` marking padded edges, and `dst_in_src[j]` the row of
+    destination j inside the source set (sets are nested, so every
+    destination IS a source — GAT's h_dst gather).  Arithmetic mirrors
+    `fullbatch.full_forward` layer by layer so query results match the
+    whole-graph pass on the queried rows.
+    """
+    h = x_all[gids0]
+    n_layers = len(params.weights)
+    for l, (src_local, dst_local, w, dst_in_src) in enumerate(layers):
+        wl = params.weights[l].astype(h.dtype)
+        w_edge = w.astype(h.dtype)
+        n_dst = dst_in_src.shape[0]
+        last = l == n_layers - 1
+        if family == "gat":
+            ht = jnp.dot(h, wl, preferred_element_type=h.dtype)
+            f = ht.shape[-1]
+            a_src = params.attn[l][:f, 0].astype(ht.dtype)
+            a_dst = params.attn[l][f:, 0].astype(ht.dtype)
+            valid = w != 0
+            edge_dst = dst_in_src[dst_local]  # edge → dst's row in src set
+            hh = 1 if last else heads
+            if hh > 1:
+                fh = f // hh
+                ht_h = ht.reshape(-1, hh, fh)
+                ha_s = jnp.einsum("shf,hf->sh", ht_h, a_src.reshape(hh, fh))
+                ha_d = jnp.einsum("shf,hf->sh", ht_h, a_dst.reshape(hh, fh))
+                score = jax.nn.leaky_relu(
+                    ha_s[src_local] + ha_d[edge_dst], 0.2)
+                att = segment_softmax_coo(score, dst_local, valid, n_dst,
+                                          indices_are_sorted=True)
+                h = spmm_coo_multihead(ht, src_local, dst_local, att, n_dst,
+                                       indices_are_sorted=True)
+            else:
+                score = ht[src_local] @ a_src + ht[edge_dst] @ a_dst
+                score = jax.nn.leaky_relu(score, 0.2)
+                att = segment_softmax_coo(score, dst_local, valid, n_dst,
+                                          indices_are_sorted=True)
+                h = spmm_coo_fwd_sorted(ht, src_local, dst_local, att,
+                                        n_dst)
+            h = jax.nn.relu(h)
+            h = log_softmax(h.astype(jnp.float32)) if last else h
+        else:
+            if wl.shape[0] > wl.shape[1]:  # transform-first
+                h = spmm_coo_fwd_sorted(
+                    jnp.dot(h, wl, preferred_element_type=h.dtype),
+                    src_local, dst_local, w_edge, n_dst)
+            else:
+                h = jnp.dot(
+                    spmm_coo_fwd_sorted(h, src_local, dst_local, w_edge,
+                                        n_dst),
+                    wl, preferred_element_type=h.dtype)
+            h = (log_softmax(h.astype(jnp.float32)) if last
+                 else jax.nn.relu(h))
+    return h
+
+
 class InferenceServer:
     """Production serving loop: graph + features RESIDENT in HBM.
 
@@ -385,6 +471,10 @@ class InferenceServer:
         self._w = jnp.asarray(np.pad(w, (0, pad)))
         self._x = jnp.asarray(np.ascontiguousarray(features, dtype))
         self.params = params
+        # host-side CSC + serving weights for query-neighborhood planning
+        self._h_indptr = adj.indptr.astype(np.int64)
+        self._h_indices = adj.indices.astype(np.int64)
+        self._h_w = w
 
     def update_params(self, params: GNNParams) -> None:
         self.params = params
@@ -404,3 +494,61 @@ class InferenceServer:
     def predict(self) -> np.ndarray:
         """Class predictions for every vertex: [V] int."""
         return np.argmax(self.logprobs(), axis=-1)
+
+    def query(self, nids) -> np.ndarray:
+        """Low-latency exact log-probs for just `nids`: [len(nids), C].
+
+        Instead of a whole-graph pass, walks the CSC L hops back from the
+        queried vertices on the host (the reference Test() walks the same
+        neighborhood but SAMPLED, GCN_SAMPLE_PD_CACHE.hpp:264; this is
+        exact), local-reindexes each hop, and runs ONE jitted program over
+        the resident feature matrix — the per-request serving path.  All
+        extents are padded to powers of two, so repeated request sizes
+        reuse compiled programs; results equal `logprobs()[nids]` up to
+        float reassociation.
+        """
+        if self.batch_norm:
+            # whole-graph BN statistics need a full pass anyway
+            return np.asarray(self.logprobs())[np.asarray(nids)]
+        nids = np.asarray(nids, dtype=np.int64)
+        uniq, inv = np.unique(nids, return_inverse=True)
+        n_layers = len(self.params.weights)
+        # plan hop sets top-down: sets[l] = sources of layer l (nested:
+        # every layer's destinations are contained in its sources)
+        dst_set = uniq
+        plan = []  # per layer, bottom-up after reversal
+        for _ in range(n_layers):
+            eids, dst_local = _in_edges(self._h_indptr, dst_set)
+            src_g = self._h_indices[eids]
+            src_set = np.union1d(dst_set, src_g)
+            plan.append((src_set,
+                         np.searchsorted(src_set, src_g).astype(np.int32),
+                         dst_local,
+                         self._h_w[eids],
+                         np.searchsorted(src_set, dst_set).astype(np.int32),
+                         dst_set))
+            dst_set = src_set
+        plan.reverse()
+        # nested pads: layer l maps rows set_pad[l] → set_pad[l+1]
+        set_pads = [
+            _bucket(p[0].size, 128) for p in plan
+        ] + [_bucket(uniq.size, 128)]
+        layers = []
+        for l, (src_set, src_local, dst_local, w, dst_in_src, dsts) in (
+                enumerate(plan)):
+            e_pad = _bucket(src_local.size, 512)
+            n_dst_pad = set_pads[l + 1]
+            layers.append((
+                jnp.asarray(np.pad(src_local, (0, e_pad - src_local.size))),
+                # pad tail at the last row keeps dst_local ascending
+                jnp.asarray(np.pad(dst_local, (0, e_pad - dst_local.size),
+                                   constant_values=n_dst_pad - 1)),
+                jnp.asarray(np.pad(w, (0, e_pad - w.size))),
+                jnp.asarray(np.pad(dst_in_src,
+                                   (0, n_dst_pad - dst_in_src.size))),
+            ))
+        gids0 = jnp.asarray(np.pad(plan[0][0], (0, set_pads[0]
+                                                - plan[0][0].size)))
+        logp = _query_forward(self.params, self._x, gids0, tuple(layers),
+                              family=self.family, heads=self.heads)
+        return np.asarray(logp)[:uniq.size][inv]

@@ -193,3 +193,54 @@ def test_inference_server_bf16(tiny_ds, adj):
     bf16 = srv.logprobs()
     assert bf16.dtype == np.float32  # f32 classification head
     assert np.mean(np.argmax(bf16, 1) == np.argmax(f32, 1)) > 0.98
+
+
+@pytest.mark.parametrize("family,wk,heads", [
+    ("gcn", WeightKind.GCN, 1),
+    ("sage", WeightKind.MEAN, 1),
+    ("gat", WeightKind.NONE, 2),
+])
+def test_query_matches_whole_graph_rows(tiny_ds, adj, family, wk, heads):
+    """query(nids) — the per-request L-hop-neighborhood path — equals the
+    whole-graph pass on the queried rows for every family, including
+    duplicate and unordered request ids."""
+    from sgnn_tpu.train import InferenceServer
+
+    params = init_model(jax.random.PRNGKey(21), family, [32, 16, 5])
+    srv = InferenceServer(params, family, adj, tiny_ds.features,
+                          weight_kind=wk, heads=heads)
+    full = srv.logprobs()
+    rng = np.random.default_rng(0)
+    for nids in (
+        np.array([7]),                                   # single vertex
+        rng.integers(0, adj.num_vertices, 33),           # dups + unordered
+        np.arange(adj.num_vertices),                     # everything
+    ):
+        got = srv.query(nids)
+        assert got.shape == (nids.size, full.shape[1])
+        np.testing.assert_allclose(got, full[nids], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("family,wk", [
+    ("gcn", WeightKind.GCN),
+    ("gat", WeightKind.NONE),
+])
+def test_query_zero_in_degree_vertex(family, wk):
+    """A vertex with no in-edges aggregates to zeros exactly like the
+    whole-graph forward (no NaNs from an empty softmax/segment).  Vertex 0
+    here only SENDS edges, so its 2-hop query neighborhood is just itself."""
+    from sgnn_tpu.train import InferenceServer
+
+    rng = np.random.default_rng(5)
+    v = 64
+    src = rng.integers(0, v, 400)
+    dst = rng.integers(1, v, 400)  # nothing ever points at vertex 0
+    edges = np.stack([src, dst], axis=1).astype(np.int32)
+    a = Adjacency.from_edges(edges, v)
+    feats = rng.standard_normal((v, 16)).astype(np.float32)
+    params = init_model(jax.random.PRNGKey(22), family, [16, 8, 3])
+    srv = InferenceServer(params, family, a, feats, weight_kind=wk)
+    got = srv.query(np.array([0]))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got[0], srv.logprobs()[0],
+                               rtol=1e-5, atol=1e-5)
