@@ -586,9 +586,10 @@ class FullBatchTrainer:
     def evaluate(self, nids: np.ndarray) -> float:
         """Exact whole-graph accuracy over the given vertex ids.
 
-        In sharded mode the trainer only keeps per-device COO shards, so
-        evaluation rebuilds the unsharded COO and runs the single-device
-        program (params are replicated; the forward is the same math)."""
+        Rides `predict()`: in sharded mode that is the vertex-sharded
+        serving program over the mesh (each chip computes its own vertex
+        range — no single-device rebuild), gathered to the host here only
+        to index the requested ids."""
         nids = np.asarray(nids)
         if nids.size == 0:
             return 0.0

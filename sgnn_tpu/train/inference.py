@@ -108,21 +108,22 @@ _full_fwd = None
 
 
 def _jit_full_forward(params, x, src, dst, w, *, family, num_vertices,
-                      heads, batch_norm=False):
+                      heads, batch_norm=False, aggregator="sum"):
     """Lazily-jitted whole-graph forward (one compile per static config)."""
     global _full_fwd
     if _full_fwd is None:
         from .fullbatch import full_forward
 
         _full_fwd = jax.jit(
-            lambda p, x, s, d, w, fam, nv, h, bn: full_forward(
+            lambda p, x, s, d, w, fam, nv, h, bn, agg: full_forward(
                 p, fam, x, s, d, w, nv, heads=h, batch_norm=bn,
+                aggregator=agg,
                 fwd_sorted=True,  # dst is CSC-ascending, padded at nv-1
             ),
-            static_argnums=(5, 6, 7, 8),
+            static_argnums=(5, 6, 7, 8, 9),
         )
     return _full_fwd(params, x, src, dst, w, family, num_vertices, heads,
-                     batch_norm)
+                     batch_norm, aggregator)
 
 
 def _serving_coo(adj: Adjacency, weight_kind: WeightKind, mean_style: str):
@@ -143,6 +144,19 @@ def _serving_coo(adj: Adjacency, weight_kind: WeightKind, mean_style: str):
             w_all = w_all / np.maximum(adj.in_degree[dst_all], 1)
         w_all = w_all.astype(np.float32)
     return src_all, dst_all, w_all
+
+
+def _padded_serving_coo(adj: Adjacency, weight_kind: WeightKind,
+                        mean_style: str):
+    """`_serving_coo` padded for the single-program whole-graph forward:
+    edge extent rounded to 512, `dst` padded at v-1 so the edge list stays
+    CSC-ascending (the sorted-segment claim), padded weights 0."""
+    v = adj.num_vertices
+    src, dst, w = _serving_coo(adj, weight_kind, mean_style)
+    pad = pad_to(max(src.size, 1), 512) - src.size
+    return (np.pad(src, (0, pad)),
+            np.pad(dst, (0, pad), constant_values=v - 1),
+            np.pad(w, (0, pad)))
 
 
 def layerwise_inference(
@@ -189,7 +203,6 @@ def layerwise_inference(
     chunk = min(v, chunk_size or 65536)
     n_chunks = -(-v // chunk)
     indptr = adj.indptr.astype(np.int64)
-    src_all = adj.indices.astype(np.int32)
     if whole_graph is None:
         # rough residency estimate: features + 2 activations + COO + slack
         dims = [features.shape[1]] + [int(np.asarray(w).shape[1])
@@ -203,26 +216,20 @@ def layerwise_inference(
             est += 4 * adj.num_edges * max(heads, 1) * 4
         budget = hbm_budget_bytes or (8 << 30)
         whole_graph = est < budget
-    src_all, dst_all, w_all = _serving_coo(adj, weight_kind, mean_style)
 
     if whole_graph:
         # fits-in-HBM fast path: the whole pass is ONE device program —
         # zero host staging (train/fullbatch.py supplies the program)
-        e_pad_w = pad_to(max(src_all.size, 1), 512)
-        pad = e_pad_w - src_all.size
+        srcp, dstp, wp = _padded_serving_coo(adj, weight_kind, mean_style)
         logp = _jit_full_forward(
             params,
             jnp.asarray(np.ascontiguousarray(features, np.float32)),
-            jnp.asarray(np.pad(src_all, (0, pad))),
-            # pad dst at v-1: keeps the CSC edge list ascending so the
-            # forward runs with indices_are_sorted=True (weight stays 0)
-            jnp.asarray(np.pad(dst_all, (0, pad), constant_values=v - 1)),
-            jnp.asarray(np.pad(w_all, (0, pad))),
+            jnp.asarray(srcp), jnp.asarray(dstp), jnp.asarray(wp),
             family=family, num_vertices=v, heads=heads,
             batch_norm=batch_norm,
         )
         return np.asarray(logp)
-    del dst_all
+    src_all, _, w_all = _serving_coo(adj, weight_kind, mean_style)
     # local reindex per chunk (unique sources), computed once and reused by
     # every layer; one padded (edge, src-row) extent for all chunks → each
     # layer compiles once
@@ -353,8 +360,10 @@ def _in_edges(indptr: np.ndarray, dsts: np.ndarray):
     return edge_ids, dst_local
 
 
-@functools.partial(jax.jit, static_argnames=("family", "heads"))
-def _query_forward(params, x_all, gids0, layers, family, heads):
+@functools.partial(jax.jit, static_argnames=("family", "heads",
+                                              "aggregator"))
+def _query_forward(params, x_all, gids0, layers, family, heads,
+                   aggregator="sum"):
     """Exact forward over an L-hop query neighborhood (one device program).
 
     `layers[l] = (src_local, dst_local, w, dst_in_src)`: the layer's edges
@@ -373,6 +382,17 @@ def _query_forward(params, x_all, gids0, layers, family, heads):
         w_edge = w.astype(h.dtype)
         n_dst = dst_in_src.shape[0]
         last = l == n_layers - 1
+        if aggregator in ("min", "max") and family != "gat":
+            # AGGREGATOR min/max (always transform-first, like full_forward)
+            from ..ops.reductions import segment_max_coo, segment_min_coo
+
+            red = segment_min_coo if aggregator == "min" else segment_max_coo
+            h = red(jnp.dot(h, wl, preferred_element_type=h.dtype),
+                    src_local, dst_local, w != 0, n_dst,
+                    indices_are_sorted=True)
+            h = (log_softmax(h.astype(jnp.float32)) if last
+                 else jax.nn.relu(h))
+            continue
         if family == "gat":
             ht = jnp.dot(h, wl, preferred_element_type=h.dtype)
             f = ht.shape[-1]
@@ -450,6 +470,7 @@ class InferenceServer:
         heads: int = 1,
         mean_style: str = "plain",
         batch_norm: bool = False,
+        aggregator: str = "sum",
         dtype=np.float32,
     ) -> None:
         if weight_kind is None:
@@ -458,23 +479,22 @@ class InferenceServer:
         self.family = family
         self.heads = heads
         self.batch_norm = batch_norm
+        # AGGREGATOR cfg key: serve min/max-trained models with the same
+        # reduction they trained with (FullBatchTrainer aggregator param)
+        self.aggregator = aggregator
         self.num_vertices = adj.num_vertices
-        src, dst, w = _serving_coo(adj, weight_kind, mean_style)
-        e_pad = pad_to(max(src.size, 1), 512)
-        pad = e_pad - src.size
-        self._src = jnp.asarray(np.pad(src, (0, pad)))
-        # pad dst at v-1: edge list stays CSC-ascending (weight stays 0),
-        # so the forward runs with indices_are_sorted=True
-        self._dst = jnp.asarray(
-            np.pad(dst, (0, pad), constant_values=self.num_vertices - 1)
-        )
-        self._w = jnp.asarray(np.pad(w, (0, pad)))
+        srcp, dstp, wp = _padded_serving_coo(adj, weight_kind, mean_style)
+        self._src = jnp.asarray(srcp)
+        self._dst = jnp.asarray(dstp)
+        self._w = jnp.asarray(wp)
         self._x = jnp.asarray(np.ascontiguousarray(features, dtype))
         self.params = params
         # host-side CSC + serving weights for query-neighborhood planning
+        # (indices stay int32 — half the planning memory; only the edge
+        # OFFSETS need int64)
         self._h_indptr = adj.indptr.astype(np.int64)
-        self._h_indices = adj.indices.astype(np.int64)
-        self._h_w = w
+        self._h_indices = adj.indices.astype(np.int32)
+        self._h_w = wp[: adj.num_edges]
 
     def update_params(self, params: GNNParams) -> None:
         self.params = params
@@ -488,6 +508,7 @@ class InferenceServer:
             self.params, self._x, self._src, self._dst, self._w,
             family=self.family, num_vertices=self.num_vertices,
             heads=self.heads, batch_norm=self.batch_norm,
+            aggregator=self.aggregator,
         )
         return np.asarray(logp) if as_numpy else logp
 
@@ -550,5 +571,6 @@ class InferenceServer:
         gids0 = jnp.asarray(np.pad(plan[0][0], (0, set_pads[0]
                                                 - plan[0][0].size)))
         logp = _query_forward(self.params, self._x, gids0, tuple(layers),
-                              family=self.family, heads=self.heads)
+                              family=self.family, heads=self.heads,
+                              aggregator=self.aggregator)
         return np.asarray(logp)[:uniq.size][inv]

@@ -415,7 +415,7 @@ def test_sharded_predict_matches_single(tiny_ds):
 
     gmesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("graph",))
     for family, halo in (("gcn", "all_gather"), ("gcn", "targeted"),
-                         ("gat", "all_gather")):
+                         ("gat", "all_gather"), ("gat", "targeted")):
         cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[1, 1], epochs=1,
                         learn_rate=0.01, seed=3,
                         vertices=tiny_ds.num_vertices)

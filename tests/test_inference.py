@@ -244,3 +244,24 @@ def test_query_zero_in_degree_vertex(family, wk):
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got[0], srv.logprobs()[0],
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("agg", ["max", "min"])
+def test_server_serves_minmax_aggregator(tiny_ds, adj, agg):
+    """AGGREGATOR min/max-trained models (FullBatchTrainer aggregator
+    param) are served with the SAME reduction: server logprobs match the
+    trainer's own predict(), and query() matches logprobs rows."""
+    from sgnn_tpu.train import InferenceServer
+    from sgnn_tpu.train.fullbatch import FullBatchTrainer
+
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[1, 1], epochs=1,
+                    learn_rate=0.01, seed=9, vertices=tiny_ds.num_vertices)
+    tr = FullBatchTrainer(cfg, tiny_ds, family="gcn", aggregator=agg)
+    srv = InferenceServer(tr.params, "gcn", adj, tiny_ds.features,
+                          weight_kind=WeightKind.GCN,
+                          mean_style="fullbatch", aggregator=agg)
+    np.testing.assert_allclose(srv.logprobs(), tr.predict(),
+                               rtol=1e-5, atol=1e-5)
+    nids = np.array([1, 5, 5, 42, 7])
+    np.testing.assert_allclose(srv.query(nids), srv.logprobs()[nids],
+                               rtol=1e-5, atol=1e-5)
