@@ -234,29 +234,30 @@ def bench_serving(scale: float) -> dict:
     import jax
 
     params = init_model(jax.random.PRNGKey(0), "gcn", [602, 128, 41])
-    times = []
-    for _ in range(3):  # first pass compiles; median of the rest
-        t0 = time.perf_counter()
-        logp = layerwise_inference(params, "gcn", adj, ds.features,
-                                   mean_style="fullbatch")
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times[1:]))
-    log(f"[bench] serving: passes {[round(t, 3) for t in times]} "
+    # one-shot exact eval (CLI --exact-eval / --infer): includes host
+    # staging + compile.  Repeating it only re-measures tunnel staging
+    # noise (observed 18-220 s swings at 700 MB/pass), so ONE pass.
+    t0 = time.perf_counter()
+    logp = layerwise_inference(params, "gcn", adj, ds.features,
+                               mean_style="fullbatch")
+    cold = time.perf_counter() - t0
+    log(f"[bench] serving one-shot (staging+compile): {cold:.3f}s "
         f"({logp.shape[0]} vertices)")
     # production serving loop: COO + features device-RESIDENT (uploaded
-    # once) — each pass is one device program, no host re-staging
+    # once) — each pass is one device program, no host re-staging; sync
+    # via a scalar host read (block_until_ready is a no-op on this
+    # platform, docs/PERF.md)
     srv = InferenceServer(params, "gcn", adj, ds.features,
                           mean_style="fullbatch")
     res_times = []
     for _ in range(4):
         t0 = time.perf_counter()
-        srv.logprobs(as_numpy=False).block_until_ready()
+        float(srv.logprobs(as_numpy=False)[0, 0])
         res_times.append(time.perf_counter() - t0)
     res = float(np.median(res_times[1:]))
     log(f"[bench] serving (resident): passes "
         f"{[round(t, 4) for t in res_times]}")
-    return {"pass_time_s": round(med, 4),
-            "vertices_per_sec": round(logp.shape[0] / med, 1),
+    return {"one_shot_pass_s": round(cold, 4),
             "resident_pass_time_s": round(res, 4),
             "resident_vertices_per_sec": round(logp.shape[0] / res, 1)}
 
