@@ -265,3 +265,33 @@ def test_server_serves_minmax_aggregator(tiny_ds, adj, agg):
     nids = np.array([1, 5, 5, 42, 7])
     np.testing.assert_allclose(srv.query(nids), srv.logprobs()[nids],
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_query_fuzz_random_graphs(seed):
+    """Fuzz query() against the whole-graph pass on random multigraphs
+    (self-loops + duplicate edges included) across families and request
+    sizes — the L-hop planner must agree with the resident full pass."""
+    from sgnn_tpu.train import InferenceServer
+
+    rng = np.random.default_rng(seed)
+    v = int(rng.integers(20, 120))
+    e = int(rng.integers(v, v * 8))
+    edges = np.stack([rng.integers(0, v, e), rng.integers(0, v, e)],
+                     axis=1).astype(np.int32)
+    if seed == 0:  # force self-loops and exact-duplicate edges
+        edges[: v // 2, 0] = edges[: v // 2, 1]
+        edges[-3:] = edges[0]
+    a = Adjacency.from_edges(edges, v)
+    feats = rng.standard_normal((v, 12)).astype(np.float32)
+    fam, wk, heads = [("gcn", WeightKind.GCN, 1),
+                      ("sage", WeightKind.MEAN, 1),
+                      ("gat", WeightKind.NONE, 2)][seed % 3]
+    params = init_model(jax.random.PRNGKey(seed), fam, [12, 8, 4])
+    srv = InferenceServer(params, fam, a, feats, weight_kind=wk,
+                          heads=heads)
+    full = srv.logprobs()
+    for _ in range(3):
+        nids = rng.integers(0, v, int(rng.integers(1, v)))
+        np.testing.assert_allclose(srv.query(nids), full[nids],
+                                   rtol=1e-4, atol=1e-5)
