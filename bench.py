@@ -257,9 +257,27 @@ def bench_serving(scale: float) -> dict:
     res = float(np.median(res_times[1:]))
     log(f"[bench] serving (resident): passes "
         f"{[round(t, 4) for t in res_times]}")
+    # bf16 residency: the pass is feature-gather-bound, so halving row
+    # bytes attacks the dominant term (classification head stays f32)
+    import jax.numpy as jnp
+
+    srv16 = InferenceServer(params, "gcn", adj, ds.features,
+                            mean_style="fullbatch", dtype=jnp.bfloat16)
+    bf_times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        float(srv16.logprobs(as_numpy=False)[0, 0])
+        bf_times.append(time.perf_counter() - t0)
+    res16 = float(np.median(bf_times[1:]))
+    agree = float(np.mean(np.argmax(srv16.logprobs(), 1)
+                          == np.argmax(logp, 1)))
+    log(f"[bench] serving (resident bf16): passes "
+        f"{[round(t, 4) for t in bf_times]} pred agreement {agree:.4f}")
     return {"one_shot_pass_s": round(cold, 4),
             "resident_pass_time_s": round(res, 4),
-            "resident_vertices_per_sec": round(logp.shape[0] / res, 1)}
+            "resident_vertices_per_sec": round(logp.shape[0] / res, 1),
+            "resident_bf16_pass_time_s": round(res16, 4),
+            "resident_bf16_pred_agreement": round(agree, 4)}
 
 
 def bench_cora_gcn(epochs: int) -> dict:
