@@ -482,6 +482,9 @@ class InferenceServer:
         # AGGREGATOR cfg key: serve min/max-trained models with the same
         # reduction they trained with (FullBatchTrainer aggregator param)
         self.aggregator = aggregator
+        self._weight_kind = weight_kind
+        self._mean_style = mean_style
+        self._qrng = np.random.default_rng(0)  # query(fanout=...) draws
         self.num_vertices = adj.num_vertices
         srcp, dstp, wp = _padded_serving_coo(adj, weight_kind, mean_style)
         self._src = jnp.asarray(srcp)
@@ -516,17 +519,27 @@ class InferenceServer:
         """Class predictions for every vertex: [V] int."""
         return np.argmax(self.logprobs(), axis=-1)
 
-    def query(self, nids) -> np.ndarray:
+    def query(self, nids, fanout=None, seed=None) -> np.ndarray:
         """Low-latency exact log-probs for just `nids`: [len(nids), C].
 
         Instead of a whole-graph pass, walks the CSC L hops back from the
         queried vertices on the host (the reference Test() walks the same
         neighborhood but SAMPLED, GCN_SAMPLE_PD_CACHE.hpp:264; this is
-        exact), local-reindexes each hop, and runs ONE jitted program over
-        the resident feature matrix — the per-request serving path.  All
-        extents are padded to powers of two, so repeated request sizes
-        reuse compiled programs; results equal `logprobs()[nids]` up to
-        float reassociation.
+        exact by default), local-reindexes each hop, and runs ONE jitted
+        program over the resident feature matrix — the per-request serving
+        path.  All extents are padded to powers of two, so repeated
+        request sizes reuse compiled programs; results equal
+        `logprobs()[nids]` up to float reassociation.
+
+        `fanout` (int, or one int per layer bottom-first like cfg.fanout)
+        caps the in-edges kept per destination at each hop — the
+        reference's sampled-Test semantics.  On power-law graphs a hub's
+        exact 2-hop neighborhood can be most of the graph; a fanout bounds
+        the worst-case request latency at the cost of sampling noise.
+        MEAN/"plain" weights are recomputed as 1/sampled-count (the
+        sampled trainers' rule); GCN weights keep the global-degree table
+        values (UP_DEGREE=0 semantics).  `seed` makes one call
+        reproducible; otherwise the server's own RNG stream advances.
         """
         if self.batch_norm:
             # whole-graph BN statistics need a full pass anyway
@@ -534,18 +547,44 @@ class InferenceServer:
         nids = np.asarray(nids, dtype=np.int64)
         uniq, inv = np.unique(nids, return_inverse=True)
         n_layers = len(self.params.weights)
+        if fanout is not None:
+            fanouts = ([int(fanout)] * n_layers if np.isscalar(fanout)
+                       else [int(f) for f in fanout])
+            if len(fanouts) != n_layers:
+                raise ValueError(
+                    f"fanout needs {n_layers} entries, got {len(fanouts)}")
+            rng = (np.random.default_rng(seed) if seed is not None
+                   else self._qrng)
         # plan hop sets top-down: sets[l] = sources of layer l (nested:
         # every layer's destinations are contained in its sources)
         dst_set = uniq
         plan = []  # per layer, bottom-up after reversal
-        for _ in range(n_layers):
+        for hop in range(n_layers):
             eids, dst_local = _in_edges(self._h_indptr, dst_set)
+            if fanout is not None and eids.size:
+                k = fanouts[n_layers - 1 - hop]  # cfg.fanout bottom-first
+                # keep k uniform draws per destination: rank each edge by
+                # a random key within its dst segment (distinct edges,
+                # like the host sampler's Floyd draws)
+                order = np.lexsort((rng.random(eids.size), dst_local))
+                seg_first = np.searchsorted(dst_local[order],
+                                            np.arange(dst_set.size))
+                pos = (np.arange(eids.size)
+                       - seg_first[dst_local[order]])
+                keep = np.sort(order[pos < k])  # back to CSC order
+                eids, dst_local = eids[keep], dst_local[keep]
+            w = self._h_w[eids]
+            if (fanout is not None
+                    and self._weight_kind == WeightKind.MEAN
+                    and self._mean_style == "plain"):
+                cnt = np.bincount(dst_local, minlength=dst_set.size)
+                w = (1.0 / np.maximum(cnt[dst_local], 1)).astype(np.float32)
             src_g = self._h_indices[eids]
             src_set = np.union1d(dst_set, src_g)
             plan.append((src_set,
                          np.searchsorted(src_set, src_g).astype(np.int32),
                          dst_local,
-                         self._h_w[eids],
+                         w,
                          np.searchsorted(src_set, dst_set).astype(np.int32),
                          dst_set))
             dst_set = src_set

@@ -295,3 +295,33 @@ def test_query_fuzz_random_graphs(seed):
         nids = rng.integers(0, v, int(rng.integers(1, v)))
         np.testing.assert_allclose(srv.query(nids), full[nids],
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_query_fanout_semantics(tiny_ds, adj):
+    """query(fanout=k): k ≥ max in-degree reproduces the exact result;
+    a small k is reproducible under a fixed seed, differs across seeds,
+    and recomputes MEAN/'plain' weights as 1/sampled-count (rows stay
+    valid log-probs)."""
+    from sgnn_tpu.train import InferenceServer
+
+    params = init_model(jax.random.PRNGKey(31), "sage", [32, 16, 5])
+    srv = InferenceServer(params, "sage", adj, tiny_ds.features,
+                          weight_kind=WeightKind.MEAN)
+    nids = np.arange(0, adj.num_vertices, 7)
+    exact = srv.query(nids)
+    kmax = int(np.max(adj.in_degree))
+    np.testing.assert_allclose(srv.query(nids, fanout=kmax), exact,
+                               rtol=1e-5, atol=1e-5)
+    a = srv.query(nids, fanout=2, seed=0)
+    b = srv.query(nids, fanout=2, seed=0)
+    c = srv.query(nids, fanout=2, seed=1)
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c, atol=1e-4)
+    assert np.isfinite(a).all()
+    # log-probs: exp-sums to 1 (the 1/sampled-count mean keeps the scale)
+    np.testing.assert_allclose(np.exp(a).sum(1), 1.0, rtol=1e-3)
+    # per-layer fanout list, bottom-first like cfg.fanout
+    d = srv.query(nids, fanout=[3, 2], seed=0)
+    assert d.shape == exact.shape and np.isfinite(d).all()
+    with pytest.raises(ValueError):
+        srv.query(nids, fanout=[1, 2, 3])
