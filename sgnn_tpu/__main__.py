@@ -51,6 +51,12 @@ def main(argv=None) -> int:
                     help="capture a jax.profiler trace of the training run "
                          "into DIR (open with xprof/tensorboard; reference "
                          "analog: cpu.sh/gpu.sh + phase timers)")
+    ap.add_argument("--report-out", metavar="JSON", default=None,
+                    help="write the run's TrainReport (epoch times, "
+                         "accuracies, phase timers) as JSON — the "
+                         "structured analog of the reference's log/<run>/ "
+                         "directory; scripts/summarize_runs.py collects "
+                         "many into a CSV (get_log_run_time.py parity)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -224,6 +230,14 @@ def _run(args, cfg, ds, log) -> int:
             report.train_acc[-1], report.val_acc[-1], report.test_acc[-1],
             report.losses[-1],
         )
+    if args.report_out:
+        import json
+
+        rec = {"config": args.config, "algorithm": cfg.algorithm,
+               **report.to_dict()}
+        with open(args.report_out, "w") as f:
+            json.dump(rec, f, indent=1)
+        log.info("wrote run report to %s", args.report_out)
     return 0
 
 

@@ -62,6 +62,25 @@ class TrainReport:
         times = self.epoch_times[skip:]
         return float(np.mean(times)) if times else 0.0
 
+    def to_dict(self) -> dict:
+        """JSON-ready run record (CLI `--report-out`; the structured
+        analog of the reference's per-run log directory that its
+        get_log_run_time.py/get_rate.py scripts scrape back out of text
+        logs)."""
+        return {
+            "epoch_times": [float(t) for t in self.epoch_times],
+            "train_acc": [float(a) for a in self.train_acc],
+            "val_acc": [float(a) for a in self.val_acc],
+            "test_acc": [float(a) for a in self.test_acc],
+            "losses": [float(x) for x in self.losses],
+            "edges_per_epoch": [int(e) for e in self.edges_per_epoch],
+            "time_skip": int(self.time_skip),
+            "avg_epoch_time": self.avg_epoch_time,
+            "phase_totals_s": {k: round(v, 6)
+                               for k, v in self.timers.totals.items()},
+            "phase_counts": dict(self.timers.counts),
+        }
+
 
 def host_batch_to_device(hb: HostSampledBatch, x0, y, y_valid) -> SampledBatch:
     blocks = [

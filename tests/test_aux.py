@@ -406,3 +406,49 @@ def test_fast_io_npy_roundtrip(tmp_path):
     raw.write_bytes(payload.astype("<u4").tobytes())
     back = read_binary(str(raw), "<u4")
     np.testing.assert_array_equal(back, payload)
+
+
+def test_cli_report_out_and_summarizer(tmp_path):
+    """--report-out writes a structured TrainReport JSON and
+    scripts/summarize_runs.py tabulates a set of them into CSV (the
+    reference's get_log_run_time.py log-scrape, made structured)."""
+    import csv
+    import json
+    import subprocess
+    import sys
+
+    from sgnn_tpu.__main__ import main
+
+    root = os.path.join(os.path.dirname(__file__), "..", "data")
+    cfg = tmp_path / "cli.cfg"
+    cfg.write_text("\n".join([
+        "ALGORITHM:GCNSAMPLEGPU",
+        "VERTICES:2708",
+        "LAYERS:1433-32-7",
+        "FANOUT:10-5",
+        "BATCH_SIZE:1024",
+        "EPOCHS:2",
+        f"EDGE_FILE:{root}/cora.2708.edge.self",
+        f"FEATURE_FILE:{root}/cora.featuretable",
+        f"LABEL_FILE:{root}/cora.labeltable",
+        f"MASK_FILE:{root}/cora.mask",
+        "LEARN_RATE:0.01",
+        "DROP_RATE:0.0",
+    ]) + "\n")
+    rj = tmp_path / "r.json"
+    assert main([str(cfg), "--report-out", str(rj)]) == 0
+    rec = json.loads(rj.read_text())
+    assert rec["algorithm"] == "GCNSAMPLEGPU"
+    assert len(rec["epoch_times"]) == 2
+    assert rec["phase_counts"]  # phase timers made it through
+    assert rec["avg_epoch_time"] > 0
+    out_csv = tmp_path / "epoch_time.csv"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, "scripts/summarize_runs.py", str(rj), str(rj),
+         "-o", str(out_csv)],
+        check=True, cwd=repo,
+    )
+    rows = list(csv.DictReader(out_csv.open()))
+    assert len(rows) == 2 and rows[0]["algorithm"] == "GCNSAMPLEGPU"
+    assert float(rows[0]["avg_epoch_time_s"]) > 0
