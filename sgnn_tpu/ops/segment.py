@@ -47,9 +47,18 @@ _CHUNK_ELEMS = int(os.environ.get("SGNN_SPMM_CHUNK_ELEMS", 256 * 1024 * 1024))
 _CHUNK_FLOOR = 8192
 
 
-def _edge_chunk(e_total: int, feat: int) -> int | None:
-    """Chunk length (edges) or None when the direct path fits the budget."""
-    if e_total * max(feat, 1) <= max(_DIRECT_ELEMS, _CHUNK_ELEMS):
+def _edge_chunk(e_total: int, feat: int, live_factor: int = 1) -> int | None:
+    """Chunk length (edges) or None when the direct path fits the budget.
+
+    `live_factor` scales the element count by how many [E, F]-sized temps
+    the caller's direct path keeps alive RELATIVE to the single-head
+    forward the budget was calibrated on.  The multi-head paths pass 3:
+    their direct path materializes x[src] reshaped, the att-weighted
+    product, and an f32 copy as SEPARATE [E, H, Fh] buffers (measured
+    OOM: 4-head GAT serving at 11.9M edges x 128 feats compiled to a
+    24.3 GB program on the 17 GB v5e while the single-head pass fit)."""
+    if e_total * max(feat, 1) * live_factor <= max(_DIRECT_ELEMS,
+                                                   _CHUNK_ELEMS):
         return None
     return max(_CHUNK_ELEMS // max(feat, 1), _CHUNK_FLOOR)
 
@@ -268,7 +277,7 @@ def spmm_coo_multihead_csc(
 def _mh_csc_fwd_impl(x, src, dst, att, num_dst):
     e_total, heads = att.shape
     fh = x.shape[1] // heads
-    chunk = _edge_chunk(e_total, x.shape[1])
+    chunk = _edge_chunk(e_total, x.shape[1], live_factor=3)
     if chunk is None:
         msgs = (x[src].reshape(e_total, heads, fh)
                 * att[:, :, None].astype(x.dtype))
@@ -304,7 +313,7 @@ def _mh_csc_bwd(num_dst, res, g):
     num_src = x.shape[0]
     sp, dp, attp = src[perm], dst[perm], att[perm]
     g2 = g.reshape(num_dst, heads, fh)
-    chunk = _edge_chunk(e_total, x.shape[1])
+    chunk = _edge_chunk(e_total, x.shape[1], live_factor=3)
     if chunk is None:
         gd = g2[dp]                                        # [E, H, Fh]
         ge = (gd * attp[:, :, None].astype(g.dtype)).astype(jnp.float32)
@@ -394,7 +403,7 @@ def spmm_coo_multihead(
     """
     e_total, heads = att.shape
     fh = x.shape[1] // heads
-    chunk = _edge_chunk(e_total, x.shape[1])
+    chunk = _edge_chunk(e_total, x.shape[1], live_factor=3)
     if chunk is None:
         msgs = (x[src].reshape(e_total, heads, fh)
                 * att[:, :, None].astype(x.dtype))
@@ -418,3 +427,139 @@ def spmm_coo_multihead(
     acc0 = jnp.zeros((num_dst, heads, fh), jnp.float32)
     out, _ = jax.lax.scan(body, acc0, (src_c, dst_c, att_c))
     return out.astype(x.dtype).reshape(num_dst, heads * fh)
+
+
+# ---------------------------------------------------------------------------
+# HEAD-MAJOR multi-head attention ops.  TPU tiling pads an f32 array's minor
+# dim to 128 (second-minor to 8), so an edge-major [E, H] score/attention
+# array wastes 128/H x HBM — measured: 4-head whole-graph GAT serving at
+# 11.9M edges compiled [E, 4] f32 temps of 5.67 GB each (181 MB unpadded,
+# 32x tile padding) and OOM'd the 16 GB chip.  Head-major [H, E] keeps E in
+# the minor dim (perfectly tiled) and pads only H→8.  These variants power
+# the WHOLE-GRAPH multi-head path (full_forward heads>1); the edge-major
+# ops above remain for bounded-E chunk-local callers.
+
+
+def segment_softmax_hm(
+    scores: jax.Array,   # [H, E] head-major edge scores
+    dst: jax.Array,      # [E] int32 destinations
+    valid: jax.Array,    # [E] bool (False ⇒ padded edge)
+    num_dst: int,
+    indices_are_sorted: bool = False,
+) -> jax.Array:
+    """`segment_softmax_coo` with head-major layout: returns [H, E].
+
+    A Python loop over heads (H is small and static), each head pure 1-D
+    [E]/[num_dst] arrays — NOT a vmap: vmap's scatter batching rule and
+    axis-1 gathers normalize intermediates back to index-leading [E, H]
+    layout, re-creating the 32x tile-padded temps this op exists to
+    avoid (confirmed in an OOM dump: the vmap edition still compiled
+    f32[11.9M, 4] gather temps of 5.67 GB)."""
+    return jnp.stack([
+        segment_softmax_coo(scores[i], dst, valid, num_dst,
+                            indices_are_sorted=indices_are_sorted)
+        for i in range(scores.shape[0])
+    ])
+
+
+def _hm_chunk(e_total: int, fh: int) -> int | None:
+    """Chunk length for the per-head [chunk, fh] message temps, counting
+    TILE-PADDED elements (minor dim rounds up to 128) with 2 live temps."""
+    eff = -(-max(fh, 1) // 128) * 128
+    if e_total * eff * 2 <= max(_DIRECT_ELEMS, _CHUNK_ELEMS):
+        return None
+    return max(_CHUNK_ELEMS // eff, _CHUNK_FLOOR)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def spmm_coo_multihead_hm(
+    x: jax.Array,        # [S, F] source features, F = H·Fh
+    src: jax.Array,      # [E] int32 edge source ids
+    dst: jax.Array,      # [E] int32 edge destination ids
+    att_hm: jax.Array,   # [H, E] HEAD-MAJOR per-head edge weights
+    num_dst: int,
+    indices_are_sorted: bool = False,
+) -> jax.Array:
+    """`spmm_coo_multihead` with head-major attention: H per-head flat
+    SpMMs over [*, Fh] slices (never an [E, H(, Fh)] edge-major temp),
+    each edge-chunked on tile-padded element counts.  Hand-written VJP
+    keeps the backward chunked the same way."""
+    return _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted)
+
+
+def _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted):
+    heads = att_hm.shape[0]
+    fh = x.shape[1] // heads
+    e_total = src.shape[0]
+    chunk = _hm_chunk(e_total, fh)
+    outs = []
+    for i in range(heads):
+        xi = x[:, i * fh:(i + 1) * fh]
+        ai = att_hm[i]
+        if chunk is None:
+            m = (xi[src] * ai[:, None].astype(xi.dtype)).astype(jnp.float32)
+            o = jax.ops.segment_sum(m, dst, num_segments=num_dst,
+                                    indices_are_sorted=indices_are_sorted)
+        else:
+            sc, dc, ac = _pad_chunks(
+                (src, dst, ai), e_total, chunk,
+                fills=(0, num_dst - 1 if indices_are_sorted else 0, 0))
+
+            def body(acc, args, xi=xi):
+                s, d, a = args
+                m = (xi[s] * a[:, None].astype(xi.dtype)).astype(jnp.float32)
+                return acc + jax.ops.segment_sum(
+                    m, d, num_segments=num_dst,
+                    indices_are_sorted=indices_are_sorted), None
+
+            o, _ = jax.lax.scan(body, jnp.zeros((num_dst, fh), jnp.float32),
+                                (sc, dc, ac))
+        outs.append(o.astype(x.dtype))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _hm_fwd(x, src, dst, att_hm, num_dst, indices_are_sorted):
+    return (_hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted),
+            (x, src, dst, att_hm))
+
+
+def _hm_bwd(num_dst, indices_are_sorted, res, g):
+    x, src, dst, att_hm = res
+    heads = att_hm.shape[0]
+    fh = x.shape[1] // heads
+    e_total = src.shape[0]
+    num_src = x.shape[0]
+    chunk = _hm_chunk(e_total, fh)
+    dxs, das = [], []
+    for i in range(heads):
+        xi = x[:, i * fh:(i + 1) * fh]
+        ai = att_hm[i]
+        gi = g[:, i * fh:(i + 1) * fh]
+        if chunk is None:
+            gd = gi[dst]
+            ge = (gd * ai[:, None].astype(gd.dtype)).astype(jnp.float32)
+            dx = jax.ops.segment_sum(ge, src, num_segments=num_src)
+            da = jnp.einsum("ef,ef->e", gd, xi[src],
+                            preferred_element_type=jnp.float32)
+        else:
+            sc, dc, ac = _pad_chunks((src, dst, ai), e_total, chunk)
+
+            def body(acc, args, xi=xi, gi=gi):
+                s, d, a = args
+                gd = gi[d]
+                ge = (gd * a[:, None].astype(gd.dtype)).astype(jnp.float32)
+                acc = acc + jax.ops.segment_sum(ge, s, num_segments=num_src)
+                da_c = jnp.einsum("ef,ef->e", gd, xi[s],
+                                  preferred_element_type=jnp.float32)
+                return acc, da_c
+
+            dx, da_c = jax.lax.scan(
+                body, jnp.zeros((num_src, fh), jnp.float32), (sc, dc, ac))
+            da = da_c.reshape(-1)[:e_total]
+        dxs.append(dx.astype(x.dtype))
+        das.append(da.astype(att_hm.dtype))
+    return (jnp.concatenate(dxs, axis=1), None, None,
+            jnp.stack(das, axis=0))
+
+
+spmm_coo_multihead_hm.defvjp(_hm_fwd, _hm_bwd)

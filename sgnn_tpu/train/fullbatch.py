@@ -30,8 +30,8 @@ from ..nn.functional import BN_EPS, dropout, log_softmax, nll_loss_masked
 from .guard import check_finite_loss
 from ..nn.optim import make_optimizer
 from ..ops.segment import (
-    segment_softmax_coo, spmm_coo, spmm_coo_csc, spmm_coo_fwd_sorted,
-    spmm_coo_multihead, spmm_coo_multihead_csc,
+    segment_softmax_coo, spmm_coo, spmm_coo_csc,
+    spmm_coo_fwd_sorted, spmm_coo_multihead_hm,
 )
 from ..sampler.blocks import WeightKind, pad_to
 from ..utils.logging import get_logger
@@ -168,19 +168,26 @@ def full_forward(
             a_dst = params.attn[l][f:, 0].astype(ht.dtype)
             hh = 1 if l == n_layers - 1 else heads  # logits stay 1-head
             if hh > 1:
+                # HEAD-MAJOR [H, E] scores/attention: an edge-major [E, H]
+                # f32 array tile-pads its minor dim 4→128 (measured 5.67 GB
+                # per temp at 11.9M edges — whole-graph 4-head serving
+                # OOM'd a 16 GB chip); [H, E] keeps E minor and pads only
+                # H→8.  See ops/segment.py "HEAD-MAJOR" block.
                 fh = f // hh
                 ht_h = ht.reshape(-1, hh, fh)
-                ha_s = jnp.einsum("shf,hf->sh", ht_h, a_src.reshape(hh, fh))
-                ha_d = jnp.einsum("shf,hf->sh", ht_h, a_dst.reshape(hh, fh))
-                score = jax.nn.leaky_relu(ha_s[src] + ha_d[dst], 0.2)
-                att = segment_softmax_coo(score, dst, valid, num_vertices,
+                a_s_h = a_src.reshape(hh, fh)
+                a_d_h = a_dst.reshape(hh, fh)
+                atts = []
+                for i in range(hh):  # per-head 1-D [E] arrays throughout
+                    sc = jax.nn.leaky_relu(
+                        (ht_h[:, i, :] @ a_s_h[i])[src]
+                        + (ht_h[:, i, :] @ a_d_h[i])[dst], 0.2)
+                    atts.append(segment_softmax_coo(
+                        sc, dst, valid, num_vertices,
+                        indices_are_sorted=sorted_dst))
+                h = spmm_coo_multihead_hm(ht, src, dst, jnp.stack(atts),
+                                          num_vertices,
                                           indices_are_sorted=sorted_dst)
-                if csr is not None:
-                    h = spmm_coo_multihead_csc(ht, src, dst, att, csr[0],
-                                               csr[1], num_vertices)
-                else:
-                    h = spmm_coo_multihead(ht, src, dst, att, num_vertices,
-                                           indices_are_sorted=sorted_dst)
             else:
                 score = ht[src] @ a_src + ht[dst] @ a_dst
                 score = jax.nn.leaky_relu(score, 0.2)

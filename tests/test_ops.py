@@ -392,3 +392,82 @@ def test_spmm_coo_multihead_csc_matches_unsorted(monkeypatch, chunked):
     for a, b in zip(g1, g0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_multihead_chunks_before_single_head(monkeypatch):
+    """Multi-head paths hand _edge_chunk live_factor=3 (their direct path
+    keeps ~3 [E, H, Fh] temps alive vs 1-2 for single-head), so they must
+    fall off the direct path at a 3x smaller E*F — the measured 4-head
+    whole-graph serving OOM at 1.5G elements on a 17 GB chip."""
+    from sgnn_tpu.ops import segment as seg
+
+    monkeypatch.setattr(seg, "_DIRECT_ELEMS", 20_000)
+    monkeypatch.setattr(seg, "_CHUNK_ELEMS", 1_000)
+    # 10k elements: direct for single-head, chunked at live_factor=3
+    assert seg._edge_chunk(1000, 10) is None
+    assert seg._edge_chunk(1000, 10, live_factor=3) is not None
+    # the multihead entry points themselves take the early chunk path
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((50, 8)).astype(np.float32))
+    src = jnp.asarray(rng.integers(0, 50, 1000).astype(np.int32))
+    dst = jnp.asarray(np.sort(rng.integers(0, 30, 1000)).astype(np.int32))
+    att = jnp.asarray(rng.standard_normal((1000, 2)).astype(np.float32))
+    got = seg.spmm_coo_multihead(x, src, dst, att, 30,
+                                 indices_are_sorted=True)
+    monkeypatch.setattr(seg, "_DIRECT_ELEMS", 1 << 40)  # force direct
+    ref = seg.spmm_coo_multihead(x, src, dst, att, 30,
+                                 indices_are_sorted=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("chunked", [False, True])
+def test_head_major_ops_match_edge_major(monkeypatch, chunked):
+    """segment_softmax_hm / spmm_coo_multihead_hm ([H, E] head-major — the
+    layout that avoids the 32x minor-dim tile padding of [E, H] edge
+    tensors) match the edge-major ops numerically, values and grads, in
+    both the direct and the chunked regimes."""
+    from sgnn_tpu.ops import segment as seg
+
+    if chunked:
+        monkeypatch.setattr(seg, "_DIRECT_ELEMS", 1)
+        monkeypatch.setattr(seg, "_CHUNK_ELEMS", 1)
+        monkeypatch.setattr(seg, "_CHUNK_FLOOR", 64)
+    rng = np.random.default_rng(3)
+    S, E, V, H, FH = 40, 300, 25, 4, 8
+    x = jnp.asarray(rng.standard_normal((S, H * FH)).astype(np.float32))
+    src = jnp.asarray(rng.integers(0, S, E).astype(np.int32))
+    dst = jnp.asarray(np.sort(rng.integers(0, V, E)).astype(np.int32))
+    score = rng.standard_normal((E, H)).astype(np.float32)
+    valid = jnp.asarray(rng.random(E) > 0.1)
+
+    att_em = seg.segment_softmax_coo(jnp.asarray(score), dst, valid, V,
+                                     indices_are_sorted=True)
+    att_hm = seg.segment_softmax_hm(jnp.asarray(score.T), dst, valid, V,
+                                    indices_are_sorted=True)
+    np.testing.assert_allclose(np.asarray(att_hm), np.asarray(att_em).T,
+                               rtol=1e-5, atol=1e-6)
+
+    out_em = seg.spmm_coo_multihead(x, src, dst, att_em, V,
+                                    indices_are_sorted=True)
+    out_hm = seg.spmm_coo_multihead_hm(x, src, dst, att_hm, V,
+                                       indices_are_sorted=True)
+    np.testing.assert_allclose(np.asarray(out_hm), np.asarray(out_em),
+                               rtol=1e-4, atol=1e-5)
+
+    # gradients: dx and d_att agree with the edge-major op's autodiff
+    def f_em(x_, a_):
+        return seg.spmm_coo_multihead(x_, src, dst, a_, V,
+                                      indices_are_sorted=True).sum()
+
+    def f_hm(x_, a_):
+        return seg.spmm_coo_multihead_hm(x_, src, dst, a_, V,
+                                         indices_are_sorted=True).sum()
+
+    gx_em, ga_em = jax.grad(f_em, argnums=(0, 1))(x, att_em)
+    gx_hm, ga_hm = jax.grad(f_hm, argnums=(0, 1))(x, att_hm)
+    np.testing.assert_allclose(np.asarray(gx_hm), np.asarray(gx_em),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga_hm), np.asarray(ga_em).T,
+                               rtol=1e-4, atol=1e-5)
