@@ -130,10 +130,12 @@ def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
     }
 
 
-def bench_feature_cache(scale: float, epochs: int, batch_size: int) -> dict:
+def bench_feature_cache(scale: float, epochs: int, batch_size: int,
+                        feature_dtype: str = "") -> dict:
     """Beyond-HBM path: features forced host-side with a partial HBM cache
     sized to 30% of rows; reports hit rate + host→device transfer saving
-    (reference load_feature_gpu_cache capability)."""
+    (reference load_feature_gpu_cache capability).  feature_dtype="int8"
+    stages per-column-quantized rows — same byte budget, 4x the rows."""
     import numpy as np
 
     from sgnn_tpu.config import RunConfig
@@ -144,21 +146,27 @@ def bench_feature_cache(scale: float, epochs: int, batch_size: int) -> dict:
     cfg = RunConfig(
         layer_sizes=[602, 128, 41], fanout=[25, 10], batch_size=batch_size,
         epochs=epochs, learn_rate=0.01, drop_rate=0.5,
-        vertices=ds.num_vertices, feature_cache_rate=0.5,
+        vertices=ds.num_vertices, feature_cache_rate=1.0,
+        feature_dtype=feature_dtype,
     )
+    if not feature_dtype:
+        cfg.feature_cache_rate = 0.5
     budget = int(0.3 * ds.num_vertices) * ds.features.shape[1] * 4
     tr = SampleTrainer(cfg, ds, family="sage", weight_kind=WeightKind.MEAN,
                        features_on_device=False, hbm_budget_bytes=budget)
     report = tr.run(epochs=epochs, eval_every=10**9)
     fc = tr.feat_cache
     saving = 1.0 - fc.bytes_shipped / max(fc.bytes_full, 1)
-    log(f"[bench] feature-cache: hit {fc.hit_rate:.3f}, "
+    log(f"[bench] feature-cache{feature_dtype and f' ({feature_dtype})'}: "
+        f"hit {fc.hit_rate:.3f}, "
         f"saving {100 * saving:.1f}% of {fc.bytes_full / 2**20:.0f} MiB, "
         f"acc {report.train_acc[-1]:.3f}")
     return {
         "hit_rate": round(fc.hit_rate, 4),
         "transfer_saving_pct": round(100 * saving, 2),
         "train_acc": round(report.train_acc[-1], 4),
+        "staged_rows": int(fc.hot_ids.size),
+        "feature_dtype": feature_dtype or "compute",
     }
 
 
@@ -258,9 +266,15 @@ def bench_serving(scale: float) -> dict:
     log(f"[bench] serving (resident): passes "
         f"{[round(t, 4) for t in res_times]}")
     # bf16 residency: the pass is feature-gather-bound, so halving row
-    # bytes attacks the dominant term (classification head stays f32)
+    # bytes attacks the dominant term (classification head stays f32).
+    # Release the f32 server FIRST — two resident servers at scale 4
+    # (932k V / 47.5M E) exceeded HBM (measured RESOURCE_EXHAUSTED).
+    import gc
+
     import jax.numpy as jnp
 
+    del srv
+    gc.collect()
     srv16 = InferenceServer(params, "gcn", adj, ds.features,
                             mean_style="fullbatch", dtype=jnp.bfloat16)
     bf_times = []
@@ -393,6 +407,16 @@ def main():
         log(f"[bench] feature-cache stage failed ({e!r}); omitting")
         fcache = {}
     try:
+        # same byte budget, int8-quantized staging (FEATURE_DTYPE:int8):
+        # the capacity multiplier in one row of the detail dict
+        fcache_int8 = bench_feature_cache(
+            min(args.scale, 0.25), 2, min(args.batch, 2500),
+            feature_dtype="int8",
+        )
+    except Exception as e:
+        log(f"[bench] int8 feature-cache stage failed ({e!r}); omitting")
+        fcache_int8 = {}
+    try:
         fullbatch = bench_fullbatch(args.scale, max(args.epochs, 3))
     except Exception as e:
         log(f"[bench] fullbatch stage failed ({e!r}); omitting")
@@ -421,6 +445,7 @@ def main():
             "src_pad_factor": 0.0 if args.exact_pads else 1.2,
             "degree_mode": "sampled" if args.up_degree else "global",
             "feature_cache": fcache,
+            "feature_cache_int8": fcache_int8,
             "fullbatch_gcn": fullbatch,
             "serving_exact": serving,
         },

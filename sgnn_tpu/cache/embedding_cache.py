@@ -139,8 +139,13 @@ class EmbeddingCache:
         )
 
     # ------------------------------------------------------------------
-    def make_refresh_fn(self):
-        """Jitted refresh: features → aggregate hot neighborhoods → ·W."""
+    def make_refresh_fn(self, feat_scale=None):
+        """Jitted refresh: features → aggregate hot neighborhoods → ·W.
+
+        `feat_scale` ([F] per-column scales) marks int8-quantized feature
+        storage (FEATURE_DTYPE:int8): per-COLUMN dequantization commutes
+        with row aggregation, so the scale is applied to the tiny [C, F]
+        aggregate instead of per-gathered-row (data/quant.py)."""
         num_slots = self.num_cached
 
         @jax.jit
@@ -150,6 +155,8 @@ class EmbeddingCache:
             # forward-only sorted variant suffices
             agg = spmm_coo_fwd_sorted(
                 features, coo_src, coo_slot, coo_w, num_slots)
+            if feat_scale is not None:
+                agg = agg * feat_scale.astype(agg.dtype)[None, :]
             return jnp.dot(agg, w0, preferred_element_type=agg.dtype)
 
         return refresh
@@ -165,5 +172,5 @@ class EmbeddingCache:
 
     _refresh_fn = None
 
-    def init_refresh(self) -> None:
-        self._refresh_fn = self.make_refresh_fn()
+    def init_refresh(self, feat_scale=None) -> None:
+        self._refresh_fn = self.make_refresh_fn(feat_scale)

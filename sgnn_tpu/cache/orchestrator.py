@@ -101,7 +101,7 @@ class CachedSampleTrainer(SampleTrainer):
             self.sb_caches = [EmbeddingCache.build(self.adj, cache_ids,
                                                    agg_kind, mean_style=ms)]
         for c in self.sb_caches:
-            c.init_refresh()
+            c.init_refresh(self._feat_scale)
         self.cache = self.sb_caches[0]  # active (consumer-side) cache
         self.w_queue = StalenessQueue()
         self.cache_hits = 0

@@ -89,6 +89,10 @@ class RunConfig:
     seed: int = 0
     dtype: str = "float32"           # compute dtype for activations
     param_dtype: str = "float32"
+    # FEATURE storage dtype: "" follows `dtype`; "int8" stores the feature
+    # matrix (device-resident and the beyond-HBM hot cache) per-column
+    # quantized — 4x the rows of f32 in the same HBM (data/quant.py)
+    feature_dtype: str = ""
 
     @property
     def num_layers(self) -> int:
@@ -167,6 +171,7 @@ _KEYMAP = {
     "DEL_FRAC": ("del_frac", float),
     "SEED": ("seed", int),
     "DTYPE": ("dtype", str),
+    "FEATURE_DTYPE": ("feature_dtype", str),
     "REMAT": ("remat", _to_bool),
     "SUBLINEAR": ("remat", _to_bool),
     "SRC_PAD_FACTOR": ("src_pad_factor", float),

@@ -190,7 +190,10 @@ def spmm_coo_csc(
 
 def _spmm_csc_fwd_impl(x, src, dst, weight, num_dst):
     # weight multiplies under jnp promotion (f32 weights promote bf16 rows
-    # to f32 messages) — identical arithmetic to spmm_coo
+    # to f32 messages) — identical arithmetic to spmm_coo.  int8-quantized
+    # x (FEATURE_DTYPE:int8 refresh paths) returns f32: weighted sums are
+    # not representable in the storage dtype.
+    out_dtype = jnp.float32 if x.dtype == jnp.int8 else x.dtype
     chunk = _edge_chunk(src.shape[0], x.shape[1])
     if chunk is None:
         msgs = x[src] * weight[:, None]
@@ -198,7 +201,7 @@ def _spmm_csc_fwd_impl(x, src, dst, weight, num_dst):
             msgs.astype(jnp.float32), dst, num_segments=num_dst,
             indices_are_sorted=True,
         )
-        return out.astype(x.dtype)
+        return out.astype(out_dtype)
     src_c, dst_c, w_c = _pad_chunks(
         (src, dst, weight), src.shape[0], chunk, fills=(0, num_dst - 1, 0))
 
@@ -210,7 +213,7 @@ def _spmm_csc_fwd_impl(x, src, dst, weight, num_dst):
 
     acc0 = jnp.zeros((num_dst, x.shape[1]), jnp.float32)
     out, _ = jax.lax.scan(body, acc0, (src_c, dst_c, w_c))
-    return out.astype(x.dtype)
+    return out.astype(out_dtype)
 
 
 def _spmm_csc_fwd(x, src, dst, weight, perm, inv_perm, num_dst):

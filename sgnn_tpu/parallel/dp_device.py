@@ -30,14 +30,20 @@ from ..utils.logging import get_logger
 log = get_logger("sgnn.dpdev")
 
 
-def _fetch_sharded_x0(features, batch):
-    """Assemble x0 from row-sharded features: ICI fetch + invalid-row mask."""
+def _fetch_sharded_x0(features, batch, feat_scale=None, compute_dtype=None):
+    """Assemble x0 from row-sharded features: ICI fetch + invalid-row mask.
+
+    int8-sharded storage (FEATURE_DTYPE:int8): each shard holds quantized
+    rows; fetched rows dequantize to `compute_dtype` with the per-column
+    scales (data/quant.py) after the collective."""
     import dataclasses as _dc
 
     from .sharded_features import fetch_feature_rows
 
     b0 = batch.blocks[0]
     rows = fetch_feature_rows(features, b0.srcs)
+    if feat_scale is not None:
+        rows = rows.astype(compute_dtype) * feat_scale.astype(compute_dtype)
     x0 = jnp.where(b0.src_valid[:, None], rows, jnp.zeros((), rows.dtype))
     return _dc.replace(batch, x0=x0)
 
@@ -88,6 +94,7 @@ class DeviceDataParallelTrainer:
         fanouts = tuple(base.cfg.fanout)
         wk = base.weight_kind
         dm = base.dev_degree_mode
+        fs, cd = base._feat_scale, base.compute_dtype
         remat = base.cfg.remat
         bn = base.cfg.batch_norm
         shard_feats = self.shard_features
@@ -115,9 +122,11 @@ class DeviceDataParallelTrainer:
                     sk, seeds, valid, indptr, indices, in_deg, out_deg,
                     features, labels, fanouts, src_pads, wk,
                     degree_mode=dm, gather_features=not shard_feats,
+                    feat_scale=None if shard_feats else fs,
+                    compute_dtype=cd,
                 )
                 if shard_feats:
-                    batch = _fetch_sharded_x0(features, batch)
+                    batch = _fetch_sharded_x0(features, batch, fs, cd)
 
                 def loss_fn(p):
                     logp = model_forward(
@@ -211,6 +220,7 @@ class DeviceDataParallelTrainer:
         fanouts = tuple(base.cfg.fanout)
         wk = base.weight_kind
         dm = base.dev_degree_mode
+        fs, cd = base._feat_scale, base.compute_dtype
         shard_feats = self.shard_features
 
         @functools.partial(
@@ -232,9 +242,11 @@ class DeviceDataParallelTrainer:
                     sk, seeds, valid, indptr, indices, in_deg, out_deg,
                     features, labels, fanouts, src_pads, wk,
                     degree_mode=dm, gather_features=not shard_feats,
+                    feat_scale=None if shard_feats else fs,
+                    compute_dtype=cd,
                 )
                 if shard_feats:
-                    batch = _fetch_sharded_x0(features, batch)
+                    batch = _fetch_sharded_x0(features, batch, fs, cd)
                 logp = model_forward(params, family, batch, train=False,
                                      heads=heads, batch_norm=bn)
                 return key, masked_accuracy(

@@ -210,7 +210,7 @@ def _sample_hop(
 @functools.partial(
     jax.jit,
     static_argnames=("fanouts", "src_pads", "weight_kind", "degree_mode",
-                     "gather_features"),
+                     "gather_features", "compute_dtype"),
 )
 def device_sample_batch(
     key: jax.Array,
@@ -228,6 +228,8 @@ def device_sample_batch(
     omit_map: "jax.Array | None" = None,
     degree_mode: str = "sampled",
     gather_features: bool = True,
+    feat_scale: "jax.Array | None" = None,
+    compute_dtype=jnp.float32,
 ) -> SampledBatch:
     """Sample an L-hop batch fully on device and gather its payload.
 
@@ -235,6 +237,10 @@ def device_sample_batch(
     `omit_map` (int32 [V], slot or -1) enables cache-omitting sampling for
     the bottom hop; the batch then carries cache_mask/cache_slot for the
     model's layer-0 merge.
+    `feat_scale` ([F] per-column scales) marks `features` as int8-quantized
+    storage (FEATURE_DTYPE:int8, data/quant.py): gathered rows are
+    dequantized to `compute_dtype` in-program, and the identity-srcs fast
+    path is disabled (it would alias the whole quantized matrix as x0).
     Returns blocks in input→output order with features gathered from HBM.
     """
     blocks: List[SampledBlock] = []
@@ -252,6 +258,7 @@ def device_sample_batch(
             and last
             and src_pads[h] == num_vertices
             and features.shape[0] == num_vertices
+            and feat_scale is None
         )
         blk, _, n_over = _sample_hop(
             sub, cur_seeds, cur_valid, indptr, indices, f, src_pads[h],
@@ -278,6 +285,10 @@ def device_sample_batch(
         x0 = features
     else:
         rows = features[blocks[0].srcs]
+        if feat_scale is not None:
+            rows = rows.astype(compute_dtype) * feat_scale.astype(
+                compute_dtype
+            )
         x0 = jnp.where(
             blocks[0].src_valid[:, None], rows, jnp.zeros((), rows.dtype)
         )

@@ -133,6 +133,7 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
         src_pads = self.src_pads
         wk = self.weight_kind
         dm = self.dev_degree_mode
+        fs, cd = self._feat_scale, self.compute_dtype
         num_slots = self.cache.num_cached
         sb_steps = self.super_batch_steps
 
@@ -151,6 +152,10 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
                 agg = spmm_coo_fwd_sorted(
                     features, coo_src_all[sb], coo_slot_all[sb],
                     coo_w_all[sb], num_slots)
+                if fs is not None:
+                    # int8 storage: per-COLUMN dequant commutes with row
+                    # aggregation — scale the tiny [C, F] aggregate
+                    agg = agg * fs[None, :]
                 return jnp.dot(agg.astype(jnp.float32), w0,
                                preferred_element_type=jnp.float32)
 
@@ -170,6 +175,7 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
                     sk, seeds, valid, indptr, indices, in_deg, out_deg,
                     features, labels, fanouts, src_pads, wk,
                     omit_map=omit_maps[sb], degree_mode=dm,
+                    feat_scale=fs, compute_dtype=cd,
                 )
 
                 def loss_fn(p):

@@ -146,6 +146,7 @@ class DeviceSampleTrainer(SampleTrainer):
         src_pads = self.src_pads
         wk = self.weight_kind
         dm = self.dev_degree_mode
+        fs, cd = self._feat_scale, self.compute_dtype
 
         @jax.jit
         def step(params, opt_state, seeds, seed_valid, skey, dkey,
@@ -153,7 +154,7 @@ class DeviceSampleTrainer(SampleTrainer):
             batch = device_sample_batch(
                 skey, seeds, seed_valid, indptr, indices, in_deg, out_deg,
                 features, labels, fanouts, src_pads, wk,
-                degree_mode=dm,
+                degree_mode=dm, feat_scale=fs, compute_dtype=cd,
             )
 
             def loss_fn(p):
@@ -192,6 +193,7 @@ class DeviceSampleTrainer(SampleTrainer):
         src_pads = self.src_pads
         wk = self.weight_kind
         dm = self.dev_degree_mode
+        fs, cd = self._feat_scale, self.compute_dtype
         unroll = max(1, self.cfg.scan_unroll)
 
         @jax.jit
@@ -204,7 +206,7 @@ class DeviceSampleTrainer(SampleTrainer):
                 batch = device_sample_batch(
                     sk, seeds, valid, indptr, indices, in_deg, out_deg,
                     features, labels, fanouts, src_pads, wk,
-                    degree_mode=dm,
+                    degree_mode=dm, feat_scale=fs, compute_dtype=cd,
                 )
 
                 def loss_fn(p):
@@ -247,6 +249,7 @@ class DeviceSampleTrainer(SampleTrainer):
         src_pads = self.src_pads
         wk = self.weight_kind
         dm = self.dev_degree_mode
+        fs, cd = self._feat_scale, self.compute_dtype
 
         @jax.jit
         def evaluate(params, seeds, seed_valid, skey,
@@ -254,7 +257,7 @@ class DeviceSampleTrainer(SampleTrainer):
             batch = device_sample_batch(
                 skey, seeds, seed_valid, indptr, indices, in_deg, out_deg,
                 features, labels, fanouts, src_pads, wk,
-                degree_mode=dm,
+                degree_mode=dm, feat_scale=fs, compute_dtype=cd,
             )
             logp = model_forward(params, family, batch, train=False,
                      heads=heads, batch_norm=bn)
@@ -270,6 +273,7 @@ class DeviceSampleTrainer(SampleTrainer):
         src_pads = self.src_pads
         wk = self.weight_kind
         dm = self.dev_degree_mode
+        fs, cd = self._feat_scale, self.compute_dtype
 
         @jax.jit
         def eval_epoch(params, seeds_all, valid_all, key,
@@ -280,7 +284,7 @@ class DeviceSampleTrainer(SampleTrainer):
                 batch = device_sample_batch(
                     sk, seeds, valid, indptr, indices, in_deg, out_deg,
                     features, labels, fanouts, src_pads, wk,
-                    degree_mode=dm,
+                    degree_mode=dm, feat_scale=fs, compute_dtype=cd,
                 )
                 logp = model_forward(params, family, batch, train=False,
                      heads=heads, batch_norm=bn)

@@ -165,9 +165,32 @@ class SampleTrainer:
         # compute dtype: bf16 halves feature-gather HBM traffic; params and
         # the loss head stay f32 (DTYPE cfg key)
         self.compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        # feature STORAGE dtype (FEATURE_DTYPE cfg key, "" → follow DTYPE):
+        # int8 stores per-column-quantized features — a CAPACITY knob (4x
+        # f32 rows per HBM byte; the gather itself is ~10% slower than bf16,
+        # docs/PERF.md "Feature-gather dtype"), dequantized in-program
+        fd = (cfg.feature_dtype or cfg.dtype).lower()
+        if fd not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                f"FEATURE_DTYPE must be float32|bfloat16|int8, got {fd!r}"
+            )
+        self.feature_int8 = fd == "int8"
+        self._feat_scale = None   # [F] f32 per-column scales (int8 mode)
+        self._host_q = None       # host int8 matrix (int8 + host-mode)
+        feat_store_dtype = (
+            jnp.int8 if self.feature_int8
+            else (jnp.bfloat16 if fd == "bfloat16" else jnp.float32)
+        )
         if features_on_device:
-            self.dev_features = jnp.asarray(dataset.features,
-                                            dtype=self.compute_dtype)
+            if self.feature_int8:
+                from ..data.quant import quantize_columns
+
+                q, scale = quantize_columns(dataset.features)
+                self.dev_features = jnp.asarray(q)
+                self._feat_scale = jnp.asarray(scale)
+            else:
+                self.dev_features = jnp.asarray(dataset.features,
+                                                dtype=feat_store_dtype)
             self.dev_labels = jnp.asarray(dataset.labels.astype(np.int32))
         else:
             self.dev_features = None
@@ -185,14 +208,25 @@ class SampleTrainer:
 
             cap = hbm_feature_capacity(
                 dataset.features.shape[1],
-                jnp.dtype(self.compute_dtype).itemsize,
+                1 if self.feature_int8
+                else jnp.dtype(self.compute_dtype).itemsize,
                 budget_bytes=hbm_budget_bytes,
             )
             rows = min(int(cfg.feature_cache_rate * dataset.num_vertices), cap)
             hot = degree_ranked_hot_ids(self.adj, rows)
-            self.feat_cache = FeatureCache.build(
-                dataset.features, hot, dtype=self.compute_dtype
-            )
+            if self.feature_int8:
+                # quantize ONCE on the host; hot rows stage as int8 (2x the
+                # rows of bf16 per HBM byte) and cold rows also SHIP as int8
+                # (half the host→device bytes per miss)
+                from ..data.quant import quantize_columns
+
+                self._host_q, scale = quantize_columns(dataset.features)
+                self._feat_scale = jnp.asarray(scale)
+                self.feat_cache = FeatureCache.build(self._host_q, hot)
+            else:
+                self.feat_cache = FeatureCache.build(
+                    dataset.features, hot, dtype=self.compute_dtype
+                )
             log.info(
                 "feature cache: %d/%d rows (%.1f%%) staged in HBM "
                 "(capacity probe allowed %d)",
@@ -230,14 +264,25 @@ class SampleTrainer:
             hot = cache_rows[jnp.maximum(slots, 0)]
             use_hot = (slots >= 0) & b0.src_valid
             x0 = jnp.where(use_hot[:, None], hot, x0)
+            x0 = self._dequant(x0)
             return dataclasses.replace(batch, x0=x0, cold_pos=None)
         if not self.features_on_device:
             return batch
         b0, top = batch.blocks[0], batch.blocks[-1]
-        rows = features[b0.srcs]
+        rows = self._dequant(features[b0.srcs])
         x0 = jnp.where(b0.src_valid[:, None], rows, jnp.zeros((), rows.dtype))
         y = labels[top.seeds]
         return dataclasses.replace(batch, x0=x0, labels=y)
+
+    def _dequant(self, rows: jax.Array) -> jax.Array:
+        """int8-stored rows → compute dtype (per-column scales); pass-through
+        otherwise.  The [F] scale vector is closed over deliberately — it is
+        a few KB, unlike the feature matrix (which must stay an argument)."""
+        if rows.dtype != jnp.int8:
+            return rows.astype(self.compute_dtype)
+        return rows.astype(self.compute_dtype) * self._feat_scale.astype(
+            self.compute_dtype
+        )
 
     def _build_step(self):
         family, drop_rate = self.family, self.cfg.drop_rate
@@ -310,10 +355,14 @@ class SampleTrainer:
                 y = np.zeros((top.seeds.shape[0],), np.int32)
                 yv = top.dst_valid
             elif self.feat_cache is not None:
-                # ship ONLY cache-miss feature rows (compacted)
+                # ship ONLY cache-miss feature rows (compacted); int8 mode
+                # gathers from the pre-quantized host matrix so misses also
+                # cross the link at 1 byte/element
                 b0, top = hb.blocks[0], hb.blocks[-1]
+                feat_src = (self._host_q if self._host_q is not None
+                            else self.dataset.features)
                 x0, cold_pos = self.feat_cache.gather_cold_compact(
-                    self.dataset.features, b0.srcs, b0.src_valid
+                    feat_src, b0.srcs, b0.src_valid
                 )
                 y = self.dataset.labels[np.maximum(top.seeds, 0)].astype(
                     np.int32
