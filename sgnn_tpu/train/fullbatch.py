@@ -96,6 +96,7 @@ def full_forward(
     dropout_key: Optional[jax.Array] = None,
     csr: Optional[Tuple[jax.Array, jax.Array]] = None,
     fwd_sorted: bool = False,
+    x_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """L-layer whole-graph forward (GCN/SAGE via SpMM; GAT via COO softmax).
 
@@ -127,6 +128,18 @@ def full_forward(
         var = jnp.var(t32, axis=0, keepdims=True)
         return ((t32 - mu) * jax.lax.rsqrt(var + BN_EPS)).astype(t.dtype)
 
+    if x.dtype == jnp.int8:
+        # FEATURE_DTYPE:int8 whole-graph storage (data/quant.py): the
+        # per-COLUMN dequant diag(x_scale) commutes with the layer-0
+        # matmul every family performs (transform-first / GAT's X·W /
+        # min-max's X·W) AND with the agg-first SpMM (aggregation is
+        # linear in x), so fold the scales into W0 once and feed the raw
+        # int8 levels as floats — no [V, F]-sized dequant multiply.
+        assert x_scale is not None, "int8 features need x_scale"
+        w0 = params.weights[0] * x_scale.astype(
+            params.weights[0].dtype)[:, None]
+        params = params._replace(weights=(w0,) + tuple(params.weights[1:]))
+        x = x.astype(x_scale.dtype)
     h = x
     w_edge = w_edge.astype(x.dtype)  # bf16 compute when DTYPE:bfloat16
     n_layers = len(params.weights)
@@ -243,8 +256,28 @@ class FullBatchTrainer:
         self.mesh = mesh
         self.compute_dtype = (jnp.bfloat16 if cfg.dtype == "bfloat16"
                               else jnp.float32)
+        # FEATURE_DTYPE:int8 (data/quant.py): store the whole-graph x
+        # quantized — 4x the f32 rows per HBM byte; full_forward folds the
+        # per-column scales into W0
+        fd = (cfg.feature_dtype or cfg.dtype).lower()
+        self.feature_int8 = fd == "int8"
+        self.x_scale = None
+        if self.feature_int8 and mesh is not None:
+            raise ValueError(
+                "FEATURE_DTYPE:int8 is not supported with a mesh "
+                "(PARTITION_GRAPH) full-batch trainer yet — drop the key "
+                "or train unsharded"
+            )
         if mesh is None:  # sharded init replaces these with padded copies
-            self.x = jnp.asarray(dataset.features, dtype=self.compute_dtype)
+            if self.feature_int8:
+                from ..data.quant import quantize_columns
+
+                q, scale = quantize_columns(dataset.features)
+                self.x = jnp.asarray(q)
+                self.x_scale = jnp.asarray(scale, dtype=self.compute_dtype)
+            else:
+                self.x = jnp.asarray(dataset.features,
+                                     dtype=self.compute_dtype)
             self.y = jnp.asarray(dataset.labels.astype(np.int32))
             self.train_mask = jnp.asarray(dataset.masks == MASK_TRAIN)
             self.val_mask = jnp.asarray(dataset.masks == MASK_VAL)
@@ -283,6 +316,7 @@ class FullBatchTrainer:
         heads = self.cfg.heads
         use_bn = bool(getattr(self.cfg, "batch_norm", False))
         drop_rate = float(self.cfg.drop_rate)
+        xs = self.x_scale  # [F] or None — small enough to close over
 
         @jax.jit
         def step(params, opt_state, x, y, mask, src, dst, w, perm, invp,
@@ -293,7 +327,7 @@ class FullBatchTrainer:
                 logp = full_forward(p, family, x, src, dst, w, v,
                                     aggregator=aggregator, heads=heads,
                                     batch_norm=use_bn, drop_rate=drop_rate,
-                                    dropout_key=dkey, csr=csr)
+                                    dropout_key=dkey, csr=csr, x_scale=xs)
                 return nll_loss_masked(logp, y, mask), logp
 
             (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -302,7 +336,7 @@ class FullBatchTrainer:
                 # metrics from a dropout-free forward (reference ctx->eval())
                 logp = full_forward(params, family, x, src, dst, w, v,
                                     aggregator=aggregator, heads=heads,
-                                    batch_norm=use_bn, csr=csr)
+                                    batch_norm=use_bn, csr=csr, x_scale=xs)
             pred = jnp.argmax(logp, axis=-1)
             return new_p, new_o, loss, pred
 
@@ -641,6 +675,7 @@ class FullBatchTrainer:
             self.adj.num_vertices, aggregator=self.aggregator,
             heads=self.cfg.heads,
             batch_norm=bool(getattr(self.cfg, "batch_norm", False)),
+            x_scale=self.x_scale,
         )
         return np.asarray(logp, dtype=np.float32)
 

@@ -104,26 +104,44 @@ def _dense_chunk(x, w):
     return jnp.dot(x, w, preferred_element_type=x.dtype)
 
 
-_full_fwd = None
+_full_fwd = {}
 
 
 def _jit_full_forward(params, x, src, dst, w, *, family, num_vertices,
-                      heads, batch_norm=False, aggregator="sum"):
-    """Lazily-jitted whole-graph forward (one compile per static config)."""
+                      heads, batch_norm=False, aggregator="sum",
+                      x_scale=None):
+    """Lazily-jitted whole-graph forward (one compile per static config).
+
+    `x_scale` ([F] per-column scales) marks int8-quantized resident
+    features (FEATURE_DTYPE:int8) — full_forward folds them into W0."""
     global _full_fwd
-    if _full_fwd is None:
+    key = x_scale is not None
+    if key not in _full_fwd:
         from .fullbatch import full_forward
 
-        _full_fwd = jax.jit(
-            lambda p, x, s, d, w, fam, nv, h, bn, agg: full_forward(
-                p, fam, x, s, d, w, nv, heads=h, batch_norm=bn,
-                aggregator=agg,
-                fwd_sorted=True,  # dst is CSC-ascending, padded at nv-1
-            ),
-            static_argnums=(5, 6, 7, 8, 9),
-        )
-    return _full_fwd(params, x, src, dst, w, family, num_vertices, heads,
-                     batch_norm, aggregator)
+        if key:
+            _full_fwd[key] = jax.jit(
+                lambda p, x, s, d, w, xs, fam, nv, h, bn, agg: full_forward(
+                    p, fam, x, s, d, w, nv, heads=h, batch_norm=bn,
+                    aggregator=agg, x_scale=xs,
+                    fwd_sorted=True,
+                ),
+                static_argnums=(6, 7, 8, 9, 10),
+            )
+        else:
+            _full_fwd[key] = jax.jit(
+                lambda p, x, s, d, w, fam, nv, h, bn, agg: full_forward(
+                    p, fam, x, s, d, w, nv, heads=h, batch_norm=bn,
+                    aggregator=agg,
+                    fwd_sorted=True,  # dst is CSC-ascending, padded at nv-1
+                ),
+                static_argnums=(5, 6, 7, 8, 9),
+            )
+    if key:
+        return _full_fwd[key](params, x, src, dst, w, x_scale, family,
+                              num_vertices, heads, batch_norm, aggregator)
+    return _full_fwd[key](params, x, src, dst, w, family, num_vertices,
+                          heads, batch_norm, aggregator)
 
 
 def _serving_coo(adj: Adjacency, weight_kind: WeightKind, mean_style: str):
@@ -363,7 +381,7 @@ def _in_edges(indptr: np.ndarray, dsts: np.ndarray):
 @functools.partial(jax.jit, static_argnames=("family", "heads",
                                               "aggregator"))
 def _query_forward(params, x_all, gids0, layers, family, heads,
-                   aggregator="sum"):
+                   aggregator="sum", x_scale=None):
     """Exact forward over an L-hop query neighborhood (one device program).
 
     `layers[l] = (src_local, dst_local, w, dst_in_src)`: the layer's edges
@@ -376,6 +394,8 @@ def _query_forward(params, x_all, gids0, layers, family, heads,
     whole-graph pass on the queried rows.
     """
     h = x_all[gids0]
+    if x_scale is not None:  # int8 residency: dequant the gathered rows
+        h = h.astype(x_scale.dtype) * x_scale
     n_layers = len(params.weights)
     for l, (src_local, dst_local, w, dst_in_src) in enumerate(layers):
         wl = params.weights[l].astype(h.dtype)
@@ -490,7 +510,18 @@ class InferenceServer:
         self._src = jnp.asarray(srcp)
         self._dst = jnp.asarray(dstp)
         self._w = jnp.asarray(wp)
-        self._x = jnp.asarray(np.ascontiguousarray(features, dtype))
+        # dtype=jnp.int8 (or "int8"): quantized residency — 4x the f32
+        # rows per HBM byte (FEATURE_DTYPE:int8 serving analog); the
+        # forward folds the per-column scales into W0 (data/quant.py)
+        self._x_scale = None
+        if dtype in ("int8", np.int8) or dtype == jnp.int8:
+            from ..data.quant import quantize_columns
+
+            q, scale = quantize_columns(features)
+            self._x = jnp.asarray(q)
+            self._x_scale = jnp.asarray(scale)
+        else:
+            self._x = jnp.asarray(np.ascontiguousarray(features, dtype))
         self.params = params
         # host-side CSC + serving weights for query-neighborhood planning
         # (indices stay int32 — half the planning memory; only the edge
@@ -511,7 +542,7 @@ class InferenceServer:
             self.params, self._x, self._src, self._dst, self._w,
             family=self.family, num_vertices=self.num_vertices,
             heads=self.heads, batch_norm=self.batch_norm,
-            aggregator=self.aggregator,
+            aggregator=self.aggregator, x_scale=self._x_scale,
         )
         return np.asarray(logp) if as_numpy else logp
 
@@ -611,5 +642,6 @@ class InferenceServer:
                                                 - plan[0][0].size)))
         logp = _query_forward(self.params, self._x, gids0, tuple(layers),
                               family=self.family, heads=self.heads,
-                              aggregator=self.aggregator)
+                              aggregator=self.aggregator,
+                              x_scale=self._x_scale)
         return np.asarray(logp)[:uniq.size][inv]

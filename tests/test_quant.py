@@ -160,3 +160,100 @@ def test_shard_features_int8_matches_replicated(tiny_ds):
         return [tr.train_epoch()[0] for _ in range(2)]
 
     np.testing.assert_allclose(run(True), run(False), rtol=1e-4)
+
+
+def test_full_forward_int8_matches_dequant(tiny_ds):
+    """Whole-graph forward with int8 x + scale fold == forward over the
+    dequantized matrix, for every family/branch (transform-first,
+    agg-first, GAT incl. multi-head, min/max aggregator)."""
+    import jax.numpy as jnp
+
+    from sgnn_tpu.graph.adjacency import Adjacency
+    from sgnn_tpu.models.gnn import init_model
+    from sgnn_tpu.sampler.blocks import WeightKind
+    from sgnn_tpu.train.fullbatch import build_coo, full_forward
+
+    adj = Adjacency.from_edges(tiny_ds.edges, tiny_ds.num_vertices)
+    q, scale = quantize_columns(tiny_ds.features)
+    xq = jnp.asarray(q)
+    xs = jnp.asarray(scale)
+    xf = jnp.asarray(dequantize(q, scale))
+    import jax
+
+    cases = [
+        ("gcn", [32, 16, 5], 1, "sum"),     # transform-first layer 0
+        ("gcn", [32, 64, 5], 1, "sum"),     # agg-first layer 0 (in < out)
+        ("gat", [32, 16, 5], 1, "sum"),
+        ("gat", [32, 16, 5], 4, "sum"),     # multi-head
+        ("sage", [32, 16, 5], 1, "max"),    # min/max aggregator
+    ]
+    for family, sizes, heads, aggregator in cases:
+        wk = WeightKind.NONE if family == "gat" else WeightKind.GCN
+        src, dst, w = build_coo(adj, wk)
+        src, dst, w = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
+        params = init_model(jax.random.PRNGKey(3), family, sizes)
+        got = full_forward(params, family, xq, src, dst, w,
+                           adj.num_vertices, aggregator=aggregator,
+                           heads=heads, x_scale=xs)
+        ref = full_forward(params, family, xf, src, dst, w,
+                           adj.num_vertices, aggregator=aggregator,
+                           heads=heads)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5,
+            err_msg=f"{family}/{sizes}/{heads}h/{aggregator}",
+        )
+
+
+def test_fullbatch_engine_int8_cora(cora):
+    """GCNFULLBATCH with FEATURE_DTYPE:int8 on real Cora: binary features
+    quantize exactly — accuracy tracks the f32 engine."""
+    from sgnn_tpu.train.engines import run_engine
+
+    def run(fd):
+        cfg = RunConfig(
+            algorithm="GCNFULLBATCH", layer_sizes=[1433, 64, 7],
+            epochs=15, learn_rate=0.01, weight_decay=1e-4, drop_rate=0.0,
+            vertices=cora.num_vertices, feature_dtype=fd,
+        )
+        return run_engine(cfg, cora)
+
+    r8, rf = run("int8"), run("")
+    np.testing.assert_allclose(r8.losses, rf.losses, rtol=1e-3, atol=1e-4)
+
+
+def test_inference_server_int8(tiny_ds):
+    """int8-resident InferenceServer: predictions agree with the f32
+    server, and query(nids) matches logprobs()[nids]."""
+    import jax
+
+    from sgnn_tpu.graph.adjacency import Adjacency
+    from sgnn_tpu.models.gnn import init_model
+    from sgnn_tpu.train.inference import InferenceServer
+
+    adj = Adjacency.from_edges(tiny_ds.edges, tiny_ds.num_vertices)
+    params = init_model(jax.random.PRNGKey(0), "gcn", [32, 16, 5])
+    srv8 = InferenceServer(params, "gcn", adj, tiny_ds.features,
+                           dtype="int8")
+    assert srv8._x.dtype == np.int8
+    srvf = InferenceServer(params, "gcn", adj, tiny_ds.features)
+    lp8, lpf = srv8.logprobs(), srvf.logprobs()
+    agree = np.mean(np.argmax(lp8, 1) == np.argmax(lpf, 1))
+    assert agree > 0.97, agree
+    nids = np.array([0, 3, 17, 255, 499])
+    np.testing.assert_allclose(srv8.query(nids), lp8[nids],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fullbatch_int8_mesh_rejected(tiny_ds):
+    """PARTITION_GRAPH + int8 is an explicit, documented error (the
+    sharded full-batch program has no quantized halo path yet)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from sgnn_tpu.train.fullbatch import FullBatchTrainer
+
+    cfg = _mk_cfg(tiny_ds, feature_dtype="int8")
+    cfg.fanout = []
+    mesh = Mesh(np.array(jax.devices()[:2]), ("graph",))
+    with pytest.raises(ValueError, match="int8"):
+        FullBatchTrainer(cfg, tiny_ds, family="gcn", mesh=mesh)
