@@ -262,12 +262,6 @@ class FullBatchTrainer:
         fd = (cfg.feature_dtype or cfg.dtype).lower()
         self.feature_int8 = fd == "int8"
         self.x_scale = None
-        if self.feature_int8 and mesh is not None:
-            raise ValueError(
-                "FEATURE_DTYPE:int8 is not supported with a mesh "
-                "(PARTITION_GRAPH) full-batch trainer yet — drop the key "
-                "or train unsharded"
-            )
         if mesh is None:  # sharded init replaces these with padded copies
             if self.feature_int8:
                 from ..data.quant import quantize_columns
@@ -373,8 +367,19 @@ class FullBatchTrainer:
             out[:v] = np.asarray(a)
             return to_dev(out)
 
-        self.x = padv(np.asarray(self.dataset.features,
-                                 dtype=self.compute_dtype))
+        if self.feature_int8:
+            # int8 shards: 4x the f32 rows per HBM byte AND 4x less halo
+            # traffic for layer 0's agg-first case; the shard-local forward
+            # folds the per-column scales into W0 (same rule as
+            # full_forward)
+            from ..data.quant import quantize_columns
+
+            q, scale = quantize_columns(np.asarray(self.dataset.features))
+            self.x = padv(q)
+            self.x_scale = jnp.asarray(scale, dtype=self.compute_dtype)
+        else:
+            self.x = padv(np.asarray(self.dataset.features,
+                                     dtype=self.compute_dtype))
         self.y = padv(self.dataset.labels.astype(np.int32))
         self.train_mask = padv(np.asarray(self.dataset.masks == MASK_TRAIN))
         self.val_mask = padv(np.asarray(self.dataset.masks == MASK_VAL))
@@ -387,6 +392,7 @@ class FullBatchTrainer:
         use_bn = bool(getattr(self.cfg, "batch_norm", False))
         v_real = v
         drop_rate = float(self.cfg.drop_rate)
+        xs = self.x_scale  # [F] per-column scales or None (small capture)
 
         halo_mode = self.halo
 
@@ -467,6 +473,13 @@ class FullBatchTrainer:
                     )
 
                 h = x
+                if h.dtype == jnp.int8:
+                    # FEATURE_DTYPE:int8 shards: fold diag(x_scale) into W0
+                    # (commutes with every layer-0 branch below, incl. the
+                    # halo-exchanged aggregation — it is linear in x)
+                    w0 = p.weights[0] * xs.astype(p.weights[0].dtype)[:, None]
+                    p = p._replace(weights=(w0,) + tuple(p.weights[1:]))
+                    h = h.astype(xs.dtype)
                 for l in range(n_layers):
                     wl = p.weights[l].astype(h.dtype)
                     if aggregator in ("min", "max") and family != "gat":

@@ -244,16 +244,24 @@ def test_inference_server_int8(tiny_ds):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_fullbatch_int8_mesh_rejected(tiny_ds):
-    """PARTITION_GRAPH + int8 is an explicit, documented error (the
-    sharded full-batch program has no quantized halo path yet)."""
+@pytest.mark.parametrize("family,halo", [("gcn", "all_gather"),
+                                         ("gat", "targeted")])
+def test_fullbatch_int8_sharded_matches_single(tiny_ds, family, halo):
+    """Vertex-sharded int8 full-batch (quantized shards + scale fold in
+    the shard-local forward) trains on the SAME loss trajectory as the
+    single-device int8 run — for the SpMM family over both halo modes and
+    for distributed GAT."""
     import jax
     from jax.sharding import Mesh
 
     from sgnn_tpu.train.fullbatch import FullBatchTrainer
 
-    cfg = _mk_cfg(tiny_ds, feature_dtype="int8")
-    cfg.fanout = []
-    mesh = Mesh(np.array(jax.devices()[:2]), ("graph",))
-    with pytest.raises(ValueError, match="int8"):
-        FullBatchTrainer(cfg, tiny_ds, family="gcn", mesh=mesh)
+    def run(mesh):
+        cfg = _mk_cfg(tiny_ds, feature_dtype="int8", epochs=3)
+        cfg.fanout = []
+        cfg.halo = halo
+        t = FullBatchTrainer(cfg, tiny_ds, family=family, mesh=mesh)
+        return [t.train_epoch()[0] for _ in range(3)]
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("graph",))
+    np.testing.assert_allclose(run(mesh), run(None), rtol=2e-4, atol=1e-5)
