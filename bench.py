@@ -78,7 +78,8 @@ def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
                       host_sampler: bool = False,
                       dtype: str = "float32",
                       src_pad_factor: float = 0.0,
-                      up_degree: bool = False) -> dict:
+                      up_degree: bool = False,
+                      feature_dtype: str = "") -> dict:
     import numpy as np
 
     from sgnn_tpu.config import RunConfig
@@ -96,6 +97,7 @@ def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
         dtype=dtype,
         src_pad_factor=src_pad_factor,
         up_degree=up_degree,
+        feature_dtype=feature_dtype,
     )
     if host_sampler:
         from sgnn_tpu.train.trainer import SampleTrainer
@@ -334,6 +336,9 @@ def main():
                     help="use the threefry PRNG (default: rbg, the faster "
                          "TPU hardware generator — accuracy-parity checked "
                          "by this bench's own train-acc output)")
+    ap.add_argument("--feature-dtype", default="",
+                    help="feature STORAGE dtype for the sampled stage "
+                         "(e.g. int8 — 4x rows per HBM byte)")
     ap.add_argument("--f32", action="store_true",
                     help="float32 features/activations (default is bf16 "
                          "features + f32 params/head — accuracy-parity "
@@ -380,6 +385,7 @@ def main():
             dtype="float32" if args.f32 else "bfloat16",
             src_pad_factor=0.0 if args.exact_pads else 1.2,
             up_degree=args.up_degree,
+            feature_dtype=args.feature_dtype,
         )
 
     sage = None
