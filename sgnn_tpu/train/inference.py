@@ -562,9 +562,10 @@ class InferenceServer:
         request sizes reuse compiled programs; results equal
         `logprobs()[nids]` up to float reassociation.
 
-        `fanout` (int, or one int per layer bottom-first like cfg.fanout)
-        caps the in-edges kept per destination at each hop — the
-        reference's sampled-Test semantics.  On power-law graphs a hub's
+        `fanout` (int, or one int per hop, seed-hop-first like cfg.fanout:
+        fanout[0] applies to the queried seeds, the reference convention,
+        ntsFastSampler.hpp:1003) caps the in-edges kept per destination at
+        each hop — the reference's sampled-Test semantics.  On power-law graphs a hub's
         exact 2-hop neighborhood can be most of the graph; a fanout bounds
         the worst-case request latency at the cost of sampling noise.
         MEAN/"plain" weights are recomputed as 1/sampled-count (the
@@ -593,7 +594,9 @@ class InferenceServer:
         for hop in range(n_layers):
             eids, dst_local = _in_edges(self._h_indptr, dst_set)
             if fanout is not None and eids.size:
-                k = fanouts[n_layers - 1 - hop]  # cfg.fanout bottom-first
+                # the plan walks top-down (hop 0 = the queried seeds), and
+                # cfg.fanout is seed-hop-first — same index order
+                k = fanouts[hop]
                 # keep k uniform draws per destination: rank each edge by
                 # a random key within its dst segment (distinct edges,
                 # like the host sampler's Floyd draws)
