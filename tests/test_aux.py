@@ -158,6 +158,22 @@ def test_resume_equivalence_cached_engine(tmp_path, tiny_ds):
     _resume_equivalence(make, tmp_path)
 
 
+def test_resume_equivalence_fullbatch_engine(tmp_path, tiny_ds):
+    """GCNFULLBATCH (whole-graph engine) resumes bit-equivalently —
+    closes the checkpoint matrix over the third trainer family (sampled /
+    cached / full-batch)."""
+    from sgnn_tpu.train.engines import build_trainer
+
+    def make():
+        cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[1, 1],
+                        batch_size=64, epochs=4, drop_rate=0.3,
+                        vertices=tiny_ds.num_vertices,
+                        algorithm="GCNFULLBATCH")
+        return build_trainer(cfg, tiny_ds)
+
+    _resume_equivalence(make, tmp_path)
+
+
 def test_reference_sgd_rule(tiny_ds):
     """OPTIMIZER:sgd reaches the trainer and applies the reference rule
     W' = (W - lr·g)·(1 - wd)  (learnC2C_with_decay_SGD,
