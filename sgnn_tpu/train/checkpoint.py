@@ -113,6 +113,16 @@ class CheckpointManager:
             step, restored = self._numpy_restore(step, trainer)
             if step is None:
                 return None
+        # Decommit to host: orbax hands back arrays COMMITTED to the device
+        # they were restored onto (device 0).  Mesh-sharded trainers (the
+        # *MULTI DP wrappers, sharded full-batch) then reject them —
+        # "incompatible devices ... device ids [0] vs [0..7]" — whereas
+        # fresh-init params are uncommitted and place freely.  Host numpy
+        # leaves behave like fresh init for every trainer family.
+        restored = jax.tree.map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+            restored,
+        )
         owner = _state_owner(trainer)
         if hasattr(owner, "load_checkpoint_state"):
             owner.load_checkpoint_state(restored)

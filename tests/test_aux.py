@@ -121,8 +121,10 @@ def _resume_equivalence(make_trainer, tmp_path):
     assert mgr.restore(b) == 1
     b.train_epoch()
     b.train_epoch()
-    la = jax.tree.leaves(a.params)
-    lb = jax.tree.leaves(b.params)
+    pa = getattr(a, "base", a).params   # DP wrappers keep state on .base
+    pb = getattr(b, "base", b).params
+    la = jax.tree.leaves(pa)
+    lb = jax.tree.leaves(pb)
     for x, y in zip(la, lb):
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=0, atol=0
@@ -169,6 +171,23 @@ def test_resume_equivalence_fullbatch_engine(tmp_path, tiny_ds):
                         batch_size=64, epochs=4, drop_rate=0.3,
                         vertices=tiny_ds.num_vertices,
                         algorithm="GCNFULLBATCH")
+        return build_trainer(cfg, tiny_ds)
+
+    _resume_equivalence(make, tmp_path)
+
+
+def test_resume_equivalence_dp_engine(tmp_path, tiny_ds):
+    """GCNSAMPLEALLMULTI (device-sampled DP over the 8-device mesh)
+    restores and keeps training.  Regression: orbax hands back arrays
+    COMMITTED to device 0, which the mesh-sharded epoch program rejected
+    ("incompatible devices") until restore decommitted them to host."""
+    from sgnn_tpu.train.engines import build_trainer
+
+    def make():
+        cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[4, 3],
+                        batch_size=64, epochs=4, drop_rate=0.3,
+                        vertices=tiny_ds.num_vertices,
+                        algorithm="GCNSAMPLEALLMULTI")
         return build_trainer(cfg, tiny_ds)
 
     _resume_equivalence(make, tmp_path)
