@@ -61,7 +61,21 @@ class StalenessQueue:
 
 @dataclasses.dataclass
 class EmbeddingCache:
-    """Static hot-set COO + device cache array + vertex→slot map."""
+    """Static hot-set COO + device cache array + vertex→slot map.
+
+    The hot set, its full in-neighborhoods and the edge weights are all
+    FIXED after pre-sampling, and the raw features never change — so the
+    PushDown aggregation  agg[c] = Σ_{e: slot(e)=c} w_e · x[src_e]  is
+    weight-independent and computed ONCE (`precompute_aggregate`).  Each
+    super-batch refresh is then just  cache_emb = agg @ W0_snapshot  — a
+    pure MXU matmul.  Two consequences vs recomputing the aggregation per
+    refresh: (1) the per-super-batch cost drops from an E_hot-edge gather +
+    segment-sum to a [C, F]·[F, H] matmul; (2) the features need NOT be
+    device-resident — beyond-HBM graphs aggregate once on the host from the
+    host feature store, exactly the reference's founding scenario (the CPU
+    helper aggregates host-resident global features because the GPU can't
+    hold them, GCN_SAMPLE_PD_CACHE.hpp:792-840).
+    """
 
     cache_ids: np.ndarray          # [C] global ids of hot vertices
     cache_map_host: np.ndarray     # [V] int32, slot or -1
@@ -71,6 +85,7 @@ class EmbeddingCache:
     cache_emb: Optional[jax.Array]  # [C, H] current cached embeddings
     cache_map: jax.Array           # [V] int32 device copy of the slot map
     version: int = -1
+    cache_agg: Optional[jax.Array] = None  # [C, F] precomputed aggregate
 
     @property
     def num_cached(self) -> int:

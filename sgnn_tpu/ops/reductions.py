@@ -39,11 +39,56 @@ def gather_max(x_src: jax.Array, nbr: jax.Array, edge_mask: jax.Array) -> jax.Ar
     return jnp.where(any_valid, out, 0.0)
 
 
-def segment_min_coo(x, src, dst, valid, num_dst, indices_are_sorted=False):
+def _segment_extreme_windowed(x, src, dst, valid, num_dst, plan, kind):
+    """Edge-chunked min/max with bounded dst windows (SpmmPlanner plan).
+
+    Requires dst ascending (CSC order).  The direct path materializes an
+    [E, F] message tensor — past the element budget, chunks of `plan.chunk`
+    edges each reduce into a [dst_span, F] window combined into the carried
+    accumulator via elementwise min/max (ops/segment.py windowed-SpMM
+    pattern; reference dst-range chunk segments, core/GraphSegment.h:60).
+    Autodiff flows through scan + dynamic_update_slice + segment_min/max —
+    the subgradient still routes to the arg-extreme edge."""
+    from .segment import _pad_chunks, _window_ids
+
+    seg_red = jax.ops.segment_min if kind == "min" else jax.ops.segment_max
+    comb = jnp.minimum if kind == "min" else jnp.maximum
+    fin = jnp.finfo(x.dtype)
+    init = jnp.asarray(fin.max if kind == "min" else fin.min, x.dtype)
+    chunk, window = plan.chunk, plan.dst_span
+    e_total = src.shape[0]
+    f = x.shape[1]
+    src_c, dst_c, v_c = _pad_chunks(
+        (src, dst, valid), e_total, chunk, fills=(0, num_dst - 1, False))
+
+    def body(acc, args):
+        s, d, vld = args
+        r0, dl = _window_ids(d, window)
+        msgs = jnp.where(vld[:, None], x[s], init)
+        local = seg_red(msgs, dl, num_segments=window,
+                        indices_are_sorted=True)
+        win = jax.lax.dynamic_slice(acc, (r0, 0), (window, f))
+        return jax.lax.dynamic_update_slice(acc, comb(win, local),
+                                            (r0, 0)), None
+
+    acc0 = jnp.full((num_dst + window, f), init, x.dtype)
+    acc, _ = jax.lax.scan(body, acc0, (src_c, dst_c, v_c))
+    out = acc[:num_dst]
+    ok = (jnp.isfinite(out)
+          & ((out < init) if kind == "min" else (out > init)))
+    return jnp.where(ok, out, 0.0)
+
+
+def segment_min_coo(x, src, dst, valid, num_dst, indices_are_sorted=False,
+                    plan=None):
     """COO full-graph min (reference DistAggregateDstMin).  Pass
     indices_are_sorted=True only when dst is ascending (build_coo /
     shard_graph order) — invalid edges are masked but must still point at
-    in-order ids."""
+    in-order ids.  `plan` (ops/segment.SpmmPlanner) chunks the [E, F]
+    message tensor into bounded dst windows (sorted order required)."""
+    if plan is not None and indices_are_sorted:
+        return _segment_extreme_windowed(x, src, dst, valid, num_dst, plan,
+                                         "min")
     big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
     msgs = jnp.where(valid[:, None], x[src], big)
     out = jax.ops.segment_min(msgs, dst, num_segments=num_dst,
@@ -51,7 +96,11 @@ def segment_min_coo(x, src, dst, valid, num_dst, indices_are_sorted=False):
     return jnp.where(jnp.isfinite(out) & (out < big), out, 0.0)
 
 
-def segment_max_coo(x, src, dst, valid, num_dst, indices_are_sorted=False):
+def segment_max_coo(x, src, dst, valid, num_dst, indices_are_sorted=False,
+                    plan=None):
+    if plan is not None and indices_are_sorted:
+        return _segment_extreme_windowed(x, src, dst, valid, num_dst, plan,
+                                         "max")
     small = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
     msgs = jnp.where(valid[:, None], x[src], small)
     out = jax.ops.segment_max(msgs, dst, num_segments=num_dst,

@@ -28,9 +28,11 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # direct path allowed up to this many E·F elements (≈2G ⇒ ~12 GB of live
 # message temps at f32-backward — the v5e ceiling); SGNN_SPMM_DIRECT_ELEMS
@@ -79,6 +81,111 @@ def _pad_chunks(arrs, e_total: int, chunk: int, fills=None):
                         constant_values=fill)
         out.append(a.reshape((n, chunk) + a.shape[1:]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Destination-range window plans.  The reference's full-batch engines never
+# touch a whole [V, F] accumulator per chunk: each CSC_segment_pinned chunk
+# covers a BOUNDED destination row range (core/GraphSegment.h:60, CHUNK_LENGTH
+# core/graph.hpp:67), so chunked cost is linear in E.  The sorted whole-graph
+# COO here gives the same property for free: a run of `chunk` consecutive
+# dst-sorted edges spans a bounded dst-id window (and the CSR-permuted view a
+# bounded src-id window).  A host-side SpmmPlanner measures the worst-case
+# window ONCE per (graph, chunk length); the chunked scans then accumulate
+# each chunk into a [window, F] slice via dynamic_update_slice instead of
+# adding a full [num_rows, F] segment_sum — per-chunk cost O(chunk·F +
+# window·F), so whole-graph training/serving scales with E, not E·V.
+# Measured consequence of the old full-accumulator chunking: 6x epoch cost
+# for 2x edges the moment chunking engaged (docs/PERF.md scale sweep).
+
+
+class SpmmPlan(NamedTuple):
+    """Static (hashable) chunk plan for the sorted SpMM family."""
+
+    chunk: int      # edges per scan chunk
+    dst_span: int   # max dst-id window of any chunk (sublane-aligned)
+    src_span: int   # max src-id window of any CSR-ordered chunk
+
+
+def _chunk_span(ids: np.ndarray, chunk: int, num_segments: int) -> int:
+    """Max id-span of any length-`chunk` slice of a sorted host id array,
+    +8 because window starts are aligned DOWN to a sublane multiple, rounded
+    up to a multiple of 8 and clamped to num_segments."""
+    e = ids.size
+    if e == 0:
+        return min(8, max(num_segments, 1))
+    n = -(-e // chunk)
+    starts = ids[np.arange(n, dtype=np.int64) * chunk]
+    ends = ids[np.minimum(np.arange(1, n + 1, dtype=np.int64) * chunk, e) - 1]
+    span = int((ends.astype(np.int64) - starts.astype(np.int64)).max()) + 1
+    span += 8
+    return min(-(-span // 8) * 8, max(num_segments, 1))
+
+
+class SpmmPlanner:
+    """Host-side window planner for a statically double-sorted edge list.
+
+    Built once per graph from the arrays the ops will actually see:
+    `dst_csc` (ascending; only the first `e_real` entries are real — the
+    weight-0 padding tail at num_dst-1 is excluded from span measurement and
+    handled by runtime clamping) and `src_csr` = src[perm] (ascending;
+    weight-0 pads carry src 0 inside the first block and never inflate a
+    span).  `plan(feat)` returns None when the direct path fits the element
+    budget (same rule as `_edge_chunk`) or an SpmmPlan for the chunk length
+    the op will pick.
+    """
+
+    def __init__(self, dst_csc: np.ndarray, src_csr: np.ndarray,
+                 num_src: int, num_dst: int,
+                 e_real: Optional[int] = None) -> None:
+        dst = np.asarray(dst_csc)
+        self._e_pad = int(dst.size)
+        e_real = int(e_real) if e_real is not None else self._e_pad
+        self._dst = dst[:e_real]
+        self._src = np.asarray(src_csr)
+        self.num_src = int(num_src)
+        self.num_dst = int(num_dst)
+        self._cache: dict = {}
+
+    def _spans(self, chunk: int) -> SpmmPlan:
+        return SpmmPlan(
+            chunk=int(chunk),
+            dst_span=_chunk_span(self._dst, chunk, self.num_dst),
+            src_span=_chunk_span(self._src, chunk, self.num_src),
+        )
+
+    def plan(self, feat: int, live_factor: int = 1) -> Optional[SpmmPlan]:
+        key = ("ef", int(feat), int(live_factor))
+        if key not in self._cache:
+            chunk = _edge_chunk(self._e_pad, feat, live_factor)
+            self._cache[key] = None if chunk is None else self._spans(chunk)
+        return self._cache[key]
+
+    def plan_hm(self, fh: int) -> Optional[SpmmPlan]:
+        """Plan for the head-major per-head [*, fh] SpMMs (`_hm_chunk`)."""
+        key = ("hm", int(fh))
+        if key not in self._cache:
+            chunk = _hm_chunk(self._e_pad, fh)
+            self._cache[key] = None if chunk is None else self._spans(chunk)
+        return self._cache[key]
+
+
+def _window_ids(ids: jax.Array, window: int):
+    """(window start, clamped local segment ids) for one sorted chunk.
+
+    The start aligns down to a sublane multiple (cheap dynamic slices);
+    local ids clamp to window-1 — safe because the planner guarantees every
+    REAL edge fits the window and the only clamped edges are weight-0 pads
+    (which contribute nothing wherever they land), and the clamp preserves
+    the ascending order the sorted segment emitter relies on."""
+    r0 = (ids[0] // 8) * 8
+    return r0, jnp.minimum(ids - r0, window - 1)
+
+
+def _window_add(acc: jax.Array, local: jax.Array, r0) -> jax.Array:
+    w, f = local.shape
+    win = jax.lax.dynamic_slice(acc, (r0, 0), (w, f))
+    return jax.lax.dynamic_update_slice(acc, win + local, (r0, 0))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -173,7 +280,7 @@ spmm_coo.defvjp(_spmm_fwd, _spmm_bwd)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def spmm_coo_csc(
     x: jax.Array,        # [S, F] source features
     src: jax.Array,      # [E] int32 edge source ids
@@ -183,18 +290,23 @@ def spmm_coo_csc(
     perm: jax.Array,     # [E] int32 stable argsort of src (CSR order)
     inv_perm: jax.Array, # [E] int32 inverse of perm
     num_dst: int,
+    plan: Optional[SpmmPlan] = None,  # SpmmPlanner window plan → chunked
+                                      # scans accumulate into bounded dst/src
+                                      # row windows (O(E) total) instead of a
+                                      # full [num_rows, F] add per chunk
 ) -> jax.Array:
     """`spmm_coo` for statically double-sorted whole-graph edge lists."""
-    return _spmm_csc_fwd_impl(x, src, dst, weight, num_dst)
+    return _spmm_csc_fwd_impl(x, src, dst, weight, num_dst, plan)
 
 
-def _spmm_csc_fwd_impl(x, src, dst, weight, num_dst):
+def _spmm_csc_fwd_impl(x, src, dst, weight, num_dst, plan=None):
     # weight multiplies under jnp promotion (f32 weights promote bf16 rows
     # to f32 messages) — identical arithmetic to spmm_coo.  int8-quantized
     # x (FEATURE_DTYPE:int8 refresh paths) returns f32: weighted sums are
     # not representable in the storage dtype.
     out_dtype = jnp.float32 if x.dtype == jnp.int8 else x.dtype
-    chunk = _edge_chunk(src.shape[0], x.shape[1])
+    chunk = plan.chunk if plan is not None else _edge_chunk(
+        src.shape[0], x.shape[1])
     if chunk is None:
         msgs = x[src] * weight[:, None]
         out = jax.ops.segment_sum(
@@ -204,6 +316,20 @@ def _spmm_csc_fwd_impl(x, src, dst, weight, num_dst):
         return out.astype(out_dtype)
     src_c, dst_c, w_c = _pad_chunks(
         (src, dst, weight), src.shape[0], chunk, fills=(0, num_dst - 1, 0))
+    if plan is not None:
+        window = plan.dst_span
+
+        def bodyw(acc, args):
+            s, d, w = args
+            r0, dl = _window_ids(d, window)
+            m = (x[s] * w[:, None]).astype(jnp.float32)
+            local = jax.ops.segment_sum(
+                m, dl, num_segments=window, indices_are_sorted=True)
+            return _window_add(acc, local, r0), None
+
+        acc0 = jnp.zeros((num_dst + window, x.shape[1]), jnp.float32)
+        out, _ = jax.lax.scan(bodyw, acc0, (src_c, dst_c, w_c))
+        return out[:num_dst].astype(out_dtype)
 
     def body(acc, args):
         s, d, w = args
@@ -216,18 +342,19 @@ def _spmm_csc_fwd_impl(x, src, dst, weight, num_dst):
     return out.astype(out_dtype)
 
 
-def _spmm_csc_fwd(x, src, dst, weight, perm, inv_perm, num_dst):
-    return (_spmm_csc_fwd_impl(x, src, dst, weight, num_dst),
+def _spmm_csc_fwd(x, src, dst, weight, perm, inv_perm, num_dst, plan=None):
+    return (_spmm_csc_fwd_impl(x, src, dst, weight, num_dst, plan),
             (x, src, dst, weight, perm, inv_perm))
 
 
-def _spmm_csc_bwd(num_dst, res, g):
+def _spmm_csc_bwd(num_dst, plan, res, g):
     x, src, dst, weight, perm, inv_perm = res
     # CSR-order views: [E] int32 gathers, trivially cheap next to the [E, F]
     # row work; sp is ascending so the dx segment sum runs sorted too.
     sp, dp, wp = src[perm], dst[perm], weight[perm]
     num_src = x.shape[0]
-    chunk = _edge_chunk(src.shape[0], x.shape[1])
+    chunk = plan.chunk if plan is not None else _edge_chunk(
+        src.shape[0], x.shape[1])
     if chunk is None:
         gd = g[dp]                                           # [E, F]
         ge = (gd * wp[:, None]).astype(jnp.float32)
@@ -241,6 +368,25 @@ def _spmm_csc_bwd(num_dst, res, g):
     e_total = src.shape[0]
     sp_c, dp_c, wp_c = _pad_chunks(
         (sp, dp, wp), e_total, chunk, fills=(num_src - 1, 0, 0))
+    if plan is not None:
+        window = plan.src_span
+
+        def bodyw(acc, args):
+            s, d, w = args
+            r0, sl = _window_ids(s, window)
+            gd = g[d]
+            ge = (gd * w[:, None]).astype(jnp.float32)
+            local = jax.ops.segment_sum(
+                ge, sl, num_segments=window, indices_are_sorted=True)
+            acc = _window_add(acc, local, r0)
+            dw_c = jnp.einsum("ef,ef->e", gd, x[s],
+                              preferred_element_type=jnp.float32)
+            return acc, dw_c
+
+        acc0 = jnp.zeros((num_src + window, x.shape[1]), jnp.float32)
+        dx, dw_p = jax.lax.scan(bodyw, acc0, (sp_c, dp_c, wp_c))
+        dw = dw_p.reshape(-1)[:e_total][inv_perm].astype(weight.dtype)
+        return dx[:num_src].astype(x.dtype), None, None, dw, None, None
 
     def body(acc, args):
         s, d, w = args
@@ -261,7 +407,7 @@ def _spmm_csc_bwd(num_dst, res, g):
 spmm_coo_csc.defvjp(_spmm_csc_fwd, _spmm_csc_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def spmm_coo_multihead_csc(
     x: jax.Array,        # [S, F] source features, F = H·Fh
     src: jax.Array,      # [E] int32 edge source ids
@@ -270,17 +416,19 @@ def spmm_coo_multihead_csc(
     perm: jax.Array,     # [E] int32 stable argsort of src (CSR order)
     inv_perm: jax.Array, # [E] int32 inverse of perm
     num_dst: int,
+    plan: Optional[SpmmPlan] = None,  # from SpmmPlanner.plan(F, live=3)
 ) -> jax.Array:
     """`spmm_coo_multihead` for statically double-sorted edge lists: both
     the forward (by dst) and the dx backward (by src) run as sorted segment
     sums; d_att comes back in caller edge order via inv_perm."""
-    return _mh_csc_fwd_impl(x, src, dst, att, num_dst)
+    return _mh_csc_fwd_impl(x, src, dst, att, num_dst, plan)
 
 
-def _mh_csc_fwd_impl(x, src, dst, att, num_dst):
+def _mh_csc_fwd_impl(x, src, dst, att, num_dst, plan=None):
     e_total, heads = att.shape
     fh = x.shape[1] // heads
-    chunk = _edge_chunk(e_total, x.shape[1], live_factor=3)
+    chunk = plan.chunk if plan is not None else _edge_chunk(
+        e_total, x.shape[1], live_factor=3)
     if chunk is None:
         msgs = (x[src].reshape(e_total, heads, fh)
                 * att[:, :, None].astype(x.dtype))
@@ -291,6 +439,22 @@ def _mh_csc_fwd_impl(x, src, dst, att, num_dst):
         return out.reshape(num_dst, heads * fh)
     src_c, dst_c, att_c = _pad_chunks(
         (src, dst, att), e_total, chunk, fills=(0, num_dst - 1, 0))
+    if plan is not None:
+        window = plan.dst_span
+
+        def bodyw(acc, args):
+            s, d, a = args
+            r0, dl = _window_ids(d, window)
+            m = (x[s].reshape(chunk, heads, fh)
+                 * a[:, :, None].astype(x.dtype)).astype(jnp.float32)
+            local = jax.ops.segment_sum(
+                m.reshape(chunk, heads * fh), dl, num_segments=window,
+                indices_are_sorted=True)
+            return _window_add(acc, local, r0), None
+
+        acc0 = jnp.zeros((num_dst + window, heads * fh), jnp.float32)
+        out, _ = jax.lax.scan(bodyw, acc0, (src_c, dst_c, att_c))
+        return out[:num_dst].astype(x.dtype)
 
     def body(acc, args):
         s, d, a = args
@@ -304,19 +468,20 @@ def _mh_csc_fwd_impl(x, src, dst, att, num_dst):
     return out.astype(x.dtype).reshape(num_dst, heads * fh)
 
 
-def _mh_csc_fwd(x, src, dst, att, perm, inv_perm, num_dst):
-    return (_mh_csc_fwd_impl(x, src, dst, att, num_dst),
+def _mh_csc_fwd(x, src, dst, att, perm, inv_perm, num_dst, plan=None):
+    return (_mh_csc_fwd_impl(x, src, dst, att, num_dst, plan),
             (x, src, dst, att, perm, inv_perm))
 
 
-def _mh_csc_bwd(num_dst, res, g):
+def _mh_csc_bwd(num_dst, plan, res, g):
     x, src, dst, att, perm, inv_perm = res
     e_total, heads = att.shape
     fh = x.shape[1] // heads
     num_src = x.shape[0]
     sp, dp, attp = src[perm], dst[perm], att[perm]
     g2 = g.reshape(num_dst, heads, fh)
-    chunk = _edge_chunk(e_total, x.shape[1], live_factor=3)
+    chunk = plan.chunk if plan is not None else _edge_chunk(
+        e_total, x.shape[1], live_factor=3)
     if chunk is None:
         gd = g2[dp]                                        # [E, H, Fh]
         ge = (gd * attp[:, :, None].astype(g.dtype)).astype(jnp.float32)
@@ -331,6 +496,27 @@ def _mh_csc_bwd(num_dst, res, g):
         return dx, None, None, da, None, None
     sp_c, dp_c, attp_c = _pad_chunks(
         (sp, dp, attp), e_total, chunk, fills=(num_src - 1, 0, 0))
+    if plan is not None:
+        window = plan.src_span
+
+        def bodyw(acc, args):
+            s, d, a = args
+            r0, sl = _window_ids(s, window)
+            gd = g2[d]
+            ge = (gd * a[:, :, None].astype(g.dtype)).astype(jnp.float32)
+            local = jax.ops.segment_sum(
+                ge.reshape(chunk, heads * fh), sl, num_segments=window,
+                indices_are_sorted=True)
+            acc = _window_add(acc, local, r0)
+            da_c = jnp.einsum("ehf,ehf->eh", gd,
+                              x[s].reshape(chunk, heads, fh),
+                              preferred_element_type=jnp.float32)
+            return acc, da_c
+
+        acc0 = jnp.zeros((num_src + window, heads * fh), jnp.float32)
+        dx, da_p = jax.lax.scan(bodyw, acc0, (sp_c, dp_c, attp_c))
+        da = da_p.reshape(-1, heads)[:e_total][inv_perm].astype(att.dtype)
+        return dx[:num_src].astype(x.dtype), None, None, da, None, None
 
     def body(acc, args):
         s, d, a = args
@@ -352,13 +538,14 @@ def _mh_csc_bwd(num_dst, res, g):
 spmm_coo_multihead_csc.defvjp(_mh_csc_fwd, _mh_csc_bwd)
 
 
-def spmm_coo_fwd_sorted(x, src, dst, weight, num_dst):
+def spmm_coo_fwd_sorted(x, src, dst, weight, num_dst, plan=None):
     """Forward-only sorted SpMM: `dst` must be ascending (CSC order, padding
     tail at num_dst-1).  For inference/serving paths that never take grads —
     under autodiff this still differentiates correctly (segment_sum's VJP is
     a gather; x[src]'s is a scatter-add), just without the sorted-backward
-    speedup of spmm_coo_csc."""
-    return _spmm_csc_fwd_impl(x, src, dst, weight, num_dst)
+    speedup of spmm_coo_csc.  `plan` (SpmmPlanner) bounds chunked
+    accumulation to dst windows, making serving passes linear in E."""
+    return _spmm_csc_fwd_impl(x, src, dst, weight, num_dst, plan)
 
 
 def segment_softmax_coo(
@@ -474,7 +661,7 @@ def _hm_chunk(e_total: int, fh: int) -> int | None:
     return max(_CHUNK_ELEMS // eff, _CHUNK_FLOOR)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def spmm_coo_multihead_hm(
     x: jax.Array,        # [S, F] source features, F = H·Fh
     src: jax.Array,      # [E] int32 edge source ids
@@ -482,19 +669,32 @@ def spmm_coo_multihead_hm(
     att_hm: jax.Array,   # [H, E] HEAD-MAJOR per-head edge weights
     num_dst: int,
     indices_are_sorted: bool = False,
+    plan: Optional[SpmmPlan] = None,  # SpmmPlanner.plan_hm(fh); needs
+                                      # indices_are_sorted=True (CSC order)
+    perm: Optional[jax.Array] = None,      # [E] CSR order (argsort of src) —
+    inv_perm: Optional[jax.Array] = None,  # lets the planned BACKWARD window
+                                           # its src accumulation too
 ) -> jax.Array:
     """`spmm_coo_multihead` with head-major attention: H per-head flat
     SpMMs over [*, Fh] slices (never an [E, H(, Fh)] edge-major temp),
     each edge-chunked on tile-padded element counts.  Hand-written VJP
-    keeps the backward chunked the same way."""
-    return _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted)
+    keeps the backward chunked the same way.
+
+    With `plan`, each chunk accumulates into a bounded dst window
+    (forward); pass `perm`/`inv_perm` as well so the backward dx runs over
+    src windows in CSR order (otherwise the planned backward falls back to
+    the full [S, Fh] accumulator per head)."""
+    return _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted,
+                        plan)
 
 
-def _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted):
+def _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted,
+                 plan=None):
     heads = att_hm.shape[0]
     fh = x.shape[1] // heads
     e_total = src.shape[0]
-    chunk = _hm_chunk(e_total, fh)
+    chunk = plan.chunk if plan is not None else _hm_chunk(e_total, fh)
+    windowed = plan is not None and indices_are_sorted
     outs = []
     for i in range(heads):
         xi = x[:, i * fh:(i + 1) * fh]
@@ -503,6 +703,23 @@ def _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted):
             m = (xi[src] * ai[:, None].astype(xi.dtype)).astype(jnp.float32)
             o = jax.ops.segment_sum(m, dst, num_segments=num_dst,
                                     indices_are_sorted=indices_are_sorted)
+        elif windowed:
+            window = plan.dst_span
+            sc, dc, ac = _pad_chunks(
+                (src, dst, ai), e_total, chunk, fills=(0, num_dst - 1, 0))
+
+            def bodyw(acc, args, xi=xi):
+                s, d, a = args
+                r0, dl = _window_ids(d, window)
+                m = (xi[s] * a[:, None].astype(xi.dtype)).astype(jnp.float32)
+                local = jax.ops.segment_sum(
+                    m, dl, num_segments=window, indices_are_sorted=True)
+                return _window_add(acc, local, r0), None
+
+            o, _ = jax.lax.scan(
+                bodyw, jnp.zeros((num_dst + window, fh), jnp.float32),
+                (sc, dc, ac))
+            o = o[:num_dst]
         else:
             sc, dc, ac = _pad_chunks(
                 (src, dst, ai), e_total, chunk,
@@ -521,18 +738,54 @@ def _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted):
     return jnp.concatenate(outs, axis=1)
 
 
-def _hm_fwd(x, src, dst, att_hm, num_dst, indices_are_sorted):
-    return (_hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted),
-            (x, src, dst, att_hm))
+def _hm_fwd(x, src, dst, att_hm, num_dst, indices_are_sorted, plan=None,
+            perm=None, inv_perm=None):
+    return (_hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted,
+                         plan),
+            (x, src, dst, att_hm, perm, inv_perm))
 
 
-def _hm_bwd(num_dst, indices_are_sorted, res, g):
-    x, src, dst, att_hm = res
+def _hm_bwd(num_dst, indices_are_sorted, plan, res, g):
+    x, src, dst, att_hm, perm, inv_perm = res
     heads = att_hm.shape[0]
     fh = x.shape[1] // heads
     e_total = src.shape[0]
     num_src = x.shape[0]
-    chunk = _hm_chunk(e_total, fh)
+    chunk = plan.chunk if plan is not None else _hm_chunk(e_total, fh)
+    if chunk is not None and plan is not None and perm is not None:
+        # windowed CSR backward: reorder edges by src once ([E]-int gathers,
+        # cheap next to the row work), then each chunk's dx lands in a
+        # bounded src window
+        window = plan.src_span
+        sp, dp = src[perm], dst[perm]
+        dxs, das = [], []
+        for i in range(heads):
+            xi = x[:, i * fh:(i + 1) * fh]
+            ap = att_hm[i][perm]
+            gi = g[:, i * fh:(i + 1) * fh]
+            sc, dc, ac = _pad_chunks(
+                (sp, dp, ap), e_total, chunk, fills=(num_src - 1, 0, 0))
+
+            def bodyw(acc, args, xi=xi, gi=gi):
+                s, d, a = args
+                r0, sl = _window_ids(s, window)
+                gd = gi[d]
+                ge = (gd * a[:, None].astype(gd.dtype)).astype(jnp.float32)
+                local = jax.ops.segment_sum(
+                    ge, sl, num_segments=window, indices_are_sorted=True)
+                acc = _window_add(acc, local, r0)
+                da_c = jnp.einsum("ef,ef->e", gd, xi[s],
+                                  preferred_element_type=jnp.float32)
+                return acc, da_c
+
+            dx, da_c = jax.lax.scan(
+                bodyw, jnp.zeros((num_src + window, fh), jnp.float32),
+                (sc, dc, ac))
+            dxs.append(dx[:num_src].astype(x.dtype))
+            das.append(
+                da_c.reshape(-1)[:e_total][inv_perm].astype(att_hm.dtype))
+        return (jnp.concatenate(dxs, axis=1), None, None,
+                jnp.stack(das, axis=0), None, None)
     dxs, das = [], []
     for i in range(heads):
         xi = x[:, i * fh:(i + 1) * fh]
@@ -562,7 +815,7 @@ def _hm_bwd(num_dst, indices_are_sorted, res, g):
         dxs.append(dx.astype(x.dtype))
         das.append(da.astype(att_hm.dtype))
     return (jnp.concatenate(dxs, axis=1), None, None,
-            jnp.stack(das, axis=0))
+            jnp.stack(das, axis=0), None, None)
 
 
 spmm_coo_multihead_hm.defvjp(_hm_fwd, _hm_bwd)

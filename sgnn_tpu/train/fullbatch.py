@@ -30,7 +30,7 @@ from ..nn.functional import BN_EPS, dropout, log_softmax, nll_loss_masked
 from .guard import check_finite_loss
 from ..nn.optim import make_optimizer
 from ..ops.segment import (
-    segment_softmax_coo, spmm_coo, spmm_coo_csc,
+    SpmmPlanner, segment_softmax_coo, spmm_coo, spmm_coo_csc,
     spmm_coo_fwd_sorted, spmm_coo_multihead_hm,
 )
 from ..sampler.blocks import WeightKind, pad_to
@@ -97,6 +97,7 @@ def full_forward(
     csr: Optional[Tuple[jax.Array, jax.Array]] = None,
     fwd_sorted: bool = False,
     x_scale: Optional[jax.Array] = None,
+    planner: Optional[SpmmPlanner] = None,
 ) -> jax.Array:
     """L-layer whole-graph forward (GCN/SAGE via SpMM; GAT via COO softmax).
 
@@ -155,12 +156,21 @@ def full_forward(
     valid = w_edge != 0
     sorted_dst = csr is not None or fwd_sorted
 
+    def plan_for(t, live_factor=1):
+        # host-side window plan (SpmmPlanner): chunked SpMMs accumulate into
+        # bounded dst/src row windows — whole-graph cost stays linear in E
+        # (reference dst-range chunk segments, core/GraphSegment.h:60)
+        if planner is None or not sorted_dst:
+            return None
+        return planner.plan(t.shape[-1], live_factor)
+
     def agg(t, wgt):
         if csr is not None:
             return spmm_coo_csc(t, src, dst, wgt, csr[0], csr[1],
-                                num_vertices)
+                                num_vertices, plan_for(t))
         if fwd_sorted:  # inference paths: dst ascending, no grads taken
-            return spmm_coo_fwd_sorted(t, src, dst, wgt, num_vertices)
+            return spmm_coo_fwd_sorted(t, src, dst, wgt, num_vertices,
+                                       plan_for(t))
         return spmm_coo(t, src, dst, wgt, num_vertices)
 
     for l in range(n_layers):
@@ -169,7 +179,7 @@ def full_forward(
             ht = jnp.dot(h, wl, preferred_element_type=h.dtype)
             red = segment_min_coo if aggregator == "min" else segment_max_coo
             h = red(ht, src, dst, valid, num_vertices,
-                    indices_are_sorted=sorted_dst)
+                    indices_are_sorted=sorted_dst, plan=plan_for(ht))
             h = (log_softmax(h.astype(jnp.float32))
                  if l == n_layers - 1
                  else drop(jax.nn.relu(bn(h)), l))
@@ -198,9 +208,14 @@ def full_forward(
                     atts.append(segment_softmax_coo(
                         sc, dst, valid, num_vertices,
                         indices_are_sorted=sorted_dst))
-                h = spmm_coo_multihead_hm(ht, src, dst, jnp.stack(atts),
-                                          num_vertices,
-                                          indices_are_sorted=sorted_dst)
+                hm_plan = (planner.plan_hm(fh)
+                           if planner is not None and sorted_dst else None)
+                h = spmm_coo_multihead_hm(
+                    ht, src, dst, jnp.stack(atts), num_vertices,
+                    indices_are_sorted=sorted_dst, plan=hm_plan,
+                    perm=csr[0] if csr is not None else None,
+                    inv_perm=csr[1] if csr is not None else None,
+                )
             else:
                 score = ht[src] @ a_src + ht[dst] @ a_dst
                 score = jax.nn.leaky_relu(score, 0.2)
@@ -298,6 +313,13 @@ class FullBatchTrainer:
             # SpMM directions (measured win over scatter-add, docs/PERF.md)
             perm, inv = csr_order(src)
             self.perm, self.inv_perm = jnp.asarray(perm), jnp.asarray(inv)
+            # host-side window planner: chunked SpMMs accumulate into
+            # bounded dst/src row windows, keeping whole-graph epochs
+            # linear in E (the reference's CSC_segment_pinned dst-range
+            # chunks, core/GraphSegment.h:60 / graph.hpp:67)
+            v = self.adj.num_vertices
+            self.planner = SpmmPlanner(dst, src[perm], num_src=v, num_dst=v,
+                                       e_real=self.adj.num_edges)
             self._step = self._build_single_step()
         else:
             self._init_sharded(src, dst, w)
@@ -311,6 +333,7 @@ class FullBatchTrainer:
         use_bn = bool(getattr(self.cfg, "batch_norm", False))
         drop_rate = float(self.cfg.drop_rate)
         xs = self.x_scale  # [F] or None — small enough to close over
+        planner = self.planner  # host object; contributes only static ints
 
         @jax.jit
         def step(params, opt_state, x, y, mask, src, dst, w, perm, invp,
@@ -321,7 +344,8 @@ class FullBatchTrainer:
                 logp = full_forward(p, family, x, src, dst, w, v,
                                     aggregator=aggregator, heads=heads,
                                     batch_norm=use_bn, drop_rate=drop_rate,
-                                    dropout_key=dkey, csr=csr, x_scale=xs)
+                                    dropout_key=dkey, csr=csr, x_scale=xs,
+                                    planner=planner)
                 return nll_loss_masked(logp, y, mask), logp
 
             (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -330,7 +354,8 @@ class FullBatchTrainer:
                 # metrics from a dropout-free forward (reference ctx->eval())
                 logp = full_forward(params, family, x, src, dst, w, v,
                                     aggregator=aggregator, heads=heads,
-                                    batch_norm=use_bn, csr=csr, x_scale=xs)
+                                    batch_norm=use_bn, csr=csr, x_scale=xs,
+                                    planner=planner)
             pred = jnp.argmax(logp, axis=-1)
             return new_p, new_o, loss, pred
 
@@ -671,15 +696,23 @@ class FullBatchTrainer:
         if self.mesh is None:
             src, dst, w = self.src, self.dst, self.w
             x = self.x
+            planner = self.planner
         else:
             if not hasattr(self, "_eval_coo"):
                 wk = (WeightKind.NONE if self.family == "gat"
                       else self.weight_kind)
                 s_, d_, w_ = build_coo(self.adj, wk)
+                v_ = self.adj.num_vertices
+                # forward-only pass: only the dst windows matter (src spans
+                # are computed on the unsorted src — unused here)
+                self._eval_planner = SpmmPlanner(
+                    d_, s_, num_src=v_, num_dst=v_,
+                    e_real=self.adj.num_edges)
                 self._eval_coo = (
                     jnp.asarray(s_), jnp.asarray(d_), jnp.asarray(w_)
                 )
             src, dst, w = self._eval_coo
+            planner = self._eval_planner
             # self.x is padded to the shard boundary; the unsharded forward
             # (and batch-norm statistics) must see only the real vertices
             x = self.x[: self.adj.num_vertices]
@@ -688,7 +721,7 @@ class FullBatchTrainer:
             self.adj.num_vertices, aggregator=self.aggregator,
             heads=self.cfg.heads,
             batch_norm=bool(getattr(self.cfg, "batch_norm", False)),
-            x_scale=self.x_scale,
+            x_scale=self.x_scale, fwd_sorted=True, planner=planner,
         )
         return np.asarray(logp, dtype=np.float32)
 

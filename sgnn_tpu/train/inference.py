@@ -38,7 +38,7 @@ from ..graph.adjacency import Adjacency
 from ..models.gnn import GNNParams
 from ..nn.functional import BN_EPS, log_softmax
 from ..ops.segment import (
-    segment_softmax_coo, spmm_coo_fwd_sorted, spmm_coo_multihead,
+    SpmmPlanner, segment_softmax_coo, spmm_coo_fwd_sorted, spmm_coo_multihead,
 )
 from ..sampler.blocks import WeightKind, pad_to
 from ..sampler.native import gather_rows
@@ -105,43 +105,66 @@ def _dense_chunk(x, w):
 
 
 _full_fwd = {}
+_planners = {}
+
+
+def _planner_for(adj: Adjacency, dstp: np.ndarray,
+                 srcp: np.ndarray) -> SpmmPlanner:
+    """One SpmmPlanner per Adjacency object (keyed by identity, with the
+    object kept alive in the cache) — repeated serving calls on the same
+    graph reuse one planner, hence ONE compiled whole-graph program."""
+    ent = _planners.get(id(adj))
+    if ent is None or ent[0] is not adj:
+        v = adj.num_vertices
+        ent = (adj, SpmmPlanner(dstp, srcp, num_src=v, num_dst=v,
+                                e_real=adj.num_edges))
+        _planners[id(adj)] = ent
+    return ent[1]
 
 
 def _jit_full_forward(params, x, src, dst, w, *, family, num_vertices,
                       heads, batch_norm=False, aggregator="sum",
-                      x_scale=None):
+                      x_scale=None, planner=None):
     """Lazily-jitted whole-graph forward (one compile per static config).
 
     `x_scale` ([F] per-column scales) marks int8-quantized resident
-    features (FEATURE_DTYPE:int8) — full_forward folds them into W0."""
+    features (FEATURE_DTYPE:int8) — full_forward folds them into W0.
+    `planner` (ops/segment.SpmmPlanner) bounds chunked SpMM accumulation to
+    dst windows so big-graph serving passes stay linear in E; it enters the
+    compiled program only through static window ints (keyed by identity —
+    the cache holds a reference so ids stay unique)."""
     global _full_fwd
-    key = x_scale is not None
+    key = (x_scale is not None,
+           id(planner) if planner is not None else None)
     if key not in _full_fwd:
         from .fullbatch import full_forward
 
-        if key:
-            _full_fwd[key] = jax.jit(
+        if key[0]:
+            fn = jax.jit(
                 lambda p, x, s, d, w, xs, fam, nv, h, bn, agg: full_forward(
                     p, fam, x, s, d, w, nv, heads=h, batch_norm=bn,
                     aggregator=agg, x_scale=xs,
-                    fwd_sorted=True,
+                    fwd_sorted=True, planner=planner,
                 ),
                 static_argnums=(6, 7, 8, 9, 10),
             )
         else:
-            _full_fwd[key] = jax.jit(
+            fn = jax.jit(
                 lambda p, x, s, d, w, fam, nv, h, bn, agg: full_forward(
                     p, fam, x, s, d, w, nv, heads=h, batch_norm=bn,
                     aggregator=agg,
                     fwd_sorted=True,  # dst is CSC-ascending, padded at nv-1
+                    planner=planner,
                 ),
                 static_argnums=(5, 6, 7, 8, 9),
             )
-    if key:
-        return _full_fwd[key](params, x, src, dst, w, x_scale, family,
-                              num_vertices, heads, batch_norm, aggregator)
-    return _full_fwd[key](params, x, src, dst, w, family, num_vertices,
-                          heads, batch_norm, aggregator)
+        _full_fwd[key] = (fn, planner)  # keep planner alive (id stability)
+    fn = _full_fwd[key][0]
+    if key[0]:
+        return fn(params, x, src, dst, w, x_scale, family,
+                  num_vertices, heads, batch_norm, aggregator)
+    return fn(params, x, src, dst, w, family, num_vertices,
+              heads, batch_norm, aggregator)
 
 
 def _serving_coo(adj: Adjacency, weight_kind: WeightKind, mean_style: str):
@@ -239,12 +262,13 @@ def layerwise_inference(
         # fits-in-HBM fast path: the whole pass is ONE device program —
         # zero host staging (train/fullbatch.py supplies the program)
         srcp, dstp, wp = _padded_serving_coo(adj, weight_kind, mean_style)
+        planner = _planner_for(adj, dstp, srcp)
         logp = _jit_full_forward(
             params,
             jnp.asarray(np.ascontiguousarray(features, np.float32)),
             jnp.asarray(srcp), jnp.asarray(dstp), jnp.asarray(wp),
             family=family, num_vertices=v, heads=heads,
-            batch_norm=batch_norm,
+            batch_norm=batch_norm, planner=planner,
         )
         return np.asarray(logp)
     src_all, _, w_all = _serving_coo(adj, weight_kind, mean_style)
@@ -510,6 +534,9 @@ class InferenceServer:
         self._src = jnp.asarray(srcp)
         self._dst = jnp.asarray(dstp)
         self._w = jnp.asarray(wp)
+        # dst-window plan: resident passes on big graphs chunk into bounded
+        # row windows (linear in E) instead of a [V, F] add per chunk
+        self._planner = _planner_for(adj, dstp, srcp)
         # dtype=jnp.int8 (or "int8"): quantized residency — 4x the f32
         # rows per HBM byte (FEATURE_DTYPE:int8 serving analog); the
         # forward folds the per-column scales into W0 (data/quant.py)
@@ -543,6 +570,7 @@ class InferenceServer:
             family=self.family, num_vertices=self.num_vertices,
             heads=self.heads, batch_norm=self.batch_norm,
             aggregator=self.aggregator, x_scale=self._x_scale,
+            planner=self._planner,
         )
         return np.asarray(logp) if as_numpy else logp
 

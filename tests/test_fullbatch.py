@@ -433,3 +433,39 @@ def test_sharded_predict_matches_single(tiny_ds):
         nids = np.arange(0, tiny_ds.num_vertices, 3, dtype=np.int32)
         assert sharded.evaluate(nids) == pytest.approx(
             single.evaluate(nids))
+
+
+@pytest.mark.parametrize("family,aggregator,heads", [
+    ("gcn", "sum", 1),
+    ("gat", "sum", 2),
+    ("sage", "min", 1),
+])
+def test_fullbatch_windowed_chunking_matches_direct(
+    tiny_ds, monkeypatch, family, aggregator, heads
+):
+    """End-to-end: FullBatchTrainer under forced-tiny SpMM chunk budgets
+    (dst-range windowed accumulation engaged for every layer) trains the
+    same trajectory as the direct path — training step, metrics forward,
+    and predict().  Covers the SpmmPlanner wiring for GCN, multi-head GAT
+    (head-major + CSR backward windows) and the min aggregator."""
+    import sgnn_tpu.ops.segment as seg
+
+    cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[1, 1], epochs=1,
+                    learn_rate=0.01, seed=5, heads=heads, drop_rate=0.0,
+                    vertices=tiny_ds.num_vertices)
+    direct = FullBatchTrainer(cfg, tiny_ds, family=family,
+                              aggregator=aggregator)
+    losses_d = [direct.train_epoch()[0] for _ in range(3)]
+    logp_d = direct.predict()
+
+    monkeypatch.setattr(seg, "_DIRECT_ELEMS", 0)
+    monkeypatch.setattr(seg, "_CHUNK_ELEMS", 256 * 32)
+    monkeypatch.setattr(seg, "_CHUNK_FLOOR", 256)
+    windowed = FullBatchTrainer(cfg, tiny_ds, family=family,
+                                aggregator=aggregator)
+    # the plan must actually engage (genuinely windowed, not direct)
+    assert windowed.planner.plan(16) is not None
+    losses_w = [windowed.train_epoch()[0] for _ in range(3)]
+    np.testing.assert_allclose(losses_w, losses_d, rtol=2e-4, atol=2e-5)
+    logp_w = windowed.predict()
+    np.testing.assert_allclose(logp_w, logp_d, rtol=2e-3, atol=2e-4)

@@ -5,6 +5,8 @@ dense numpy/jnp reference of the same math, and custom VJPs against
 numerical finite differences or jax's own autodiff of the dense form.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -471,3 +473,205 @@ def test_head_major_ops_match_edge_major(monkeypatch, chunked):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ga_hm), np.asarray(ga_em).T,
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Destination-range windowed chunking (SpmmPlan / SpmmPlanner): the chunked
+# scans must accumulate into bounded dst/src row windows and still match the
+# direct path bit-for-tolerance — forward, d_x, d_weight/d_att.
+# ---------------------------------------------------------------------------
+
+
+def _sorted_coo(seed=3, S=41, F=16, D=33, pad=17, heads=1):
+    """Random CSC-ordered COO with a weight-0 padding tail (build_coo shape)."""
+    rng = np.random.default_rng(seed)
+    deg = rng.integers(0, 9, D)
+    dst = np.repeat(np.arange(D, dtype=np.int32), deg)
+    E = dst.size
+    src = rng.integers(0, S, E).astype(np.int32)
+    if heads > 1:
+        w = rng.normal(size=(E, heads)).astype(np.float32)
+        w_pad = np.zeros((pad, heads), np.float32)
+    else:
+        w = rng.normal(size=E).astype(np.float32)
+        w_pad = np.zeros(pad, np.float32)
+    dst = np.concatenate([dst, np.full(pad, D - 1, np.int32)])
+    src = np.concatenate([src, np.zeros(pad, np.int32)])
+    w = np.concatenate([w, w_pad])
+    perm = np.argsort(src, kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    x = rng.normal(size=(S, F)).astype(np.float32)
+    return x, src, dst, w, perm, inv, E
+
+
+def test_spmm_planner_spans(monkeypatch):
+    """Planner windows bound every chunk's real dst/src span (with the +8
+    alignment slack) and clamp at the segment count."""
+    import sgnn_tpu.ops.segment as seg
+
+    _, src, dst, _, perm, _, e_real = _sorted_coo(seed=5, S=50, D=40)
+    monkeypatch.setattr(seg, "_DIRECT_ELEMS", 0)
+    monkeypatch.setattr(seg, "_CHUNK_ELEMS", 32 * 16)
+    monkeypatch.setattr(seg, "_CHUNK_FLOOR", 32)
+    pl = seg.SpmmPlanner(dst, src[perm], num_src=50, num_dst=40,
+                         e_real=e_real)
+    p = pl.plan(16)
+    assert p is not None and p.chunk == 32
+    assert p.dst_span % 8 == 0 and 0 < p.dst_span <= 40
+    assert p.src_span % 8 == 0 and 0 < p.src_span <= 50
+    for k in range(0, e_real, p.chunk):
+        d = dst[k:min(k + p.chunk, e_real)]
+        assert int(d[-1]) - (int(d[0]) // 8) * 8 < p.dst_span
+    sp = src[perm]
+    for k in range(0, sp.size, p.chunk):
+        s = sp[k:k + p.chunk]
+        assert int(s[-1]) - (int(s[0]) // 8) * 8 < p.src_span
+    # direct-path regime: no plan
+    monkeypatch.setattr(seg, "_DIRECT_ELEMS", 1 << 40)
+    pl2 = seg.SpmmPlanner(dst, src[perm], num_src=50, num_dst=40,
+                          e_real=e_real)
+    assert pl2.plan(16) is None
+
+
+def test_spmm_csc_windowed_matches_direct(monkeypatch):
+    """spmm_coo_csc with an SpmmPlan == the direct path (fwd, dx, dw)."""
+    import sgnn_tpu.ops.segment as seg
+
+    x, src, dst, w, perm, inv, e_real = _sorted_coo()
+    xj = jnp.asarray(x)
+    srcj, dstj, wj = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
+    pj, ij = jnp.asarray(perm), jnp.asarray(inv)
+    D = 33
+
+    def loss(x_, w_, plan):
+        out = seg.spmm_coo_csc(x_, srcj, dstj, w_, pj, ij, D, plan)
+        return jnp.sum(out * jnp.cos(out)), out
+
+    (l0, o0), (dx0, dw0) = jax.value_and_grad(
+        functools.partial(loss, plan=None), argnums=(0, 1), has_aux=True
+    )(xj, wj)
+    monkeypatch.setattr(seg, "_DIRECT_ELEMS", 0)
+    monkeypatch.setattr(seg, "_CHUNK_ELEMS", 32 * 16)
+    monkeypatch.setattr(seg, "_CHUNK_FLOOR", 32)
+    planner = seg.SpmmPlanner(dst, src[perm], num_src=41, num_dst=D,
+                              e_real=e_real)
+    plan = planner.plan(16)
+    assert plan is not None and plan.dst_span < D  # genuinely windowed
+    (l1, o1), (dx1, dw1) = jax.value_and_grad(
+        functools.partial(loss, plan=plan), argnums=(0, 1), has_aux=True
+    )(xj, wj)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw0),
+                               rtol=1e-5, atol=1e-5)
+    # forward-only sorted entry point takes the same plan
+    o2 = seg.spmm_coo_fwd_sorted(xj, srcj, dstj, wj, D, plan)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_multihead_csc_windowed_matches_direct(monkeypatch):
+    import sgnn_tpu.ops.segment as seg
+
+    H, F = 2, 16
+    x, src, dst, att, perm, inv, e_real = _sorted_coo(F=F, heads=H)
+    xj, attj = jnp.asarray(x), jnp.asarray(att)
+    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+    pj, ij = jnp.asarray(perm), jnp.asarray(inv)
+    D = 33
+
+    def loss(x_, a_, plan):
+        out = seg.spmm_coo_multihead_csc(x_, srcj, dstj, a_, pj, ij, D, plan)
+        return jnp.sum(out * jnp.cos(out))
+
+    l0, (dx0, da0) = jax.value_and_grad(
+        functools.partial(loss, plan=None), argnums=(0, 1))(xj, attj)
+    monkeypatch.setattr(seg, "_DIRECT_ELEMS", 0)
+    monkeypatch.setattr(seg, "_CHUNK_ELEMS", 32 * F)
+    monkeypatch.setattr(seg, "_CHUNK_FLOOR", 32)
+    planner = seg.SpmmPlanner(dst, src[perm], num_src=41, num_dst=D,
+                              e_real=e_real)
+    plan = planner.plan(F, live_factor=3)
+    assert plan is not None
+    l1, (dx1, da1) = jax.value_and_grad(
+        functools.partial(loss, plan=plan), argnums=(0, 1))(xj, attj)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(da1), np.asarray(da0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_hm_windowed_matches_direct(monkeypatch):
+    """Head-major op with plan + CSR perm: fwd dst windows, bwd src windows."""
+    import sgnn_tpu.ops.segment as seg
+
+    H, F = 2, 16
+    x, src, dst, att, perm, inv, e_real = _sorted_coo(F=F, heads=H)
+    att_hm = np.ascontiguousarray(att.T)
+    xj, aj = jnp.asarray(x), jnp.asarray(att_hm)
+    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+    pj, ij = jnp.asarray(perm), jnp.asarray(inv)
+    D = 33
+
+    def loss(x_, a_, plan, use_perm):
+        out = seg.spmm_coo_multihead_hm(
+            x_, srcj, dstj, a_, D, True, plan,
+            perm=pj if use_perm else None,
+            inv_perm=ij if use_perm else None)
+        return jnp.sum(out * jnp.cos(out))
+
+    l0, (dx0, da0) = jax.value_and_grad(
+        functools.partial(loss, plan=None, use_perm=False),
+        argnums=(0, 1))(xj, aj)
+    monkeypatch.setattr(seg, "_DIRECT_ELEMS", 0)
+    monkeypatch.setattr(seg, "_CHUNK_ELEMS", 32 * F)
+    monkeypatch.setattr(seg, "_CHUNK_FLOOR", 32)
+    planner = seg.SpmmPlanner(dst, src[perm], num_src=41, num_dst=D,
+                              e_real=e_real)
+    plan = planner.plan_hm(F // H)
+    assert plan is not None
+    for use_perm in (False, True):
+        l1, (dx1, da1) = jax.value_and_grad(
+            functools.partial(loss, plan=plan, use_perm=use_perm),
+            argnums=(0, 1))(xj, aj)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(da1), np.asarray(da0),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_segment_extreme_windowed_matches_direct(monkeypatch):
+    """Windowed min/max == direct (fwd + subgradient routing)."""
+    import sgnn_tpu.ops.segment as seg
+    from sgnn_tpu.ops.reductions import segment_max_coo, segment_min_coo
+
+    x, src, dst, w, perm, _, e_real = _sorted_coo(seed=11)
+    valid = jnp.asarray(w != 0)
+    xj = jnp.asarray(x)
+    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+    D = 33
+    monkeypatch.setattr(seg, "_DIRECT_ELEMS", 0)
+    monkeypatch.setattr(seg, "_CHUNK_ELEMS", 32 * 16)
+    monkeypatch.setattr(seg, "_CHUNK_FLOOR", 32)
+    planner = seg.SpmmPlanner(dst, src[perm], num_src=41, num_dst=D,
+                              e_real=e_real)
+    plan = planner.plan(16)
+    for red in (segment_min_coo, segment_max_coo):
+        def f(x_, plan):
+            out = red(x_, srcj, dstj, valid, D, indices_are_sorted=True,
+                      plan=plan)
+            return jnp.sum(out * jnp.cos(out)), out
+
+        (l0, o0), dx0 = jax.value_and_grad(
+            functools.partial(f, plan=None), has_aux=True)(xj)
+        (l1, o1), dx1 = jax.value_and_grad(
+            functools.partial(f, plan=plan), has_aux=True)(xj)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0),
+                                   rtol=1e-5, atol=1e-5)
