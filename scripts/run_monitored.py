@@ -73,7 +73,6 @@ class UtilizationSampler(threading.Thread):
         self._halt = threading.Event()
 
     def run(self) -> None:
-        ncpu = os.cpu_count() or 1
         busy0, tot0 = _host_cpu_ticks()
         try:
             p0, _ = _proc_ticks_rss(self.pid)
@@ -89,7 +88,10 @@ class UtilizationSampler(threading.Thread):
                     break
                 dt = max(time.time() - t0, 1e-6)
                 dtot = max(tot1 - tot0, 1)
-                host = 100.0 * (busy1 - busy0) / dtot * ncpu
+                # true 0-100 host utilization (busy fraction of ALL cpus);
+                # proc_cpu_pct stays Irix-style (100% = one full core, can
+                # exceed 100 on a multithreaded process) like top's default
+                host = 100.0 * (busy1 - busy0) / dtot
                 proc = 100.0 * (p1 - p0) / _CLK / dt
                 row = (int(time.time() * 1000), host, proc, rss / 2**20)
                 self.rows.append(row)
@@ -106,7 +108,11 @@ def summarize(rows, start_ms: int, end_ms: int) -> dict:
     widening get_rate.py applies before averaging."""
     sel = [r for r in rows if start_ms - 500 <= r[0] <= end_ms + 500]
     if not sel:
-        return {}
+        # commands shorter than one sample interval: keep the report shape
+        # stable so summarize_runs.py consumers always see the keys
+        return {"samples": 0, "host_cpu_pct_mean": 0.0,
+                "proc_cpu_pct_mean": 0.0, "proc_rss_mb_mean": 0.0,
+                "proc_rss_mb_peak": 0.0}
     n = len(sel)
     return {
         "samples": n,
@@ -152,8 +158,10 @@ def main(argv=None) -> int:
             f.write(f"{k}: {v:.1f}\n" if isinstance(v, float) else
                     f"{k}: {v}\n")
         f.write("\n--- output.log tail ---\n")
-        with open(out_log) as lg:
-            f.writelines(lg.readlines()[-20:])
+        import collections
+
+        with open(out_log) as lg:  # O(20)-memory tail; logs can be huge
+            f.writelines(collections.deque(lg, maxlen=20))
     with open(rate_path) as f:
         sys.stdout.write(f.read())
     return rc

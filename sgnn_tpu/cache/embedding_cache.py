@@ -154,38 +154,62 @@ class EmbeddingCache:
         )
 
     # ------------------------------------------------------------------
-    def make_refresh_fn(self, feat_scale=None):
-        """Jitted refresh: features → aggregate hot neighborhoods → ·W.
+    def precompute_aggregate(self, features, feat_scale=None) -> None:
+        """One-time weight-independent PushDown aggregate (see class doc).
 
-        `feat_scale` ([F] per-column scales) marks int8-quantized feature
-        storage (FEATURE_DTYPE:int8): per-COLUMN dequantization commutes
-        with row aggregation, so the scale is applied to the tiny [C, F]
-        aggregate instead of per-gathered-row (data/quant.py)."""
-        num_slots = self.num_cached
-
-        @jax.jit
-        def refresh(features, w0, coo_src, coo_slot, coo_w):
-            # slot-major plan → sorted segment sum; no grads flow through
-            # the refresh (the merge stop-gradients it), so the
-            # forward-only sorted variant suffices
-            agg = spmm_coo_fwd_sorted(
-                features, coo_src, coo_slot, coo_w, num_slots)
+        `features` is either a DEVICE array (HBM-resident mode — the same
+        sorted segment-sum program the per-refresh path used, so results
+        are bit-identical to recomputing each super-batch) or a HOST numpy
+        array (beyond-HBM mode — chunked gather + reduceat on the host,
+        the reference CPU helper's role).  `feat_scale` ([F] per-column
+        scales) marks int8-quantized storage (FEATURE_DTYPE:int8):
+        per-COLUMN dequantization commutes with row aggregation, so the
+        scale is applied once to the tiny [C, F] aggregate."""
+        if isinstance(features, np.ndarray):
+            agg = self._host_aggregate(features)
             if feat_scale is not None:
-                agg = agg * feat_scale.astype(agg.dtype)[None, :]
-            return jnp.dot(agg, w0, preferred_element_type=agg.dtype)
+                agg = agg * np.asarray(feat_scale, np.float32)[None, :]
+            self.cache_agg = jnp.asarray(agg)
+            return
+        agg = spmm_coo_fwd_sorted(
+            features, self.coo_src, self.coo_slot, self.coo_w,
+            self.num_cached)
+        if feat_scale is not None:
+            agg = agg * feat_scale.astype(agg.dtype)[None, :]
+        self.cache_agg = agg
 
-        return refresh
+    def _host_aggregate(self, features: np.ndarray) -> np.ndarray:
+        """agg[c] = Σ w·features[src] over the slot-major host COO, in
+        f32, chunked so the [chunk, F] gathered rows bound host memory.
+        The slot-sorted order makes each chunk a reduceat over contiguous
+        runs — vectorized numpy, no per-edge Python."""
+        src = np.asarray(self.coo_src)
+        slot = np.asarray(self.coo_slot)
+        w = np.asarray(self.coo_w)
+        f = features.shape[1]
+        agg = np.zeros((self.num_cached, f), np.float32)
+        ch = 1 << 19
+        for a in range(0, src.size, ch):
+            b = min(a + ch, src.size)
+            rows = (features[src[a:b]].astype(np.float32)
+                    * w[a:b, None].astype(np.float32))
+            s = slot[a:b]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(s)) + 1]).astype(np.int64)
+            agg[s[starts]] += np.add.reduceat(rows, starts, axis=0)
+        return agg
 
-    def refresh(self, features: jax.Array, w0: jax.Array, version: int) -> None:
-        """Run the refresh program (async dispatch; no host sync)."""
-        if self._refresh_fn is None:
-            raise RuntimeError
-        self.cache_emb = self._refresh_fn(
-            features, w0, self.coo_src, self.coo_slot, self.coo_w
-        )
+    def refresh(self, w0: jax.Array, version: int) -> None:
+        """Super-batch refresh: cache_emb = agg @ W0 (async dispatch, no
+        host sync).  Bounded staleness is in WHEN the caller snapshots w0
+        (super-batch boundaries, reference shared_W_queue), not here."""
+        if self.cache_agg is None:
+            raise RuntimeError("call precompute_aggregate() first")
+        self.cache_emb = _agg_dot(self.cache_agg, w0)
         self.version = version
 
-    _refresh_fn = None
 
-    def init_refresh(self, feat_scale=None) -> None:
-        self._refresh_fn = self.make_refresh_fn(feat_scale)
+@jax.jit
+def _agg_dot(agg: jax.Array, w0: jax.Array) -> jax.Array:
+    # same arithmetic as the old fused refresh's closing matmul
+    return jnp.dot(agg, w0, preferred_element_type=agg.dtype)

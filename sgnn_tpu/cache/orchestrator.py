@@ -50,6 +50,8 @@ class CachedSampleTrainer(SampleTrainer):
         bias_correction: bool = False,
         adj=None,
         per_sb: bool = True,
+        features_on_device=None,
+        hbm_budget_bytes=None,
     ) -> None:
         if len(cfg.layer_sizes) < 3:
             # the hot-vertex cache stores LAYER-0 hidden embeddings that
@@ -65,9 +67,8 @@ class CachedSampleTrainer(SampleTrainer):
         super().__init__(
             cfg, dataset, family=family, weight_kind=weight_kind,
             degree_mode=degree_mode, bias_correction=bias_correction, adj=adj,
-        )
-        assert self.features_on_device, (
-            "PD-cache requires device-resident features (HBM) in this build"
+            features_on_device=features_on_device,
+            hbm_budget_bytes=hbm_budget_bytes,
         )
         cache_rate = cfg.cache_rate if cfg.cache_rate > 0 else 0.1
         self.super_batch_size = cfg.batch_size * max(cfg.pipeline_num, 1)
@@ -100,8 +101,20 @@ class CachedSampleTrainer(SampleTrainer):
             )
             self.sb_caches = [EmbeddingCache.build(self.adj, cache_ids,
                                                    agg_kind, mean_style=ms)]
+        # One-time weight-independent PushDown aggregates (embedding_cache
+        # class doc): with HBM-resident features the device program runs
+        # once per plan; beyond-HBM graphs aggregate from the HOST feature
+        # store (the reference's CPU-helper-over-global-F role,
+        # GCN_SAMPLE_PD_CACHE.hpp:792-840) — the flagship cached engines no
+        # longer require the feature matrix to fit on the device.
+        if self.features_on_device:
+            feat_src = self.dev_features
+        elif self._host_q is not None:          # int8 host store
+            feat_src = self._host_q
+        else:
+            feat_src = np.asarray(dataset.features)
         for c in self.sb_caches:
-            c.init_refresh(self._feat_scale)
+            c.precompute_aggregate(feat_src, self._feat_scale)
         self.cache = self.sb_caches[0]  # active (consumer-side) cache
         self.w_queue = StalenessQueue()
         self.cache_hits = 0
@@ -124,8 +137,10 @@ class CachedSampleTrainer(SampleTrainer):
         optimizer = self.optimizer
 
         @jax.jit
-        def step(params, opt_state, batch, key, features, labels, cache_emb):
-            batch_m = self._materialize(batch, features, labels)
+        def step(params, opt_state, batch, key, features, labels, cache_emb,
+                 cache_rows=None, slot_map=None):
+            batch_m = self._materialize(batch, features, labels,
+                                        cache_rows, slot_map)
 
             def loss_fn(p):
                 from ..models.gnn import model_forward
@@ -164,6 +179,7 @@ class CachedSampleTrainer(SampleTrainer):
         )
         self._produce_idx += 1
         cache = self.sb_caches[sb]
+        cold_pos = None
         with self.timers.phase("sample"):
             hb = (sampler or self.sampler).sample(
                 seeds, omit_map=cache.cache_map_host
@@ -175,9 +191,26 @@ class CachedSampleTrainer(SampleTrainer):
                 self.cache_hits += int(mask.sum())
                 self.cache_lookups += int(b0.dst_valid.sum())
             top = hb.blocks[-1]
-            x0 = np.zeros((1, 1), np.float32)
-            y = np.zeros((top.seeds.shape[0],), np.int32)
             yv = top.dst_valid
+            if self.features_on_device:
+                x0 = np.zeros((1, 1), np.float32)  # gathered in-program
+                y = np.zeros((top.seeds.shape[0],), np.int32)
+            elif self.feat_cache is not None:
+                # beyond-HBM: ship only cache-miss feature rows, compacted
+                # (same path as SampleTrainer; the cache-omit sampler has
+                # already pruned the hot destinations' expansions, so the
+                # cold set is smaller than the uncached engine's)
+                feat_src = (self._host_q if self._host_q is not None
+                            else self.dataset.features)
+                x0, cold_pos = self.feat_cache.gather_cold_compact(
+                    feat_src, b0.srcs, b0.src_valid
+                )
+                y = self.dataset.labels[np.maximum(top.seeds, 0)].astype(
+                    np.int32)
+            else:  # host features, full payload
+                x0, y, yv = hb.payload(
+                    self.dataset.features, self.dataset.labels
+                )
         with self.timers.phase("transfer"):
             from ..train.trainer import host_batch_to_device
             import dataclasses
@@ -187,6 +220,8 @@ class CachedSampleTrainer(SampleTrainer):
                 batch,
                 cache_mask=jnp.asarray(mask),
                 cache_slot=jnp.asarray(np.maximum(slots, 0).astype(np.int32)),
+                cold_pos=(jnp.asarray(cold_pos) if cold_pos is not None
+                          else None),
             )
         return batch, hb.num_valid_edges()
 
@@ -196,7 +231,7 @@ class CachedSampleTrainer(SampleTrainer):
         with self.timers.phase("cache_refresh"):
             self.w_queue.push(self.params.weights[0])
             w0, version = self.w_queue.get()
-            self.cache.refresh(self.dev_features, w0, version)
+            self.cache.refresh(w0, version)
 
     def train_epoch(self) -> Tuple[float, float, int]:
         losses, accs, edges = [], [], 0
@@ -223,7 +258,7 @@ class CachedSampleTrainer(SampleTrainer):
                     self.params, self.opt_state, loss, acc = self._step_fn(
                         self.params, self.opt_state, batch, sub,
                         self.dev_features, self.dev_labels,
-                        self.cache.cache_emb,
+                        self.cache.cache_emb, *self._cache_args(),
                     )
                 losses.append(loss)
                 accs.append(acc)

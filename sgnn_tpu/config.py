@@ -77,6 +77,9 @@ class RunConfig:
     shard_features: bool = False     # row-shard features over the mesh
     partition_graph: bool = False    # *FULLBATCH: vertex-shard over all devices
     halo: str = "all_gather"         # all_gather | targeted (sharded full-batch)
+    # vertex-range balancing for sharded full-batch: "degree" = α·V+E cost
+    # model (reference tune_chunks, graph.hpp:1837), "equal" = equal ranges
+    partition_balance: str = "degree"
     classes: int = 0
     del_frac: float = 0.0
     # extras (ours)
@@ -93,6 +96,11 @@ class RunConfig:
     # matrix (device-resident and the beyond-HBM hot cache) per-column
     # quantized — 4x the rows of f32 in the same HBM (data/quant.py)
     feature_dtype: str = ""
+    # HBM byte budget for feature residency decisions (0 = probe the live
+    # device, utils/profiling.device_memory_stats).  Mirrors the reference's
+    # free-memory probe determine_cache_node_idx (GCN_SAMPLE_PD_CACHE.hpp:
+    # 1039); a forced value makes beyond-HBM behavior testable anywhere.
+    hbm_budget: int = 0
 
     @property
     def num_layers(self) -> int:
@@ -164,6 +172,7 @@ _KEYMAP = {
     "SHARD_FEATURES": ("shard_features", _to_bool),
     "PARTITION_GRAPH": ("partition_graph", _to_bool),
     "HALO": ("halo", str),
+    "PARTITION_BALANCE": ("partition_balance", str),
     "RUNS": ("runs", int),
     "TIME_SKIP": ("time_skip", int),
     "BATCH_NORM": ("batch_norm", _to_bool),
@@ -175,6 +184,7 @@ _KEYMAP = {
     "REMAT": ("remat", _to_bool),
     "SUBLINEAR": ("remat", _to_bool),
     "SRC_PAD_FACTOR": ("src_pad_factor", float),
+    "HBM_BUDGET": ("hbm_budget", int),
 }
 
 

@@ -32,18 +32,29 @@ import numpy as np
 
 from ..graph.adjacency import Adjacency
 from ..sampler.blocks import pad_to
+from ..utils.logging import get_logger
+
+log = get_logger("sgnn.halo")
 
 
 class ShardedGraph(NamedTuple):
     """Vertex-range-sharded COO, padded per shard (device-ready, stacked).
 
-    Shard p owns vertex rows [offsets[p], offsets[p+1]); its edge list holds
-    every in-edge of its owned vertices: dst is LOCAL (0-based within the
-    shard), src is GLOBAL (resolved against the all-gathered activations).
+    Shard p owns the contiguous global vertex range [offsets[p],
+    offsets[p+1]) and lays it out in SLOT space: global vertex g lives at
+    slot `slot_of_vertex[g] = p·rows + (g - offsets[p])`.  With equal
+    ranges slots coincide with global ids; degree-BALANCED ranges (the
+    reference's tune_chunks cost model, core/graph.hpp:1837) make ranges
+    ragged, and the slot layout absorbs the raggedness so every
+    vertex-indexed device array stays one uniformly-stacked [n·rows, ...].
+    Each shard's edge list holds every in-edge of its owned vertices: dst
+    is LOCAL (0-based within the shard), src is a SLOT id (resolved against
+    the all-gathered slot-layout activations).
     """
 
     offsets: np.ndarray          # [n_parts+1] owned-range boundaries
-    src: jax.Array               # [n_parts, E_pad] int32 global src ids
+    slot_of_vertex: np.ndarray   # [V] int64 global vertex → slot
+    src: jax.Array               # [n_parts, E_pad] int32 SLOT src ids
     dst_local: jax.Array         # [n_parts, E_pad] int32 local dst ids,
                                  #     ASCENDING (padding tail at rows-1)
     weight: jax.Array            # [n_parts, E_pad] f32, 0 = padding
@@ -56,34 +67,70 @@ class ShardedGraph(NamedTuple):
     def num_parts(self) -> int:
         return int(self.offsets.shape[0] - 1)
 
+    @property
+    def shard_meta(self) -> np.ndarray:
+        """[n_parts, 2] int32 (global range start, owned count) per shard —
+        the tiny per-device operand the sharded programs use for
+        layout-invariant dropout slicing and real-row masking."""
+        sizes = np.diff(self.offsets)
+        return np.stack(
+            [self.offsets[:-1], sizes], axis=1).astype(np.int32)
+
 
 def shard_graph(
-    adj: Adjacency, num_parts: int, weights: np.ndarray, pad_multiple: int = 512
+    adj: Adjacency, num_parts: int, weights: np.ndarray,
+    pad_multiple: int = 512, balance: str = "equal",
 ) -> ShardedGraph:
-    """Partition in-edges by destination owner (equal vertex ranges).
+    """Partition in-edges by destination owner (contiguous vertex ranges).
 
-    Equal ranges (not degree-balanced) keep the row shard size uniform —
-    required for a single stacked [n_parts, ...] device array.  Edge padding
-    absorbs the imbalance; degree-balanced ranges (graph/partition.py) can
-    replace this once ragged shards are worth the complexity.
+    balance="degree" (FullBatchTrainer's default): ranges balanced by the
+    α·V + E cost model over in-degrees (tune_chunks, core/graph.hpp:1837;
+    graph/partition.degree_balanced_ranges) — on power-law graphs the edge
+    pad E_pad (max shard edge count, which EVERY shard pays in compute and
+    memory) shrinks toward E/n instead of being set by the hub shard.
+    balance="equal" (this function's default — slots coincide with global
+    ids, so direct callers keep round-2 semantics): equal vertex ranges.
+    Either way the row shard stays uniform (slot layout, see ShardedGraph).
     """
     v = adj.num_vertices
-    rows = pad_to((v + num_parts - 1) // num_parts, 8)
-    offsets = np.minimum(np.arange(num_parts + 1) * rows, v)
+    if balance == "degree":
+        from ..graph.partition import degree_balanced_ranges
+
+        offsets = degree_balanced_ranges(adj.in_degree, num_parts)
+        rows = pad_to(max(int(np.diff(offsets).max()), 1), 8)
+    elif balance == "equal":
+        rows = pad_to((v + num_parts - 1) // num_parts, 8)
+        offsets = np.minimum(np.arange(num_parts + 1) * rows, v)
+    else:
+        raise ValueError(
+            f"balance must be 'degree' or 'equal', got {balance!r}")
+    offsets = offsets.astype(np.int64)
+    sizes = np.diff(offsets)
+    slot_of_vertex = np.empty(v, np.int64)
+    for p in range(num_parts):
+        s, e = int(offsets[p]), int(offsets[p + 1])
+        slot_of_vertex[s:e] = p * rows + np.arange(e - s, dtype=np.int64)
     dst_of_edge = np.repeat(
         np.arange(v, dtype=np.int64), np.diff(adj.indptr).astype(np.int64)
     )
-    owner = np.minimum(dst_of_edge // rows, num_parts - 1)
+    owner = np.searchsorted(offsets, dst_of_edge, side="right") - 1
+    src_slot_all = slot_of_vertex[adj.indices]
     e_pad = 0
     per_part = []
     for p in range(num_parts):
         sel = owner == p
-        src = adj.indices[sel]
+        src = src_slot_all[sel].astype(np.int32)
         dst = (dst_of_edge[sel] - offsets[p]).astype(np.int32)
         w = weights[sel]
         per_part.append((src, dst, w))
         e_pad = max(e_pad, src.size)
     e_pad = pad_to(e_pad, pad_multiple)
+    counts = [s.size for s, _, _ in per_part]
+    log.info(
+        "shard_graph(%s): %d shards x %d rows, edge counts %s -> E_pad %d "
+        "(waste %.1f%%)", balance, num_parts, rows, counts, e_pad,
+        100.0 * (num_parts * e_pad - sum(counts)) / max(num_parts * e_pad, 1),
+    )
     srcs = np.zeros((num_parts, e_pad), np.int32)
     # pad dst at the last local row: each shard's dst_local stays ascending
     # (CSC order within the shard), so segment sums can run sorted
@@ -95,7 +142,8 @@ def shard_graph(
         ws[p, : w.size] = w
     perm, inv = _csr_orders(srcs)
     return ShardedGraph(
-        offsets=offsets.astype(np.int64),
+        offsets=offsets,
+        slot_of_vertex=slot_of_vertex,
         src=jnp.asarray(srcs),
         dst_local=jnp.asarray(dsts),
         weight=jnp.asarray(ws),
@@ -176,28 +224,28 @@ class TargetedHalo(NamedTuple):
 
 def build_targeted_halo(
     adj: Adjacency, num_parts: int, weights: np.ndarray,
-    pad_multiple: int = 256,
+    pad_multiple: int = 256, balance: str = "equal",
 ) -> TargetedHalo:
-    """Host-side construction of the static all_to_all halo plan."""
-    sg = shard_graph(adj, num_parts, weights, pad_multiple)
+    """Host-side construction of the static all_to_all halo plan.
+
+    Works in SLOT space (ShardedGraph layout): a slot's owner is simply
+    slot // rows, and a sent row's local index within its owner is
+    slot - owner·rows — valid for both equal and degree-balanced ranges."""
+    sg = shard_graph(adj, num_parts, weights, pad_multiple, balance=balance)
     rows = sg.rows_per_shard
-    offsets = sg.offsets
-    src_np = np.asarray(sg.src)
+    src_np = np.asarray(sg.src)     # SLOT ids
     n, e_pad = src_np.shape
-    owner_of = np.minimum(
-        np.arange(adj.num_vertices) // rows, num_parts - 1
-    ).astype(np.int32)
-    # per (q, p): unique remote srcs q needs from p
+    # per (q, p): unique remote src SLOTS q needs from p
     need: list = [[None] * n for _ in range(n)]
     h_pad = 1
     for q in range(n):
         srcs_q = src_np[q][np.asarray(sg.weight[q]) != 0]
-        own = owner_of[srcs_q]
+        own = srcs_q // rows
         for p in range(n):
             if p == q:
                 need[q][p] = np.zeros(0, np.int64)
                 continue
-            uniq = np.unique(srcs_q[own == p])
+            uniq = np.unique(srcs_q[own == p]).astype(np.int64)
             need[q][p] = uniq
             h_pad = max(h_pad, uniq.size)
     h_pad = pad_to(h_pad, 8)
@@ -205,13 +253,12 @@ def build_targeted_halo(
     for q in range(n):
         for p in range(n):
             u = need[q][p]
-            send_idx[p, q, : u.size] = (u - offsets[p]).astype(np.int32)
+            send_idx[p, q, : u.size] = (u - p * rows).astype(np.int32)
     # re-index each shard's edge srcs into [own ‖ recv-from-0 ‖ recv-from-1…]
     src_local = np.zeros((n, e_pad), np.int32)
     for q in range(n):
-        lookup = np.zeros(adj.num_vertices, np.int64)
-        s, e = int(offsets[q]), int(offsets[q + 1])
-        lookup[s:e] = np.arange(e - s)
+        lookup = np.zeros(n * rows, np.int64)
+        lookup[q * rows: (q + 1) * rows] = np.arange(rows)
         for p in range(n):
             u = need[q][p]
             lookup[u] = rows + p * h_pad + np.arange(u.size)

@@ -305,6 +305,7 @@ def run_multihost_fullbatch_epochs(
         w_g = dev_block(tr.sharded.weight)
         perm_g = dev_block(tr.sharded.perm)
         inv_g = dev_block(tr.sharded.inv_perm)
+    smeta_g = dev_block(tr.sharded.shard_meta)
 
     losses = []
     for ep in range(epochs or cfg.epochs):
@@ -312,7 +313,7 @@ def run_multihost_fullbatch_epochs(
         tr._dropout_key, dkey = jax.random.split(tr._dropout_key)
         params_g, opt_g, loss, _pred = tr._step(
             params_g, opt_g, x_g, y_g, mask_g, src_g, dst_g, w_g, sidx_g,
-            perm_g, inv_g, to_g(dkey, P()),
+            perm_g, inv_g, smeta_g, to_g(dkey, P()),
         )
         losses.append(float(np.asarray(loss.addressable_shards[0].data)))
         check_finite_loss(losses[-1], ep, "run_multihost_fullbatch_epochs")

@@ -119,6 +119,14 @@ class CheckpointManager:
         # "incompatible devices ... device ids [0] vs [0..7]" — whereas
         # fresh-init params are uncommitted and place freely.  Host numpy
         # leaves behave like fresh init for every trainer family.
+        # LIMITATION (single-process checkpoints only): np.asarray forces a
+        # device→host copy of the whole state, and would raise on a
+        # non-fully-addressable GLOBAL array if a true multi-host sharded
+        # restore ever flowed through here.  Multi-host resume goes through
+        # parallel/multihost.py, which restores on process 0 and re-shards
+        # explicitly; a sharding-aware orbax restore (ShapeDtypeStruct +
+        # target sharding in StandardRestore) is the upgrade path if global
+        # arrays ever need to restore in place.
         restored = jax.tree.map(
             lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
             restored,

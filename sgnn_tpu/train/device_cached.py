@@ -29,7 +29,7 @@ from ..config import RunConfig
 from ..data.dataset import Dataset
 from ..models.gnn import model_forward
 from ..nn.functional import masked_accuracy, nll_loss_masked
-from ..ops.segment import spmm_coo_fwd_sorted
+
 from ..sampler.blocks import WeightKind
 from ..sampler.device import device_sample_batch
 from ..utils.logging import get_logger
@@ -96,24 +96,18 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
         self.cache = self.sb_caches[0]
         v_pad = self.dev_features.shape[0]
         n_sb = len(self.sb_caches)
-        e_pad = max(int(c.coo_src.shape[0]) for c in self.sb_caches)
         cmaps = np.full((n_sb, v_pad), -1, np.int32)
-        coo_src = np.zeros((n_sb, e_pad), np.int32)
-        # pad at the last slot: each per-SB plan is slot-major (ascending),
-        # so the refresh segment-sum can claim indices_are_sorted
-        coo_slot = np.full(
-            (n_sb, e_pad), max(self.cache.num_cached - 1, 0), np.int32)
-        coo_w = np.zeros((n_sb, e_pad), np.float32)
         for k, c in enumerate(self.sb_caches):
             cmaps[k, : self.adj.num_vertices] = c.cache_map_host
-            n = int(c.coo_src.shape[0])
-            coo_src[k, :n] = np.asarray(c.coo_src)
-            coo_slot[k, :n] = np.asarray(c.coo_slot)
-            coo_w[k, :n] = np.asarray(c.coo_w)
         self.cache_maps = jnp.asarray(cmaps)
-        self.coo_src_all = jnp.asarray(coo_src)
-        self.coo_slot_all = jnp.asarray(coo_slot)
-        self.coo_w_all = jnp.asarray(coo_w)
+        # One-time weight-independent PushDown aggregates per SB plan
+        # (embedding_cache class doc): the in-scan refresh collapses from an
+        # E_hot-edge gather + segment-sum to ONE [C, F]·[F, H] matmul, and
+        # the stacked [n_sb, C, F] aggregates replace the [n_sb, E_pad]
+        # COO triples as scan inputs (C·F ≪ 3·E_hot at real cache rates).
+        for c in self.sb_caches:
+            c.precompute_aggregate(self.dev_features, self._feat_scale)
+        self.cache_agg_all = jnp.stack([c.cache_agg for c in self.sb_caches])
         self.cache.cache_map = self.cache_maps[0]
         self._cached_epoch_fn = self._build_cached_epoch_fn()
         log.info(
@@ -134,29 +128,19 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
         wk = self.weight_kind
         dm = self.dev_degree_mode
         fs, cd = self._feat_scale, self.compute_dtype
-        num_slots = self.cache.num_cached
         sb_steps = self.super_batch_steps
 
         @jax.jit
         def epoch(params, opt_state, cache_emb, seeds_all, valid_all, key,
                   indptr, indices, in_deg, out_deg, features, labels,
-                  omit_maps, coo_src_all, coo_slot_all, coo_w_all):
+                  omit_maps, cache_agg_all):
             n_sb = omit_maps.shape[0]
 
             def refresh(w0, sb):
-                # hot-set full-neighborhood aggregation ·W0 for THIS super-
-                # batch's plan (the reference's PushDown + X·W, as one
-                # segment-sum + matmul).  No whole-matrix astype: bf16 rows
-                # promote elementwise against the f32 edge weights inside
-                # the segment sum.
-                agg = spmm_coo_fwd_sorted(
-                    features, coo_src_all[sb], coo_slot_all[sb],
-                    coo_w_all[sb], num_slots)
-                if fs is not None:
-                    # int8 storage: per-COLUMN dequant commutes with row
-                    # aggregation — scale the tiny [C, F] aggregate
-                    agg = agg * fs[None, :]
-                return jnp.dot(agg.astype(jnp.float32), w0,
+                # this SB plan's PRECOMPUTED hot-set aggregate ·W0 (the
+                # reference's PushDown + X·W; the aggregation itself is
+                # weight-independent and ran once at init)
+                return jnp.dot(cache_agg_all[sb].astype(jnp.float32), w0,
                                preferred_element_type=jnp.float32)
 
             def body(carry, xs):
@@ -242,8 +226,7 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
                 seeds_all, valid_all, key,
                 self.dev_indptr, self.dev_indices, self.dev_in_deg,
                 self.dev_out_deg, self.dev_features, self.dev_labels,
-                self.cache_maps, self.coo_src_all,
-                self.coo_slot_all, self.coo_w_all,
+                self.cache_maps, self.cache_agg_all,
             )
             acc_np = np.asarray(acc_sum)
         self.cache_hits = int(np.asarray(hits))

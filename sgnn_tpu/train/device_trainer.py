@@ -35,6 +35,17 @@ from ..utils.logging import get_logger
 log = get_logger("sgnn.dev")
 
 
+class FeaturesExceedHbm(ValueError):
+    """The feature matrix cannot be device-resident at ANY storage dtype.
+
+    Device sampling discovers source ids INSIDE the fused XLA program, so
+    (unlike the reference's UVA zero-copy reads over PCIe) there is no
+    per-row host fallback mid-program — beyond-int8-HBM graphs must train
+    through the host-sampled engines, whose partial-HBM feature cache ships
+    only cache-miss rows (trainer.py + cache/feature_cache.py).  The engine
+    registry catches this and falls back automatically."""
+
+
 class DeviceSampleTrainer(SampleTrainer):
     """SampleTrainer variant with on-device sampling (ALLGPU-engine analog)."""
 
@@ -47,6 +58,7 @@ class DeviceSampleTrainer(SampleTrainer):
         degree_mode: Optional[str] = None,  # None → cfg.up_degree decides
         bias_correction: bool = False,
         adj: Optional[Adjacency] = None,
+        hbm_budget_bytes: Optional[int] = None,
     ) -> None:
         # UP_DEGREE parity (GraphSegment.cpp:273, default false): global-
         # degree weights come straight from the HBM degree tables — no
@@ -55,10 +67,46 @@ class DeviceSampleTrainer(SampleTrainer):
         if degree_mode is None:
             degree_mode = "sampled" if cfg.up_degree else "global"
         self.dev_degree_mode = degree_mode
+        # Residency probe (reference determine_cache_node_idx,
+        # GCN_SAMPLE_PD_CACHE.hpp:1039): device sampling REQUIRES resident
+        # features.  If they miss at the requested dtype but fit at int8,
+        # auto-quantize (FEATURE_DTYPE:int8 — 4x rows/byte, accuracy within
+        # rounding, docs/PERF.md); if even int8 misses, raise
+        # FeaturesExceedHbm so the engine registry can fall back to the
+        # host-sampled path with the partial-HBM feature cache.
+        if hbm_budget_bytes is None and getattr(cfg, "hbm_budget", 0) > 0:
+            hbm_budget_bytes = cfg.hbm_budget
+        if dataset.features is not None:
+            from ..cache.feature_cache import hbm_feature_capacity
+
+            f_dim = dataset.features.shape[1]
+            v = dataset.features.shape[0]
+            fd = (cfg.feature_dtype or cfg.dtype).lower()
+            itemsize = {"int8": 1, "bfloat16": 2}.get(fd, 4)
+            cap = hbm_feature_capacity(f_dim, itemsize,
+                                       budget_bytes=hbm_budget_bytes)
+            if cap < v:
+                cap8 = hbm_feature_capacity(f_dim, 1,
+                                            budget_bytes=hbm_budget_bytes)
+                if fd != "int8" and cap8 >= v:
+                    log.warning(
+                        "features exceed HBM at %s (%d of %d rows fit): "
+                        "auto-switching FEATURE_DTYPE to int8 (capacity "
+                        "probe; set FEATURE_DTYPE explicitly to silence)",
+                        fd, cap, v,
+                    )
+                    cfg = dataclasses.replace(cfg, feature_dtype="int8")
+                else:
+                    raise FeaturesExceedHbm(
+                        f"feature matrix needs {v} rows but only {cap8} fit "
+                        "in the HBM budget even at int8 — use a host-sampled "
+                        "engine (e.g. GCNSAMPLEGPU/GCNSAMPLEPDCACHE) with "
+                        "FEATURE_CACHE_RATE for beyond-HBM graphs"
+                    )
         super().__init__(
             cfg, dataset, family=family, weight_kind=weight_kind,
             degree_mode=degree_mode, bias_correction=bias_correction, adj=adj,
-            features_on_device=True,
+            features_on_device=True, hbm_budget_bytes=hbm_budget_bytes,
         )
         v_pad = pad_to(self.adj.num_vertices, 128)
         # int32 CSC in HBM (indices padded to 128)
@@ -121,17 +169,44 @@ class DeviceSampleTrainer(SampleTrainer):
             ndst = nsrc
         if cfg.src_pad_factor <= 0:
             return tuple(exact)
-        v = float(self.adj.num_vertices)
+        # Degree-aware expected-unique sources (VERDICT r2 #5).  A source v
+        # is reached iff some sampled edge (v→d) lands in the hop; with a
+        # random dst set of size ndst, edge (v→d) is sampled with
+        # probability (ndst/V)·min(f/indeg(d), 1) — the fanout SUBSAMPLES
+        # high-in-degree destinations' edge lists, which the naive
+        # pooled-draws model misses.  Poissonizing per source:
+        #     E[unique] = Σ_v (1 - e^{-(ndst/V)·c_v}),
+        #     c_v = Σ_{d: v→d} min(f/indeg(d), 1)
+        # with c_v computed ONCE per fanout from the host CSC in O(E).  On
+        # power-law graphs this sits far below the uniform coupon-collector
+        # bound V(1-e^{-draws/V}) that made bottom-hop pads saturate at V
+        # and cost 30% throughput per 4x vertices (docs/PERF.md scale
+        # sweep).  Reference analog: exact per-batch extents via prefix-sum
+        # (ntsCUDATransferKernel.cuh:754); here the extent must be static,
+        # so it is an expectation with the overflow counter as safety net.
+        v_f = float(self.adj.num_vertices)
+        dst_of_edge = np.repeat(
+            np.arange(self.adj.num_vertices, dtype=np.int64),
+            np.diff(self.adj.indptr).astype(np.int64),
+        )
+        indeg_e = np.maximum(
+            self.adj.in_degree[dst_of_edge].astype(np.float64), 1.0)
         est_pads = []
         ndst = float(batch_size)
         for h, f in enumerate(cfg.fanout):
-            draws = ndst * (f + 1)
-            expected_unique = v * (1.0 - np.exp(-draws / v))
+            c_v = np.bincount(
+                self.adj.indices.astype(np.int64),
+                weights=np.minimum(f / indeg_e, 1.0),
+                minlength=self.adj.num_vertices,
+            )
+            uniq_sampled = float(-np.expm1(-(ndst / v_f) * c_v).sum())
+            # sources = sampled neighbors ∪ the dst seeds themselves
+            expected_unique = uniq_sampled + ndst
             est = pad_to(int(expected_unique * cfg.src_pad_factor), 128)
             est = min(est, exact[h])
             est_pads.append(est)
             ndst = float(est)
-        log.info("src pads (b=%d): exact %s -> estimated %s",
+        log.info("src pads (b=%d): exact %s -> degree-aware estimate %s",
                  batch_size, exact, tuple(est_pads))
         return tuple(est_pads)
 

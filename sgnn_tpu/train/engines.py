@@ -81,10 +81,17 @@ ENGINES = {
               bias_correction=True),
         _spec("GATSAMPLEPDCACHE", "gat", WeightKind.NONE, use_cache=True,
               cache_on_device=False, bias_correction=True),
+        # PARITY NOTE: the reference's GAT *MULTI engines update with the
+        # UNCORRECTED learn_local Adam (NtsScheduler.hpp:937) and train GAT
+        # measurably worse (0.55-0.60 vs 0.90+ on Cora @8ep).  The bar is
+        # matching-or-BEATING, so the default here is the corrected rule
+        # (same as the single-device GAT engines); the reference behavior
+        # stays one cfg key away (OPTIMIZER:sgd / a custom spec).
         _spec("GATSAMPLEALLMULTI", "gat", WeightKind.NONE, multi_device=True,
-              device_sampling=True),
+              device_sampling=True, bias_correction=True),
         _spec("GATSAMPLEPCMULTI", "gat", WeightKind.NONE, use_cache=True,
-              cache_on_device=False, multi_device=True),
+              cache_on_device=False, multi_device=True,
+              bias_correction=True),
         # Whole-graph (full-batch) engines — the NeutronStar-lineage
         # distributed full-batch path (core/graph.hpp process_edges_*,
         # ntsDistCPUGraphOp.hpp).  The reference binary exposes only the 14
@@ -207,13 +214,22 @@ def build_trainer(cfg: RunConfig, dataset: Dataset):
         # GS_SAMPLE_CACHE: cache refreshed on the accelerator — fully-fused
         # device-sampled + in-scan cached trainer
         from .device_cached import DeviceCachedSampleTrainer
+        from .device_trainer import FeaturesExceedHbm
 
-        return DeviceCachedSampleTrainer(
-            cfg, dataset,
-            family=spec.family,
-            weight_kind=spec.weight_kind,
-            bias_correction=spec.bias_correction,
-        )
+        try:
+            return DeviceCachedSampleTrainer(
+                cfg, dataset,
+                family=spec.family,
+                weight_kind=spec.weight_kind,
+                bias_correction=spec.bias_correction,
+            )
+        except FeaturesExceedHbm as exc:
+            from ..utils.logging import get_logger
+
+            get_logger("sgnn.engine").warning(
+                "%s: %s — falling back to the host-refreshed cached "
+                "trainer", spec.name, exc)
+            spec = dataclasses.replace(spec, cache_on_device=False)
     if spec.use_cache:
         from ..cache.orchestrator import CachedSampleTrainer
 
@@ -230,15 +246,39 @@ def build_trainer(cfg: RunConfig, dataset: Dataset):
             per_sb=not spec.multi_device,
         )
     elif spec.device_sampling:
-        from .device_trainer import DeviceSampleTrainer
+        from .device_trainer import DeviceSampleTrainer, FeaturesExceedHbm
 
-        trainer = DeviceSampleTrainer(
-            cfg, dataset,
-            family=spec.family,
-            weight_kind=spec.weight_kind,
-            degree_mode=degree_mode,
-            bias_correction=spec.bias_correction,
-        )
+        try:
+            trainer = DeviceSampleTrainer(
+                cfg, dataset,
+                family=spec.family,
+                weight_kind=spec.weight_kind,
+                degree_mode=degree_mode,
+                bias_correction=spec.bias_correction,
+            )
+        except FeaturesExceedHbm as exc:
+            # beyond-int8-HBM graph: degrade to the host-sampled trainer
+            # whose partial-HBM feature cache ships only cache-miss rows
+            # (the reference's own beyond-GPU-memory posture: CPU-side
+            # features + a probed-size device cache, ntsFastSampler.hpp:263)
+            from ..utils.logging import get_logger
+            from .trainer import SampleTrainer
+
+            get_logger("sgnn.engine").warning(
+                "%s: %s — falling back to host sampling", spec.name, exc)
+            trainer = SampleTrainer(
+                cfg, dataset,
+                family=spec.family,
+                weight_kind=spec.weight_kind,
+                degree_mode=degree_mode,
+                bias_correction=spec.bias_correction,
+                features_on_device=False,
+            )
+            if spec.multi_device:
+                from ..parallel.dp import DataParallelTrainer
+
+                return DataParallelTrainer(trainer)
+            return trainer
         if spec.multi_device:
             from ..parallel.dp_device import DeviceDataParallelTrainer
 

@@ -371,16 +371,22 @@ class FullBatchTrainer:
 
         n = int(np.prod(self.mesh.devices.shape))
         w_real = np.asarray(w[: self.adj.num_edges])
-        self.sharded = shard_graph(self.adj, n, w_real)
+        # PARTITION_BALANCE cfg key: "degree" (default — tune_chunks-style
+        # α·V+E balancing, graph.hpp:1837) or "equal" (round-2 behavior)
+        balance = getattr(self.cfg, "partition_balance", "degree")
+        self.sharded = shard_graph(self.adj, n, w_real, balance=balance)
         self.targeted = None
         if self.halo == "targeted":
             from ..parallel.halo import build_targeted_halo
 
-            self.targeted = build_targeted_halo(self.adj, n, w_real)
+            self.targeted = build_targeted_halo(self.adj, n, w_real,
+                                                balance=balance)
         rows = self.sharded.rows_per_shard
         v = self.adj.num_vertices
         vpad = rows * n
-        # pad vertex-indexed arrays to shard boundary
+        slot_of_vertex = self.sharded.slot_of_vertex
+        # lay vertex-indexed arrays out in SLOT space (see ShardedGraph):
+        # shard p's owned range lands at rows [p·rows, p·rows+size_p)
         # Multi-process: keep vertex arrays host-side numpy — the multihost
         # runner slices each process's row block before any device upload
         # (a full-graph device copy per process would defeat the memory
@@ -389,7 +395,7 @@ class FullBatchTrainer:
 
         def padv(a, fill=0):
             out = np.full((vpad, *a.shape[1:]), fill, dtype=a.dtype)
-            out[:v] = np.asarray(a)
+            out[slot_of_vertex] = np.asarray(a)
             return to_dev(out)
 
         if self.feature_int8:
@@ -421,7 +427,8 @@ class FullBatchTrainer:
 
         halo_mode = self.halo
 
-        def _forward_local(p, dk, x, src, dstl, w_edge, sidx, perm, invp):
+        def _forward_local(p, dk, x, src, dstl, w_edge, sidx, perm, invp,
+                           smeta):
             """Shard-local L-layer forward (inside a shard_map body).
 
             Shared by the training step and the sharded predict program —
@@ -457,17 +464,18 @@ class FullBatchTrainer:
                     # layout-invariant dropout: the keep mask is drawn for
                     # the FULL [V, F] array with the same key/shape as the
                     # single-device program (nn.functional.dropout), then
-                    # each shard slices its own rows — so sharded training
-                    # is bit-equal to single-device training under dropout
+                    # each shard slices its own GLOBAL range (smeta carries
+                    # the shard's range start — exact under both equal and
+                    # degree-balanced ranges) — so sharded training is
+                    # bit-equal to single-device training under dropout
                     if dkeys is None:
                         return t
                     keep = jax.random.bernoulli(
                         dkeys[l], 1.0 - drop_rate, (v_real, t.shape[1])
                     )
                     keep = jnp.pad(keep, ((0, vpad - v_real), (0, 0)))
-                    k_idx = jax.lax.axis_index("graph")
                     local = jax.lax.dynamic_slice(
-                        keep, (k_idx * t.shape[0], 0),
+                        keep, (smeta[0, 0], 0),
                         (t.shape[0], t.shape[1]),
                     )
                     return jnp.where(
@@ -481,9 +489,8 @@ class FullBatchTrainer:
                     # bit-matches the single-device full_forward stats
                     if not use_bn:
                         return t
-                    k = jax.lax.axis_index("graph")
-                    gidx = k * t.shape[0] + jnp.arange(t.shape[0])
-                    m = (gidx < v_real)[:, None]
+                    # real rows of this shard = the first smeta[0,1] slots
+                    m = (jnp.arange(t.shape[0]) < smeta[0, 1])[:, None]
                     # stats in f32: bf16 can neither count 233k vertices
                     # nor accumulate their sums without rounding away
                     t32 = t.astype(jnp.float32)
@@ -564,14 +571,14 @@ class FullBatchTrainer:
             mesh=self.mesh,
             in_specs=(P(), P(), P("graph"), P("graph"), P("graph"),
                       P("graph"), P("graph"), P("graph"), P("graph"),
-                      P("graph"), P("graph"), P()),
+                      P("graph"), P("graph"), P("graph"), P()),
             out_specs=(P(), P(), P(), P("graph")),
         )
         def step(params, opt_state, x, y, mask, src, dstl, w_edge, sidx,
-                 perm, invp, dkey):
+                 perm, invp, smeta, dkey):
             def fwd(p, dk):
                 h = _forward_local(p, dk, x, src, dstl, w_edge, sidx,
-                                   perm, invp)
+                                   perm, invp, smeta)
                 # masked NLL over the local shard, reduced globally
                 picked = jnp.take_along_axis(
                     h, y[:, None].astype(jnp.int32), axis=1
@@ -605,27 +612,30 @@ class FullBatchTrainer:
             shard_map,
             mesh=self.mesh,
             in_specs=(P(), P("graph"), P("graph"), P("graph"), P("graph"),
-                      P("graph"), P("graph"), P("graph")),
+                      P("graph"), P("graph"), P("graph"), P("graph")),
             out_specs=P("graph"),
         )
-        def predict_local(params, x, src, dstl, w_edge, sidx, perm, invp):
+        def predict_local(params, x, src, dstl, w_edge, sidx, perm, invp,
+                          smeta):
             return _forward_local(params, None, x, src, dstl, w_edge, sidx,
-                                  perm, invp)
+                                  perm, invp, smeta)
 
         self._predict_step = jax.jit(predict_local)
 
     def _sharded_operands(self):
         """Edge operands for the sharded step/predict programs, in the
-        (src, dst_local, weight, send_idx, perm, inv_perm) argument order."""
+        (src, dst_local, weight, send_idx, perm, inv_perm, shard_meta)
+        argument order."""
+        smeta = jnp.asarray(self.sharded.shard_meta)
         if self.targeted is not None:
             t = self.targeted
             return (t.src_local, t.dst_local, t.weight, t.send_idx,
-                    t.perm, t.inv_perm)
+                    t.perm, t.inv_perm, smeta)
         sidx = jnp.zeros(
             (int(np.prod(self.mesh.devices.shape)), 1, 1), jnp.int32
         )
         s = self.sharded
-        return s.src, s.dst_local, s.weight, sidx, s.perm, s.inv_perm
+        return s.src, s.dst_local, s.weight, sidx, s.perm, s.inv_perm, smeta
 
     # ---------------------------------------------------------------- run
     def train_epoch(self) -> Tuple[float, float, float, float]:
@@ -636,10 +646,9 @@ class FullBatchTrainer:
                 self.src, self.dst, self.w, self.perm, self.inv_perm, dkey,
             )
         else:
-            src_l, dst_l, w_l, sidx, perm_l, inv_l = self._sharded_operands()
             self.params, self.opt_state, loss, pred = self._step(
                 self.params, self.opt_state, self.x, self.y, self.train_mask,
-                src_l, dst_l, w_l, sidx, perm_l, inv_l, dkey,
+                *self._sharded_operands(), dkey,
             )
         correct = pred == self.y
 
@@ -650,17 +659,19 @@ class FullBatchTrainer:
         return float(loss), acc(self.train_mask), acc(self.val_mask), acc(self.test_mask)
 
     # -------------------------------------------------- engine-surface ----
+    # nid properties are GLOBAL vertex ids (the device-side mask/label
+    # arrays live in slot layout when sharded — see ShardedGraph)
     @property
     def train_nids(self) -> np.ndarray:
-        return np.nonzero(np.asarray(self.train_mask))[0].astype(np.int32)
+        return self.dataset.nids_with_mask(MASK_TRAIN)
 
     @property
     def val_nids(self) -> np.ndarray:
-        return np.nonzero(np.asarray(self.val_mask))[0].astype(np.int32)
+        return self.dataset.nids_with_mask(MASK_VAL)
 
     @property
     def test_nids(self) -> np.ndarray:
-        return np.nonzero(np.asarray(self.test_mask))[0].astype(np.int32)
+        return self.dataset.nids_with_mask(MASK_TEST)
 
     def evaluate(self, nids: np.ndarray) -> float:
         """Exact whole-graph accuracy over the given vertex ids.
@@ -672,8 +683,9 @@ class FullBatchTrainer:
         nids = np.asarray(nids)
         if nids.size == 0:
             return 0.0
-        pred = np.argmax(self.predict(), axis=-1)
-        return float((pred[nids] == np.asarray(self.y)[nids]).mean())
+        pred = np.argmax(self.predict(), axis=-1)   # global vertex order
+        labels = np.asarray(self.dataset.labels)
+        return float((pred[nids] == labels[nids]).mean())
 
     def predict(self) -> np.ndarray:
         """Whole-graph [V, classes] log-probs via the trainer's OWN forward
@@ -690,9 +702,10 @@ class FullBatchTrainer:
             logp = self._predict_step(
                 self.params, self.x, *self._sharded_operands()
             )
+            # slot layout → global vertex order (identity for equal ranges)
             return np.asarray(
                 logp, dtype=np.float32
-            )[: self.adj.num_vertices]
+            )[self.sharded.slot_of_vertex]
         if self.mesh is None:
             src, dst, w = self.src, self.dst, self.w
             x = self.x
@@ -713,9 +726,9 @@ class FullBatchTrainer:
                 )
             src, dst, w = self._eval_coo
             planner = self._eval_planner
-            # self.x is padded to the shard boundary; the unsharded forward
-            # (and batch-norm statistics) must see only the real vertices
-            x = self.x[: self.adj.num_vertices]
+            # self.x is SLOT-layout padded; the unsharded forward (and
+            # batch-norm statistics) needs the real vertices in GLOBAL order
+            x = np.asarray(self.x)[self.sharded.slot_of_vertex]
         logp = full_forward(
             self.params, self.family, x, src, dst, w,
             self.adj.num_vertices, aggregator=self.aggregator,

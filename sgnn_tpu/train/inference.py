@@ -556,6 +556,31 @@ class InferenceServer:
         self._h_indptr = adj.indptr.astype(np.int64)
         self._h_indices = adj.indices.astype(np.int32)
         self._h_w = wp[: adj.num_edges]
+        self._seen_query_shapes: set = set()
+
+    def warmup(self, sizes=(8, 64, 512), reps: int = 3, fanout=None,
+               seed: int = 0) -> int:
+        """Pre-compile the query programs for the expected request-size
+        buckets, so a warm request stream shows no bucket-boundary compile
+        spikes (measured ~1.2 s entries at Reddit scale, docs/PERF.md).
+
+        Request sizes bucket to powers of two, but the EDGE extents depend
+        on the sampled neighborhoods — `reps` draws per size cover the
+        common edge buckets; each genuinely new shape is logged by query()
+        as a `query-shape compile` event.  Returns the number of distinct
+        shape buckets compiled."""
+        rng = np.random.default_rng(seed)
+        before = len(self._seen_query_shapes)
+        for s in sizes:
+            n = int(min(s, self.num_vertices))
+            for r in range(reps):
+                nids = rng.choice(self.num_vertices, size=n, replace=False)
+                self.query(nids, fanout=fanout,
+                           seed=int(rng.integers(1 << 31)))
+        compiled = len(self._seen_query_shapes) - before
+        log.info("warmup: %d request sizes x %d reps -> %d shape buckets",
+                 len(tuple(sizes)), reps, compiled)
+        return compiled
 
     def update_params(self, params: GNNParams) -> None:
         self.params = params
@@ -671,6 +696,15 @@ class InferenceServer:
             ))
         gids0 = jnp.asarray(np.pad(plan[0][0], (0, set_pads[0]
                                                 - plan[0][0].size)))
+        # bucket observability: a shape key unseen by this server means a
+        # fresh XLA compile (the warm-stream latency spikes); warmup()
+        # pre-populates the common buckets
+        shape_key = (tuple(set_pads),
+                     tuple(int(l[0].shape[0]) for l in layers))
+        if shape_key not in self._seen_query_shapes:
+            self._seen_query_shapes.add(shape_key)
+            log.info("query-shape compile: sets %s edges %s",
+                     shape_key[0], shape_key[1])
         logp = _query_forward(self.params, self._x, gids0, tuple(layers),
                               family=self.family, heads=self.heads,
                               aggregator=self.aggregator,

@@ -151,17 +151,6 @@ class SampleTrainer:
             degree_mode=degree_mode,
             seed=cfg.seed,
         )
-        # HBM-resident payload: when the feature matrix fits on device,
-        # gather x0/labels INSIDE the jitted step from int32 src ids — the
-        # TPU-native replacement for the reference's pinned-host zero-copy
-        # feature loads (load_feature_gpu, ntsFastSampler.hpp:227) and GPU
-        # feature cache.  Host mode remains for graphs larger than HBM.
-        if features_on_device is None:
-            features_on_device = (
-                dataset.features is not None
-                and dataset.features.nbytes < 4 << 30
-            )
-        self.features_on_device = features_on_device
         # compute dtype: bf16 halves feature-gather HBM traffic; params and
         # the loss head stay f32 (DTYPE cfg key)
         self.compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
@@ -175,6 +164,26 @@ class SampleTrainer:
                 f"FEATURE_DTYPE must be float32|bfloat16|int8, got {fd!r}"
             )
         self.feature_int8 = fd == "int8"
+        # HBM-resident payload: when the feature matrix fits on device,
+        # gather x0/labels INSIDE the jitted step from int32 src ids — the
+        # TPU-native replacement for the reference's pinned-host zero-copy
+        # feature loads (load_feature_gpu, ntsFastSampler.hpp:227) and GPU
+        # feature cache.  Host mode remains for graphs larger than HBM.
+        # HBM_BUDGET (cfg) forces the residency limit (determine_cache_node
+        # _idx parity, GCN_SAMPLE_PD_CACHE.hpp:1039 — testable anywhere).
+        if hbm_budget_bytes is None and getattr(cfg, "hbm_budget", 0) > 0:
+            hbm_budget_bytes = cfg.hbm_budget
+        self._hbm_budget_bytes = hbm_budget_bytes
+        store_itemsize = {"int8": 1, "bfloat16": 2}.get(fd, 4)
+        if features_on_device is None:
+            limit = (hbm_budget_bytes if hbm_budget_bytes is not None
+                     else 4 << 30)
+            features_on_device = (
+                dataset.features is not None
+                and dataset.features.shape[0] * dataset.features.shape[1]
+                * store_itemsize < limit
+            )
+        self.features_on_device = features_on_device
         self._feat_scale = None   # [F] f32 per-column scales (int8 mode)
         self._host_q = None       # host int8 matrix (int8 + host-mode)
         feat_store_dtype = (

@@ -31,7 +31,9 @@ def test_run_monitored_samples_and_summarizes(tmp_path):
     ncpu = os.cpu_count() or 1
     for ts, host, proc, rss in rows:
         assert int(ts) > 1_700_000_000_000          # ms epoch timestamp
-        assert 0.0 <= float(host) <= 100.0 * ncpu + 1
+        # host is a TRUE percentage (busy fraction of all cpus); proc stays
+        # Irix-style (100% = one core) like top's default
+        assert 0.0 <= float(host) <= 100.0 + 1
         assert 0.0 <= float(proc) <= 100.0 * ncpu + 1
         assert float(rss) > 1.0                      # a live python RSS
 
