@@ -541,6 +541,14 @@ def main():
             "cora_gcn_final_train_acc": round(cora["final_train_acc"], 4),
             "reference_cora_avg_epoch_s": 0.428045,
             "vs_baseline_meaning": "ref_cora_epoch_time / ours (>1 = faster)",
+            "headline_note": (
+                "vs_baseline is a CROSS-HARDWARE Cora ratio (reference: "
+                "80-thread CPU + 1 GPU, log/cora_gcn/output.log; ours: one "
+                "TPU chip). The Reddit edges/s headline is self-referential "
+                "(no external Reddit anchor exists in the reference repo); "
+                "its regression power comes from BENCH_r{N} history and "
+                "the calibrated_anchor accuracy window."
+            ),
             "scale": args.scale,
             "backend": jax.default_backend(),
             "compute_dtype": "float32" if args.f32 else "bfloat16",

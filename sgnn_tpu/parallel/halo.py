@@ -370,7 +370,8 @@ def sharded_gat_layer(
             return spmm_coo_multihead_csc(ext, src_idx, dst_local, att,
                                           perm, inv_perm, rows)
         return spmm_coo_multihead(ext, src_idx, dst_local, att, rows)
-    score = ext[src_idx] @ attn[:f, 0] + ht[dst_local] @ attn[f:, 0]
+    # scalar per-edge gathers of precomputed per-vertex score halves
+    score = (ext @ attn[:f, 0])[src_idx] + (ht @ attn[f:, 0])[dst_local]
     score = jax.nn.leaky_relu(score, 0.2)
     att = segment_softmax_coo(score, dst_local, valid, rows,
                               indices_are_sorted=sorted_dst)

@@ -320,3 +320,171 @@ def run_multihost_fullbatch_epochs(
         log.info("multihost fullbatch epoch %d (%d proc, %d dev): loss %.6f",
                  ep, jax.process_count(), n, losses[-1])
     return losses
+
+def _host_copy(tree):
+    """Pytree → host numpy, reading one shard of replicated global arrays
+    (each shard of a P()-replicated array holds the full value)."""
+    def f(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x.addressable_shards[0].data)
+        return np.asarray(x)
+
+    return jax.tree.map(f, tree)
+
+
+def multihost_checkpoint_save(directory: str, step: int, state: dict) -> None:
+    """Process-0 writes the (host-numpy) state; every process barriers so a
+    subsequent restore on any rank sees the file (VERDICT r2 #8; the
+    reference has no checkpointing — SURVEY §5 improvement axis)."""
+    from jax.experimental import multihost_utils
+
+    if jax.process_index() == 0:
+        leaves, _ = jax.tree.flatten(state)
+        os.makedirs(directory, exist_ok=True)
+        np.savez(os.path.join(directory, f"step_{int(step)}.npz"),
+                 step=np.int64(step),
+                 **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    if jax.process_count() > 1:
+        multihost_utils.sync_global_devices("sgnn_multihost_ckpt_save")
+    log.info("multihost checkpoint saved: step %d -> %s", step, directory)
+
+
+def multihost_checkpoint_restore(directory: str,
+                                 step: Optional[int] = None):
+    """Latest (or given) checkpoint → {"step": int, "leaves": [np ...]} or
+    None.  Every process reads the same file (process-0 wrote it; shared
+    filesystem assumed, as for orbax)."""
+    import glob
+
+    files = glob.glob(os.path.join(directory, "step_*.npz"))
+    if not files:
+        return None
+    by_step = {int(os.path.basename(f)[5:-4]): f for f in files}
+    step = max(by_step) if step is None else step
+    z = np.load(by_step[step])
+    n = sum(1 for k in z.files if k.startswith("leaf_"))
+    return {"step": int(z["step"]),
+            "leaves": [z[f"leaf_{i}"] for i in range(n)]}
+
+
+def run_multihost_device_dp_epochs(
+    cfg, dataset, epochs: Optional[int] = None, family: str = "gcn",
+    shard_features: bool = False,
+    state_out: Optional[dict] = None,
+    resume_state: Optional[dict] = None,
+):
+    """Device-sampled DP (*ALLMULTI engines) over EVERY device of EVERY
+    joined process — the fused sample→train→Adam scan of
+    parallel/dp_device.py runs unchanged; only the operand placement is
+    multi-process (host_local_array_to_global_array per block).
+
+    Reference parity: MPI ranks each driving their own GPUs with NCCL
+    AllReduce inside the node (GCN_SAMPLE_ALL_MULTI.hpp:564 + mpi.hpp:51).
+    Determinism is process-layout independent: device g's sampling stream
+    comes from split(epoch_key)[g] and its seed shard from a global
+    partition of the (seed-keyed) epoch order, so an N-process run equals
+    a single-process run over the same global device count loss-for-loss
+    (tests/test_multihost.py).  SHARD_FEATURES rides along: each process
+    contributes its devices' feature row blocks (ntsPeerRPC analog).
+
+    Returns per-epoch mean losses (same on every process).
+    """
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from ..sampler.blocks import WeightKind
+    from ..train.device_trainer import DeviceSampleTrainer
+    from .dp_device import DeviceDataParallelTrainer
+
+    wk = {"gcn": WeightKind.GCN, "sage": WeightKind.MEAN,
+          "gat": WeightKind.NONE}[family]
+    base = DeviceSampleTrainer(cfg, dataset, family=family, weight_kind=wk)
+    if resume_state is not None:
+        # kill-and-resume parity: params/opt + BOTH RNG streams (the
+        # device sample-key chain and the host epoch-order generator) so a
+        # resumed run reproduces the uninterrupted trajectory exactly
+        from ..train.checkpoint import decode_np_rng, encode_np_rng
+
+        template = {
+            "params": base.params, "opt_state": base.opt_state,
+            "sample_key": base._sample_key,
+            "host_rng": encode_np_rng(base.sampler.rng),
+        }
+        flat, treedef = jax.tree.flatten(template)
+        leaves = resume_state["leaves"]
+        assert len(leaves) == len(flat), (len(leaves), len(flat))
+        restored = jax.tree.unflatten(treedef, leaves)
+        base.params = jax.tree.map(np.asarray, restored["params"])
+        base.opt_state = jax.tree.map(np.asarray, restored["opt_state"])
+        base._sample_key = jnp.asarray(restored["sample_key"])
+        decode_np_rng(base.sampler.rng, restored["host_rng"])
+    devs = jax.devices()
+    mesh = Mesh(np.asarray(devs).reshape(-1), ("data",))
+    dp = DeviceDataParallelTrainer(base, mesh=mesh,
+                                   shard_features=shard_features)
+    n = dp.n_dev
+    pid = jax.process_index()
+    local_ids = [i for i, d in enumerate(devs) if d.process_index == pid]
+    assert local_ids == list(range(min(local_ids), max(local_ids) + 1)), (
+        "expected process-contiguous device ordering"
+    )
+    lo, hi = min(local_ids), max(local_ids) + 1
+
+    def to_g(tree, spec):
+        return multihost_utils.host_local_array_to_global_array(
+            tree, mesh, spec
+        )
+
+    def rep(a):
+        return to_g(np.asarray(a), P())
+
+    params_g = to_g(base.params, P())
+    opt_g = to_g(base.opt_state, P())
+    indptr_g, indices_g = rep(base.dev_indptr), rep(base.dev_indices)
+    indeg_g, outdeg_g = rep(base.dev_in_deg), rep(base.dev_out_deg)
+    labels_g = rep(base.dev_labels)
+    if shard_features:
+        rows = dp.feat_rows
+        feats_g = to_g(np.asarray(dp.feat_sharded)[lo * rows:hi * rows],
+                       P("data"))
+    else:
+        feats_g = rep(base.dev_features)
+
+    losses = []
+    for ep in range(epochs or cfg.epochs):
+        nids = base._epoch_order(base.train_nids)
+        seeds_all, valid_all, src_pads = dp._shard_seed_arrays(nids)
+        epoch_fn = dp._get_epoch_fn(src_pads)
+        base._sample_key, key = jax.random.split(base._sample_key)
+        keys = np.asarray(jax.random.split(key, n))
+        n_steps = seeds_all.shape[0]
+        pad = seeds_all.shape[1] // n
+
+        def local_cols(a):  # [n_steps, n·pad] → this process's device block
+            return to_g(
+                a.reshape(n_steps, n, pad)[:, lo:hi].reshape(n_steps, -1),
+                P(None, "data"),
+            )
+
+        params_g, opt_g, loss, _acc, _edges = epoch_fn(
+            params_g, opt_g, local_cols(seeds_all), local_cols(valid_all),
+            to_g(keys[lo:hi], P("data")),
+            indptr_g, indices_g, indeg_g, outdeg_g, feats_g, labels_g,
+        )
+        losses.append(float(np.asarray(loss.addressable_shards[0].data)))
+        check_finite_loss(losses[-1], ep, "run_multihost_device_dp_epochs")
+        log.info(
+            "multihost device-dp epoch %d (%d proc, %d dev%s): loss %.6f",
+            ep, jax.process_count(), n,
+            ", sharded features" if shard_features else "", losses[-1],
+        )
+    if state_out is not None:
+        from ..train.checkpoint import encode_np_rng
+
+        state_out.update({
+            "params": _host_copy(params_g),
+            "opt_state": _host_copy(opt_g),
+            "sample_key": np.asarray(base._sample_key),
+            "host_rng": encode_np_rng(base.sampler.rng),
+        })
+    return losses

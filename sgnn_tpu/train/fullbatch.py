@@ -217,8 +217,15 @@ def full_forward(
                     inv_perm=csr[1] if csr is not None else None,
                 )
             else:
-                score = ht[src] @ a_src + ht[dst] @ a_dst
-                score = jax.nn.leaky_relu(score, 0.2)
+                # per-VERTEX score halves first ([V,F]·[F] matvecs), then
+                # SCALAR per-edge gathers — 4 B instead of 4·F B per edge
+                # (the whole-graph pass has no per-edge [E, F'] temps left
+                # outside the attention SpMM itself); the backward is a
+                # scalar [E]→[V] scatter-add, far lighter than the VJP of
+                # two [E, F'] row gathers
+                ha_s = ht @ a_src
+                ha_d = ht @ a_dst
+                score = jax.nn.leaky_relu(ha_s[src] + ha_d[dst], 0.2)
                 att = segment_softmax_coo(score, dst, valid, num_vertices,
                                           indices_are_sorted=sorted_dst)
                 h = agg(ht, att)

@@ -457,7 +457,8 @@ def _query_forward(params, x_all, gids0, layers, family, heads,
                 h = spmm_coo_multihead(ht, src_local, dst_local, att, n_dst,
                                        indices_are_sorted=True)
             else:
-                score = ht[src_local] @ a_src + ht[edge_dst] @ a_dst
+                # scalar per-edge gathers of precomputed per-vertex halves
+                score = (ht @ a_src)[src_local] + (ht @ a_dst)[edge_dst]
                 score = jax.nn.leaky_relu(score, 0.2)
                 att = segment_softmax_coo(score, dst_local, valid, n_dst,
                                           indices_are_sorted=True)

@@ -18,7 +18,9 @@ def main() -> None:
     ap.add_argument("--port", type=int, required=True)
     ap.add_argument("--local-devices", type=int, default=2)
     ap.add_argument("--epochs", type=int, default=2)
-    ap.add_argument("--mode", default="dp", choices=["dp", "fullbatch"])
+    ap.add_argument("--mode", default="dp",
+                choices=["dp", "fullbatch", "device_dp",
+                         "device_dp_sf", "device_dp_ckpt"])
     ap.add_argument("--out", required=True)
     a = ap.parse_args()
 
@@ -32,8 +34,8 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")
 
     from sgnn_tpu.parallel.multihost import (
-        initialize_distributed, run_multihost_dp_epochs,
-        run_multihost_fullbatch_epochs,
+        initialize_distributed, run_multihost_device_dp_epochs,
+        run_multihost_dp_epochs, run_multihost_fullbatch_epochs,
     )
 
     if a.nprocs > 1:
@@ -52,6 +54,22 @@ def main() -> None:
             learn_rate=0.02, drop_rate=0.5, vertices=500,
         )
         losses = run_multihost_fullbatch_epochs(cfg, ds, epochs=a.epochs)
+    elif a.mode.startswith("device_dp"):
+        # fused device-sampled DP (*ALLMULTI analog) across processes;
+        # _sf adds SHARD_FEATURES (row-sharded feature blocks per process);
+        # _ckpt kills after epoch 1, resumes, and must match uninterrupted
+        cfg = RunConfig(
+            layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=32,
+            epochs=a.epochs, drop_rate=0.0, vertices=500,
+            batch_type="sequence",
+        )
+        if a.mode == "device_dp_ckpt":
+            losses = _device_dp_with_resume(cfg, ds, a)
+        else:
+            losses = run_multihost_device_dp_epochs(
+                cfg, ds, epochs=a.epochs,
+                shard_features=a.mode.endswith("_sf"),
+            )
     else:
         cfg = RunConfig(
             layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=32,
@@ -61,6 +79,37 @@ def main() -> None:
     if a.pid == 0:
         with open(a.out, "w") as f:
             json.dump(losses, f)
+
+
+def _device_dp_with_resume(cfg, ds, a):
+    """Multihost checkpoint/resume: run epochs in two half-runs through
+    CheckpointManager (process-0 writes, every process restores) and return
+    the concatenated losses — test asserts equality with one uninterrupted
+    run (VERDICT r2 #8)."""
+    import numpy as np
+
+    import jax
+
+    from sgnn_tpu.parallel.multihost import (
+        multihost_checkpoint_restore, multihost_checkpoint_save,
+        run_multihost_device_dp_epochs,
+    )
+
+    # SHARED directory (both ranks' --out files live in the same tmp dir):
+    # rank 0 writes, every rank restores — the orbax shared-fs contract
+    ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(a.out)),
+                            "mh_ckpt")
+    half = max(a.epochs // 2, 1)
+    state = {}
+    losses = run_multihost_device_dp_epochs(
+        cfg, ds, epochs=half, state_out=state)
+    multihost_checkpoint_save(ckpt_dir, half, state)
+    # fresh RNG-polluted run resumed from the checkpoint
+    state2 = multihost_checkpoint_restore(ckpt_dir)
+    assert state2 is not None and int(state2["step"]) == half
+    losses2 = run_multihost_device_dp_epochs(
+        cfg, ds, epochs=a.epochs - half, resume_state=state2)
+    return losses + losses2
 
 
 if __name__ == "__main__":

@@ -105,3 +105,71 @@ def test_two_process_fullbatch_matches_single_process(tmp_path):
     assert len(ref) == len(mh) == 3
     np.testing.assert_allclose(mh, ref, rtol=1e-4)
     assert mh[-1] < mh[0]
+
+
+def test_two_process_device_dp_matches_single_process(tmp_path):
+    """The engines that matter at scale — fused DEVICE-sampled DP
+    (*ALLMULTI) — driven by two real jax.distributed processes: loss
+    trajectory == the single-process 4-device run (VERDICT r2 #4;
+    reference: MPI ranks each driving their own GPUs,
+    GCN_SAMPLE_ALL_MULTI.hpp:564 + mpi.hpp:51)."""
+    ref_out = str(tmp_path / "ref.json")
+    _wait(_launch_mode(1, 0, _free_port(), 4, ref_out, "device_dp"))
+    ref = json.load(open(ref_out))
+
+    port = _free_port()
+    mh_out = str(tmp_path / "mh.json")
+    p0 = _launch_mode(2, 0, port, 2, mh_out, "device_dp")
+    p1 = _launch_mode(2, 1, port, 2, str(tmp_path / "unused.json"),
+                      "device_dp")
+    _wait(p0)
+    _wait(p1)
+    mh = json.load(open(mh_out))
+
+    assert len(ref) == len(mh) == 3
+    np.testing.assert_allclose(mh, ref, rtol=1e-5)
+    assert mh[-1] < mh[0]
+
+
+def test_two_process_device_dp_sharded_features(tmp_path):
+    """Device-sampled DP + SHARD_FEATURES (row-sharded feature blocks per
+    process, ntsPeerRPC analog) across two processes == single-process."""
+    ref_out = str(tmp_path / "ref.json")
+    _wait(_launch_mode(1, 0, _free_port(), 4, ref_out, "device_dp_sf"))
+    ref = json.load(open(ref_out))
+
+    port = _free_port()
+    mh_out = str(tmp_path / "mh.json")
+    p0 = _launch_mode(2, 0, port, 2, mh_out, "device_dp_sf")
+    p1 = _launch_mode(2, 1, port, 2, str(tmp_path / "unused.json"),
+                      "device_dp_sf")
+    _wait(p0)
+    _wait(p1)
+    mh = json.load(open(mh_out))
+    np.testing.assert_allclose(mh, ref, rtol=1e-5)
+
+
+def test_two_process_device_dp_checkpoint_resume(tmp_path):
+    """Multihost checkpoint/resume (VERDICT r2 #8): a 2-process run that
+    checkpoints at the halfway epoch (process-0 writes, all restore) and
+    resumes must reproduce the uninterrupted 2-process trajectory."""
+    port = _free_port()
+    ref_out = str(tmp_path / "ref.json")
+    p0 = _launch_mode(2, 0, port, 2, ref_out, "device_dp", epochs=4)
+    p1 = _launch_mode(2, 1, port, 2, str(tmp_path / "u1.json"),
+                      "device_dp", epochs=4)
+    _wait(p0)
+    _wait(p1)
+    ref = json.load(open(ref_out))
+
+    port = _free_port()
+    ck_out = str(tmp_path / "ck.json")
+    p0 = _launch_mode(2, 0, port, 2, ck_out, "device_dp_ckpt", epochs=4)
+    p1 = _launch_mode(2, 1, port, 2, str(tmp_path / "u2.json"),
+                      "device_dp_ckpt", epochs=4)
+    _wait(p0)
+    _wait(p1)
+    ck = json.load(open(ck_out))
+
+    assert len(ref) == len(ck) == 4
+    np.testing.assert_allclose(ck, ref, rtol=1e-5)
