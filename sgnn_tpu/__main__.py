@@ -104,8 +104,8 @@ def _run(args, cfg, ds, log) -> int:
         # vertex-sharded graph-partition parallelism (the reference
         # full-batch path's per-rank Gemini partitioning).
         from sgnn_tpu.parallel.multihost import (
-            initialize_distributed, run_multihost_dp_epochs,
-            run_multihost_fullbatch_epochs,
+            initialize_distributed, run_multihost_device_dp_epochs,
+            run_multihost_dp_epochs, run_multihost_fullbatch_epochs,
         )
         from sgnn_tpu.train.engines import engine_from_config
 
@@ -116,6 +116,13 @@ def _run(args, cfg, ds, log) -> int:
                 cfg, ds, epochs=cfg.epochs, family=spec.family,
                 halo=getattr(cfg, "halo", "all_gather"),
                 weight_kind=spec.weight_kind,
+            )
+        elif spec.device_sampling:
+            # *ALLGPU/*ALLMULTI strings: the fused device-sampled DP scan
+            # across processes (SHARD_FEATURES honored)
+            losses = run_multihost_device_dp_epochs(
+                cfg, ds, epochs=cfg.epochs, family=spec.family,
+                shard_features=cfg.shard_features,
             )
         else:
             losses = run_multihost_dp_epochs(

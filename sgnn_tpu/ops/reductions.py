@@ -54,7 +54,8 @@ def _segment_extreme_windowed(x, src, dst, valid, num_dst, plan, kind):
     seg_red = jax.ops.segment_min if kind == "min" else jax.ops.segment_max
     comb = jnp.minimum if kind == "min" else jnp.maximum
     fin = jnp.finfo(x.dtype)
-    init = jnp.asarray(fin.max if kind == "min" else fin.min, x.dtype)
+    init_f = float(fin.max if kind == "min" else fin.min)
+    init = jnp.asarray(init_f, x.dtype)
     chunk, window = plan.chunk, plan.dst_span
     e_total = src.shape[0]
     f = x.shape[1]
@@ -71,7 +72,9 @@ def _segment_extreme_windowed(x, src, dst, valid, num_dst, plan, kind):
         return jax.lax.dynamic_update_slice(acc, comb(win, local),
                                             (r0, 0)), None
 
-    acc0 = jnp.full((num_dst + window, f), init, x.dtype)
+    from .segment import _acc_init
+
+    acc0 = _acc_init((num_dst + window, f), x, fill=init_f, dtype=x.dtype)
     acc, _ = jax.lax.scan(body, acc0, (src_c, dst_c, v_c))
     out = acc[:num_dst]
     ok = (jnp.isfinite(out)

@@ -170,6 +170,43 @@ class SpmmPlanner:
         return self._cache[key]
 
 
+class ShardedSpmmPlanner(SpmmPlanner):
+    """SpmmPlanner over STACKED per-shard edge lists ([n, E_pad] rows).
+
+    One shard_map program serves every shard, so the window must cover the
+    worst shard: spans are the max of per-shard spans, each measured on the
+    shard's REAL edge prefix (`e_real[p]`) — per-shard weight-0 tails
+    (dst fill rows-1, CSR src fill) are excluded from measurement and
+    clamp at runtime like any pad."""
+
+    def __init__(self, dst_rows: np.ndarray, src_csr_rows: np.ndarray,
+                 num_src: int, num_dst: int, e_real) -> None:
+        self._dst_rows = np.asarray(dst_rows)
+        self._src_rows = np.asarray(src_csr_rows)
+        self._e_real = [int(e) for e in e_real]
+        self._e_pad = int(self._dst_rows.shape[1])
+        self.num_src = int(num_src)
+        self.num_dst = int(num_dst)
+        self._cache = {}
+
+    def _spans(self, chunk: int) -> SpmmPlan:
+        n = self._dst_rows.shape[0]
+        dst_span = max(
+            _chunk_span(self._dst_rows[p][: self._e_real[p]], chunk,
+                        self.num_dst)
+            for p in range(n)
+        )
+        # CSR-ordered src rows: weight-0 pads sit inside the low-src block
+        # (fill 0 for all_gather shards / own-row block for targeted) so the
+        # full padded row measures safely
+        src_span = max(
+            _chunk_span(self._src_rows[p], chunk, self.num_src)
+            for p in range(n)
+        )
+        return SpmmPlan(chunk=int(chunk), dst_span=dst_span,
+                        src_span=src_span)
+
+
 def _window_ids(ids: jax.Array, window: int):
     """(window start, clamped local segment ids) for one sorted chunk.
 
@@ -186,6 +223,19 @@ def _window_add(acc: jax.Array, local: jax.Array, r0) -> jax.Array:
     w, f = local.shape
     win = jax.lax.dynamic_slice(acc, (r0, 0), (w, f))
     return jax.lax.dynamic_update_slice(acc, win + local, (r0, 0))
+
+
+def _acc_init(shape, ref: jax.Array, fill: float = 0.0,
+              dtype=jnp.float32) -> jax.Array:
+    """Scan-carry accumulator init, made VARYING like `ref`.
+
+    Inside shard_map a literal jnp.zeros carry is unvarying while the body
+    updates it with shard-varying data — jax rejects the carry-type
+    mismatch.  Adding a zero derived from a varying operand fixes the
+    variance without changing the value (folded away by XLA outside
+    shard_map)."""
+    z = (ref.reshape(-1)[0] * 0).astype(dtype)
+    return jnp.full(shape, fill, dtype) + z
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -327,7 +377,7 @@ def _spmm_csc_fwd_impl(x, src, dst, weight, num_dst, plan=None):
                 m, dl, num_segments=window, indices_are_sorted=True)
             return _window_add(acc, local, r0), None
 
-        acc0 = jnp.zeros((num_dst + window, x.shape[1]), jnp.float32)
+        acc0 = _acc_init((num_dst + window, x.shape[1]), weight)
         out, _ = jax.lax.scan(bodyw, acc0, (src_c, dst_c, w_c))
         return out[:num_dst].astype(out_dtype)
 
@@ -383,7 +433,7 @@ def _spmm_csc_bwd(num_dst, plan, res, g):
                               preferred_element_type=jnp.float32)
             return acc, dw_c
 
-        acc0 = jnp.zeros((num_src + window, x.shape[1]), jnp.float32)
+        acc0 = _acc_init((num_src + window, x.shape[1]), g)
         dx, dw_p = jax.lax.scan(bodyw, acc0, (sp_c, dp_c, wp_c))
         dw = dw_p.reshape(-1)[:e_total][inv_perm].astype(weight.dtype)
         return dx[:num_src].astype(x.dtype), None, None, dw, None, None
@@ -452,7 +502,7 @@ def _mh_csc_fwd_impl(x, src, dst, att, num_dst, plan=None):
                 indices_are_sorted=True)
             return _window_add(acc, local, r0), None
 
-        acc0 = jnp.zeros((num_dst + window, heads * fh), jnp.float32)
+        acc0 = _acc_init((num_dst + window, heads * fh), att)
         out, _ = jax.lax.scan(bodyw, acc0, (src_c, dst_c, att_c))
         return out[:num_dst].astype(x.dtype)
 
@@ -513,7 +563,7 @@ def _mh_csc_bwd(num_dst, plan, res, g):
                               preferred_element_type=jnp.float32)
             return acc, da_c
 
-        acc0 = jnp.zeros((num_src + window, heads * fh), jnp.float32)
+        acc0 = _acc_init((num_src + window, heads * fh), g)
         dx, da_p = jax.lax.scan(bodyw, acc0, (sp_c, dp_c, attp_c))
         da = da_p.reshape(-1, heads)[:e_total][inv_perm].astype(att.dtype)
         return dx[:num_src].astype(x.dtype), None, None, da, None, None
@@ -717,7 +767,7 @@ def _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted,
                 return _window_add(acc, local, r0), None
 
             o, _ = jax.lax.scan(
-                bodyw, jnp.zeros((num_dst + window, fh), jnp.float32),
+                bodyw, _acc_init((num_dst + window, fh), ai),
                 (sc, dc, ac))
             o = o[:num_dst]
         else:
@@ -779,7 +829,7 @@ def _hm_bwd(num_dst, indices_are_sorted, plan, res, g):
                 return acc, da_c
 
             dx, da_c = jax.lax.scan(
-                bodyw, jnp.zeros((num_src + window, fh), jnp.float32),
+                bodyw, _acc_init((num_src + window, fh), g),
                 (sc, dc, ac))
             dxs.append(dx[:num_src].astype(x.dtype))
             das.append(

@@ -178,6 +178,7 @@ def sharded_aggregate(
     perm: "jax.Array | None" = None,      # ShardedGraph.perm row (sorted
     inv_perm: "jax.Array | None" = None,  #   segment sums when provided)
     axis_name: str = "graph",
+    planner=None,   # ops/segment.ShardedSpmmPlanner → windowed chunking
 ) -> jax.Array:
     """One partition-parallel aggregation step (call inside shard_map).
 
@@ -189,8 +190,9 @@ def sharded_aggregate(
 
     x_full = jax.lax.all_gather(x_shard, axis_name, axis=0, tiled=True)
     if perm is not None:
+        plan = planner.plan(x_full.shape[1]) if planner is not None else None
         return spmm_coo_csc(x_full, src, dst_local, weight, perm, inv_perm,
-                            x_shard.shape[0])
+                            x_shard.shape[0], plan)
     return spmm_coo(x_full, src, dst_local, weight, x_shard.shape[0])
 
 
@@ -285,6 +287,7 @@ def sharded_aggregate_targeted(
     perm: "jax.Array | None" = None,      # TargetedHalo.perm row (sorted
     inv_perm: "jax.Array | None" = None,  #   segment sums when provided)
     axis_name: str = "graph",
+    planner=None,   # ops/segment.ShardedSpmmPlanner → windowed chunking
 ) -> jax.Array:
     """Aggregation with a targeted all_to_all halo (call inside shard_map).
 
@@ -297,8 +300,9 @@ def sharded_aggregate_targeted(
 
     ext = targeted_halo_exchange(x_shard, send_idx, axis_name)
     if perm is not None:
+        plan = planner.plan(ext.shape[1]) if planner is not None else None
         return spmm_coo_csc(ext, src_local, dst_local, weight, perm,
-                            inv_perm, x_shard.shape[0])
+                            inv_perm, x_shard.shape[0], plan)
     return spmm_coo(ext, src_local, dst_local, weight, x_shard.shape[0])
 
 
@@ -331,6 +335,7 @@ def sharded_gat_layer(
     heads: int = 1,
     perm: "jax.Array | None" = None,      # per-shard CSR order → sorted
     inv_perm: "jax.Array | None" = None,  #   segment ops when provided
+    planner=None,   # ops/segment.ShardedSpmmPlanner → windowed chunking
 ) -> jax.Array:
     """One partition-parallel GAT layer (call inside shard_map).
 
@@ -367,8 +372,10 @@ def sharded_gat_layer(
         att = segment_softmax_coo(score, dst_local, valid, rows,
                                   indices_are_sorted=sorted_dst)
         if perm is not None:
+            plan = (planner.plan(f, live_factor=3)
+                    if planner is not None else None)
             return spmm_coo_multihead_csc(ext, src_idx, dst_local, att,
-                                          perm, inv_perm, rows)
+                                          perm, inv_perm, rows, plan)
         return spmm_coo_multihead(ext, src_idx, dst_local, att, rows)
     # scalar per-edge gathers of precomputed per-vertex score halves
     score = (ext @ attn[:f, 0])[src_idx] + (ht @ attn[f:, 0])[dst_local]
@@ -376,6 +383,7 @@ def sharded_gat_layer(
     att = segment_softmax_coo(score, dst_local, valid, rows,
                               indices_are_sorted=sorted_dst)
     if perm is not None:
+        plan = planner.plan(f) if planner is not None else None
         return spmm_coo_csc(ext, src_idx, dst_local, att, perm, inv_perm,
-                            rows)
+                            rows, plan)
     return spmm_coo(ext, src_idx, dst_local, att, rows)

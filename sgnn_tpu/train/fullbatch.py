@@ -392,6 +392,27 @@ class FullBatchTrainer:
         v = self.adj.num_vertices
         vpad = rows * n
         slot_of_vertex = self.sharded.slot_of_vertex
+        # worst-shard dst/src window plans → the shard-local chunked SpMMs
+        # accumulate into bounded row windows (same linearity-in-E property
+        # as the single-device planner; ops/segment.ShardedSpmmPlanner)
+        from ..ops.segment import ShardedSpmmPlanner
+
+        sg = self.sharded
+        e_real_p = (np.asarray(sg.weight) != 0).sum(axis=1)
+        self.shard_planner = ShardedSpmmPlanner(
+            np.asarray(sg.dst_local),
+            np.take_along_axis(np.asarray(sg.src), np.asarray(sg.perm), 1),
+            num_src=vpad, num_dst=rows, e_real=e_real_p,
+        )
+        if self.targeted is not None:
+            t = self.targeted
+            self.shard_planner = ShardedSpmmPlanner(
+                np.asarray(t.dst_local),
+                np.take_along_axis(np.asarray(t.src_local),
+                                   np.asarray(t.perm), 1),
+                num_src=t.rows_per_shard + n * t.halo_pad, num_dst=rows,
+                e_real=(np.asarray(t.weight) != 0).sum(axis=1),
+            )
         # lay vertex-indexed arrays out in SLOT space (see ShardedGraph):
         # shard p's owned range lands at rows [p·rows, p·rows+size_p)
         # Multi-process: keep vertex arrays host-side numpy — the multihost
@@ -431,6 +452,7 @@ class FullBatchTrainer:
         v_real = v
         drop_rate = float(self.cfg.drop_rate)
         xs = self.x_scale  # [F] per-column scales or None (small capture)
+        shard_planner = self.shard_planner  # host object → static ints only
 
         halo_mode = self.halo
 
@@ -452,12 +474,13 @@ class FullBatchTrainer:
                     return sharded_aggregate_targeted(
                         h_, sidx[0], src[0], dstl[0],
                         w_edge[0].astype(h_.dtype), perm[0], invp[0],
+                        planner=shard_planner,
                     )
             else:
                 def agg(h_):
                     return sharded_aggregate(
                         h_, src[0], dstl[0], w_edge[0].astype(h_.dtype),
-                        perm[0], invp[0],
+                        perm[0], invp[0], planner=shard_planner,
                     )
 
             def fwd(p, dk):
@@ -535,7 +558,8 @@ class FullBatchTrainer:
                         red = (segment_min_coo if aggregator == "min"
                                else segment_max_coo)
                         h = red(ext, src[0], dstl[0], w_edge[0] != 0,
-                                h.shape[0], indices_are_sorted=True)
+                                h.shape[0], indices_are_sorted=True,
+                                plan=shard_planner.plan(ext.shape[1]))
                         h = (log_softmax(h.astype(jnp.float32))
                              if l == n_layers - 1
                              else drop(jax.nn.relu(bn(h)), l))
@@ -551,6 +575,7 @@ class FullBatchTrainer:
                             else None,
                             heads=1 if l == n_layers - 1 else heads,
                             perm=perm[0], inv_perm=invp[0],
+                            planner=shard_planner,
                         )
                         h = jax.nn.relu(h if l == n_layers - 1 else bn(h))
                         if l == n_layers - 1:

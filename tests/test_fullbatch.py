@@ -538,3 +538,30 @@ def test_degree_balanced_targeted_halo_gat():
         ls = single.train_epoch()[0]
         lt = sharded.train_epoch()[0]
         assert abs(ls - lt) < 3e-3, (step, ls, lt)
+
+
+def test_sharded_windowed_chunking_matches_single(tiny_ds, monkeypatch):
+    """Sharded full-batch under forced-tiny SpMM budgets: the per-shard
+    windowed chunked SpMMs (ShardedSpmmPlanner — worst-shard dst/src
+    windows) train the same trajectory as the single-device program, for
+    both halo modes and multi-head GAT."""
+    import sgnn_tpu.ops.segment as seg
+    from jax.sharding import Mesh
+
+    monkeypatch.setattr(seg, "_DIRECT_ELEMS", 0)
+    monkeypatch.setattr(seg, "_CHUNK_ELEMS", 256 * 32)
+    monkeypatch.setattr(seg, "_CHUNK_FLOOR", 256)
+    gmesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("graph",))
+    for family, halo, heads in (("gcn", "all_gather", 1),
+                                ("gat", "targeted", 2)):
+        cfg = RunConfig(layer_sizes=[32, 16, 5], fanout=[1, 1], epochs=1,
+                        learn_rate=0.01, seed=4, drop_rate=0.0, heads=heads,
+                        vertices=tiny_ds.num_vertices)
+        single = FullBatchTrainer(cfg, tiny_ds, family=family)
+        sharded = FullBatchTrainer(cfg, tiny_ds, family=family, mesh=gmesh,
+                                   halo=halo)
+        assert sharded.shard_planner.plan(16) is not None  # engaged
+        for step in range(2):
+            ls = single.train_epoch()[0]
+            lt = sharded.train_epoch()[0]
+            assert abs(ls - lt) < 3e-3, (family, step, ls, lt)
