@@ -49,20 +49,32 @@ _CHUNK_ELEMS = int(os.environ.get("SGNN_SPMM_CHUNK_ELEMS", 256 * 1024 * 1024))
 _CHUNK_FLOOR = 8192
 
 
+def _eff_feat(feat: int) -> int:
+    """TILE-PADDED feature width: TPU tiling pads an array's minor dim to
+    128 lanes, so an [E, F<128] message temp occupies (and moves)
+    ceil(F/128)·128 lanes of HBM per row.  Budgeting on the LOGICAL width
+    let narrow-F whole-graph layers stay on the direct path far past the
+    memory they actually consume — measured: the F=41 classification-layer
+    SpMM at 23.8M edges ran direct in 4.5 s while the F=128 layer ran
+    chunked+windowed in 0.42 s (docs/PERF.md round 3)."""
+    return -(-max(feat, 1) // 128) * 128
+
+
 def _edge_chunk(e_total: int, feat: int, live_factor: int = 1) -> int | None:
     """Chunk length (edges) or None when the direct path fits the budget.
 
-    `live_factor` scales the element count by how many [E, F]-sized temps
-    the caller's direct path keeps alive RELATIVE to the single-head
-    forward the budget was calibrated on.  The multi-head paths pass 3:
-    their direct path materializes x[src] reshaped, the att-weighted
-    product, and an f32 copy as SEPARATE [E, H, Fh] buffers (measured
-    OOM: 4-head GAT serving at 11.9M edges x 128 feats compiled to a
-    24.3 GB program on the 17 GB v5e while the single-head pass fit)."""
-    if e_total * max(feat, 1) * live_factor <= max(_DIRECT_ELEMS,
-                                                   _CHUNK_ELEMS):
+    Budgets count TILE-PADDED elements (`_eff_feat`).  `live_factor`
+    scales the element count by how many [E, F]-sized temps the caller's
+    direct path keeps alive RELATIVE to the single-head forward the budget
+    was calibrated on.  The multi-head paths pass 3: their direct path
+    materializes x[src] reshaped, the att-weighted product, and an f32
+    copy as SEPARATE [E, H, Fh] buffers (measured OOM: 4-head GAT serving
+    at 11.9M edges x 128 feats compiled to a 24.3 GB program on the 17 GB
+    v5e while the single-head pass fit)."""
+    eff = _eff_feat(feat)
+    if e_total * eff * live_factor <= max(_DIRECT_ELEMS, _CHUNK_ELEMS):
         return None
-    return max(_CHUNK_ELEMS // max(feat, 1), _CHUNK_FLOOR)
+    return max(_CHUNK_ELEMS // eff, _CHUNK_FLOOR)
 
 
 def _pad_chunks(arrs, e_total: int, chunk: int, fills=None):

@@ -403,9 +403,10 @@ def test_multihead_chunks_before_single_head(monkeypatch):
     whole-graph serving OOM at 1.5G elements on a 17 GB chip."""
     from sgnn_tpu.ops import segment as seg
 
-    monkeypatch.setattr(seg, "_DIRECT_ELEMS", 20_000)
-    monkeypatch.setattr(seg, "_CHUNK_ELEMS", 1_000)
-    # 10k elements: direct for single-head, chunked at live_factor=3
+    monkeypatch.setattr(seg, "_DIRECT_ELEMS", 200_000)
+    monkeypatch.setattr(seg, "_CHUNK_ELEMS", 10_000)
+    # budgets count TILE-PADDED elements (feat 10 -> 128 lanes):
+    # 128k effective elements: direct for single-head, chunked at x3
     assert seg._edge_chunk(1000, 10) is None
     assert seg._edge_chunk(1000, 10, live_factor=3) is not None
     # the multihead entry points themselves take the early chunk path
