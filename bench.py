@@ -378,6 +378,46 @@ def bench_serving(scale: float) -> dict:
             "resident_bf16_pred_agreement": round(agree, 4)}
 
 
+def bench_gat_serving(scale: float) -> dict:
+    """GAT resident serving passes (1 and 4 heads) — tracks the round-3
+    gather-free attention path (broadcast_dst_sorted + max-free
+    attention_exp + divide-after-aggregation; docs/PERF.md round-3 GAT
+    profile: 1-head 1.67→0.80 s, 4-head 4.65→1.65 s at scale 1)."""
+    import gc
+
+    import numpy as np
+
+    from sgnn_tpu.graph.adjacency import Adjacency
+    from sgnn_tpu.models.gnn import init_model
+    from sgnn_tpu.train.inference import InferenceServer
+
+    ds = _reddit_like_cached(scale)
+    adj = Adjacency.from_edges(ds.edges, ds.num_vertices)
+    import jax
+
+    out = {}
+    for heads in (1, 4):
+        params = init_model(jax.random.PRNGKey(0), "gat", [602, 128, 41])
+        attn = tuple(
+            0.1 * jax.random.normal(jax.random.PRNGKey(i + 3), a.shape)
+            for i, a in enumerate(params.attn))
+        params = params._replace(attn=attn)
+        srv = InferenceServer(params, "gat", adj, ds.features,
+                              mean_style="fullbatch", heads=heads)
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(srv.logprobs(as_numpy=False)[0, 0])
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times[1:]))
+        log(f"[bench] gat serving heads={heads}: passes "
+            f"{[round(t, 3) for t in times]}")
+        out[f"gat{heads}h_resident_pass_time_s"] = round(med, 4)
+        del srv
+        gc.collect()
+    return out
+
+
 def bench_cora_gcn(epochs: int) -> dict:
     import numpy as np
 
@@ -528,6 +568,11 @@ def main():
     except Exception as e:
         log(f"[bench] serving stage failed ({e!r}); omitting")
         serving = {}
+    try:
+        gat_serving = bench_gat_serving(args.scale)
+    except Exception as e:
+        log(f"[bench] gat-serving stage failed ({e!r}); omitting")
+        gat_serving = {}
 
     result = {
         "metric": "reddit_sage_f25-10_edges_per_sec_per_chip",
@@ -560,6 +605,7 @@ def main():
             "pdcache_beyond_hbm": pdcache_bh,
             "fullbatch_gcn": fullbatch,
             "serving_exact": serving,
+            "gat_serving": gat_serving,
         },
     }
     print(json.dumps(result), flush=True)

@@ -181,6 +181,20 @@ class SpmmPlanner:
             self._cache[key] = None if chunk is None else self._spans(chunk)
         return self._cache[key]
 
+    def softmax_starts(self) -> np.ndarray:
+        """[num_dst] int32 first-edge position of every destination in the
+        sorted edge list (vertices with no in-edges get their successor's
+        position — `broadcast_dst_sorted`'s telescoping scatter-ADD makes
+        that exact).  Host-computed once; enters traced code as a ~4·V-byte
+        constant.  Feeds the gather-free GAT attention path
+        (docs/PERF.md round-3 GAT serving profile)."""
+        if "softmax_starts" not in self._cache:
+            self._cache["softmax_starts"] = np.searchsorted(
+                self._dst, np.arange(self.num_dst, dtype=self._dst.dtype),
+                side="left",
+            ).astype(np.int32)
+        return self._cache["softmax_starts"]
+
 
 class ShardedSpmmPlanner(SpmmPlanner):
     """SpmmPlanner over STACKED per-shard edge lists ([n, E_pad] rows).
@@ -635,6 +649,56 @@ def segment_softmax_coo(
         indices_are_sorted=indices_are_sorted,
     ).astype(e.dtype)
     return e / jnp.maximum(z[dst], jnp.finfo(scores.dtype).tiny)
+
+
+def broadcast_dst_sorted(vals: jax.Array, starts, num_edges: int,
+                         out_dtype=None) -> jax.Array:
+    """[V] → [E] per-destination broadcast over a dst-SORTED edge list
+    WITHOUT a per-edge gather: scatter telescoping deltas at each
+    destination's first-edge position, then cumsum.  Measured 11.7 ms vs
+    92 ms for the equivalent `vals[dst]` gather at E=11.9M on v5e (XLA
+    gathers pay the random-access floor even on sorted indices —
+    docs/PERF.md round-3 GAT profile).
+
+    Exactness: scatter-ADD makes empty destinations telescope correctly
+    (consecutive deltas at the same position sum to the jump across them);
+    the cumsum runs in f32 and its roundoff is CONSTANT within each
+    segment (interior positions add exact zeros), so any downstream
+    per-destination softmax cancels it exactly — the residual per-edge
+    effect enters only through the slope change of leaky_relu and is
+    ≤ ~6e-5 absolute (random walk over V f32 adds).
+
+    `starts` is the host-static [V] int32 array from
+    `SpmmPlanner.softmax_starts()`."""
+    v32 = vals.astype(jnp.float32)
+    delta = v32 - jnp.concatenate([jnp.zeros((1,), jnp.float32), v32[:-1]])
+    d = jnp.zeros((num_edges,), jnp.float32).at[starts].add(
+        delta, indices_are_sorted=True)
+    out = jnp.cumsum(d)
+    return out.astype(out_dtype or vals.dtype)
+
+
+# |score| clamp for the max-free attention exponential: exp(60)=1.14e26
+# cannot overflow an f32/bf16 sum over any realistic edge count, and
+# exp(-60)=8.8e-27 sits far above the smallest f32 normal, so a
+# destination whose every in-score is at the low clamp still normalizes
+# exactly.  Softmax is shift-invariant, so results equal the max-shifted
+# form whenever |score| < 60; beyond it attention is one-hot-saturated
+# and the clamp only flattens ties among already-saturated edges.
+_ATT_CLIP = 60.0
+
+
+def attention_exp(scores: jax.Array, valid: jax.Array) -> jax.Array:
+    """UNNORMALIZED attention weights exp(clip(s, ±60)) with invalid-edge
+    masking — the per-destination max pass (a 114 ms [E]→[V] segment_max
+    plus a 92 ms [E] broadcast-back at Reddit scale) is unnecessary for
+    numerical safety once scores are clamped (see _ATT_CLIP).  Pair with a
+    per-destination weight sum and divide AFTER aggregation:
+        u = attention_exp(s, valid)
+        h = spmm(x, u) / max(segment_sum(u, dst), tiny)[:, None]
+    """
+    s = jnp.clip(scores, -_ATT_CLIP, _ATT_CLIP)
+    return jnp.where(valid, jnp.exp(s), jnp.zeros((), scores.dtype))
 
 
 def spmm_coo_multihead(

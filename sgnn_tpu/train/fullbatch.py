@@ -30,8 +30,9 @@ from ..nn.functional import BN_EPS, dropout, log_softmax, nll_loss_masked
 from .guard import check_finite_loss
 from ..nn.optim import make_optimizer
 from ..ops.segment import (
-    SpmmPlanner, segment_softmax_coo, spmm_coo, spmm_coo_csc,
-    spmm_coo_fwd_sorted, spmm_coo_multihead_hm,
+    SpmmPlanner, _eff_feat, attention_exp, broadcast_dst_sorted,
+    segment_softmax_coo, spmm_coo, spmm_coo_csc, spmm_coo_fwd_sorted,
+    spmm_coo_multihead_hm,
 )
 from ..sampler.blocks import WeightKind, pad_to
 from ..utils.logging import get_logger
@@ -190,6 +191,45 @@ def full_forward(
             a_src = params.attn[l][:f, 0].astype(ht.dtype)
             a_dst = params.attn[l][f:, 0].astype(ht.dtype)
             hh = 1 if l == n_layers - 1 else heads  # logits stay 1-head
+            # Gather-free attention (sorted paths with a planner): the
+            # per-dst score half broadcasts via telescoping scatter+cumsum
+            # (11.7 vs 92 ms at 11.9M edges), the exponential is max-free
+            # (attention_exp clamp — kills a 114 ms segment_max and a
+            # 92 ms [E] broadcast-back), and normalization moves OFF the
+            # edge axis: aggregate UNNORMALIZED, divide by the per-dst
+            # weight sum z afterwards (a [V]-divide replaces a 92 ms z[dst]
+            # gather + [E] divide).  Measured: whole GAT layer 971→279 ms
+            # at Reddit scale (docs/PERF.md round-3 GAT serving profile).
+            fast_att = planner is not None and sorted_dst and hasattr(
+                planner, "softmax_starts")
+            if fast_att:
+                att_starts = planner.softmax_starts()
+
+            def dst_half(vec_v):  # [V] per-dst score half → [E]
+                if fast_att:
+                    return broadcast_dst_sorted(vec_v, att_starts,
+                                                src.shape[0],
+                                                out_dtype=ht.dtype)
+                return vec_v[dst]
+
+            def z_of(u):  # exact per-dst normalizer (scatter segment sum)
+                return jax.ops.segment_sum(
+                    u.astype(jnp.float32), dst, num_segments=num_vertices,
+                    indices_are_sorted=sorted_dst)
+
+            # z can ride the aggregation as a FREE ones-column whenever
+            # F+1 stays inside the same 128-lane tile (the [E, F] message
+            # temps move identical HBM bytes) — kills the remaining 111 ms
+            # scalar segment_sum on narrow layers (the F=41 logits layer,
+            # and every multi-head block: fh=32→33 pads to 128 either way)
+            def z_rides_free(width):
+                return _eff_feat(width + 1) == _eff_feat(width)
+
+            def norm(hagg, z):  # divide-after-aggregation, f32 then back
+                z = jnp.maximum(z, jnp.finfo(jnp.float32).tiny)
+                z = z.reshape(z.shape + (1,) * (hagg.ndim - z.ndim))
+                return (hagg.astype(jnp.float32) / z).astype(ht.dtype)
+
             if hh > 1:
                 # HEAD-MAJOR [H, E] scores/attention: an edge-major [E, H]
                 # f32 array tile-pads its minor dim 4→128 (measured 5.67 GB
@@ -200,22 +240,43 @@ def full_forward(
                 ht_h = ht.reshape(-1, hh, fh)
                 a_s_h = a_src.reshape(hh, fh)
                 a_d_h = a_dst.reshape(hh, fh)
-                atts = []
+                z_free = fast_att and z_rides_free(fh)
+                atts, zs = [], []
                 for i in range(hh):  # per-head 1-D [E] arrays throughout
                     sc = jax.nn.leaky_relu(
                         (ht_h[:, i, :] @ a_s_h[i])[src]
-                        + (ht_h[:, i, :] @ a_d_h[i])[dst], 0.2)
-                    atts.append(segment_softmax_coo(
-                        sc, dst, valid, num_vertices,
-                        indices_are_sorted=sorted_dst))
-                hm_plan = (planner.plan_hm(fh)
+                        + dst_half(ht_h[:, i, :] @ a_d_h[i]), 0.2)
+                    if fast_att:
+                        u = attention_exp(sc, valid)
+                        atts.append(u)
+                        if not z_free:
+                            zs.append(z_of(u))
+                    else:
+                        atts.append(segment_softmax_coo(
+                            sc, dst, valid, num_vertices,
+                            indices_are_sorted=sorted_dst))
+                fh_x = fh + 1 if z_free else fh
+                if z_free:  # per-head ones-column: z_i rides head block i
+                    ones = jnp.ones(ht_h.shape[:2] + (1,), ht.dtype)
+                    x_hm = jnp.concatenate([ht_h, ones], axis=2).reshape(
+                        -1, hh * fh_x)
+                else:
+                    x_hm = ht
+                hm_plan = (planner.plan_hm(fh_x)
                            if planner is not None and sorted_dst else None)
                 h = spmm_coo_multihead_hm(
-                    ht, src, dst, jnp.stack(atts), num_vertices,
+                    x_hm, src, dst, jnp.stack(atts), num_vertices,
                     indices_are_sorted=sorted_dst, plan=hm_plan,
                     perm=csr[0] if csr is not None else None,
                     inv_perm=csr[1] if csr is not None else None,
                 )
+                if z_free:
+                    h3 = h.reshape(-1, hh, fh_x)
+                    h = norm(h3[:, :, :fh],
+                             h3[:, :, fh].astype(jnp.float32)).reshape(-1, f)
+                elif fast_att:
+                    h = norm(h.reshape(-1, hh, fh),
+                             jnp.stack(zs, axis=1)).reshape(-1, f)
             else:
                 # per-VERTEX score halves first ([V,F]·[F] matvecs), then
                 # SCALAR per-edge gathers — 4 B instead of 4·F B per edge
@@ -225,10 +286,20 @@ def full_forward(
                 # two [E, F'] row gathers
                 ha_s = ht @ a_src
                 ha_d = ht @ a_dst
-                score = jax.nn.leaky_relu(ha_s[src] + ha_d[dst], 0.2)
-                att = segment_softmax_coo(score, dst, valid, num_vertices,
-                                          indices_are_sorted=sorted_dst)
-                h = agg(ht, att)
+                score = jax.nn.leaky_relu(ha_s[src] + dst_half(ha_d), 0.2)
+                if fast_att:
+                    # z stays a separate scalar segment_sum here: measured
+                    # 0.803 s vs 0.827 s for the ones-column variant at
+                    # Reddit scale — on the single-head path XLA already
+                    # overlaps the scalar scatter with the row scatter,
+                    # while the +1 column re-copies [V, F] (docs/PERF.md)
+                    u = attention_exp(score, valid)
+                    h = norm(agg(ht, u), z_of(u))
+                else:
+                    att = segment_softmax_coo(score, dst, valid,
+                                              num_vertices,
+                                              indices_are_sorted=sorted_dst)
+                    h = agg(ht, att)
             h = jax.nn.relu(h if l == n_layers - 1 else bn(h))
             if l == n_layers - 1:
                 h = log_softmax(h.astype(jnp.float32))

@@ -565,3 +565,72 @@ def test_sharded_windowed_chunking_matches_single(tiny_ds, monkeypatch):
             ls = single.train_epoch()[0]
             lt = sharded.train_epoch()[0]
             assert abs(ls - lt) < 3e-3, (family, step, ls, lt)
+
+
+@pytest.mark.parametrize("heads", [1, 4])
+def test_gat_fast_attention_matches_reference_formulation(tiny_ds, heads):
+    """The gather-free attention path (fast_att: broadcast_dst_sorted +
+    max-free attention_exp + divide-after-aggregation — engaged whenever a
+    planner rides a sorted path) computes the same layer as the reference
+    segment_softmax_coo formulation, forward AND gradients, single- and
+    multi-head.  Guards the round-3 serving rewrite (docs/PERF.md GAT
+    profile: 971→279 ms/layer at Reddit scale)."""
+    from sgnn_tpu.ops.segment import SpmmPlanner
+    from sgnn_tpu.train.fullbatch import csr_order
+
+    adj = Adjacency.from_edges(tiny_ds.edges, tiny_ds.num_vertices)
+    v = adj.num_vertices
+    src, dst, w = build_coo(adj, WeightKind.NONE, pad_multiple=64)
+    perm, inv = csr_order(src)
+    planner = SpmmPlanner(dst, src[perm], num_src=v, num_dst=v,
+                          e_real=adj.num_edges)
+    params = init_model(jax.random.PRNGKey(2), "gat", [32, 16, 5])
+    # non-zero attention vectors (zero-init would make both paths trivially
+    # uniform): overwrite with a seeded draw, scaled so scores span ±few
+    attn = tuple(0.5 * jax.random.normal(jax.random.PRNGKey(i + 9), a.shape)
+                 for i, a in enumerate(params.attn))
+    params = params._replace(attn=attn)
+    x = jnp.asarray(tiny_ds.features)
+    sj, dj, wj = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
+    pj, ij = jnp.asarray(perm), jnp.asarray(inv)
+
+    def run(planner_arg, use_csr):
+        def loss(p):
+            logp = full_forward(
+                p, "gat", x, sj, dj, wj, v, heads=heads,
+                csr=(pj, ij) if use_csr else None,
+                fwd_sorted=not use_csr, planner=planner_arg)
+            return jnp.sum(logp[: v // 2]), logp
+
+        (s, logp), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        return logp, grads
+
+    for use_csr in (False, True):  # serving (fwd_sorted) and training (csr)
+        ref_logp, ref_g = run(None, use_csr)
+        fast_logp, fast_g = run(planner, use_csr)
+        np.testing.assert_allclose(np.asarray(fast_logp),
+                                   np.asarray(ref_logp),
+                                   rtol=5e-4, atol=5e-5)
+        for a, b in zip(jax.tree.leaves(fast_g), jax.tree.leaves(ref_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)
+
+
+def test_broadcast_dst_sorted_empty_segments():
+    """Telescoping scatter-ADD reconstructs vals[dst] exactly through runs
+    of EMPTY destinations (consecutive deltas at one position must sum to
+    the jump across them)."""
+    from sgnn_tpu.ops.segment import SpmmPlanner, broadcast_dst_sorted
+
+    rng = np.random.default_rng(0)
+    v, e = 50, 400
+    # leave vertices 0, 7-9, 23, 49 with no in-edges at all
+    pool = np.setdiff1d(np.arange(v), [0, 7, 8, 9, 23, 49])
+    dst = np.sort(rng.choice(pool, size=e).astype(np.int32))
+    src = rng.integers(0, v, size=e).astype(np.int32)
+    planner = SpmmPlanner(dst, np.sort(src), num_src=v, num_dst=v)
+    starts = planner.softmax_starts()
+    vals = jnp.asarray(rng.normal(size=v).astype(np.float32) * 3)
+    got = broadcast_dst_sorted(vals, starts, e)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(vals)[dst],
+                               rtol=1e-5, atol=1e-6)
