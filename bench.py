@@ -139,11 +139,13 @@ def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
 
 
 def bench_feature_cache(scale: float, epochs: int, batch_size: int,
-                        feature_dtype: str = "") -> dict:
+                        feature_dtype: str = "", plan: str = "global") -> dict:
     """Beyond-HBM path: features forced host-side with a partial HBM cache
     sized to 30% of rows; reports hit rate + host→device transfer saving
     (reference load_feature_gpu_cache capability).  feature_dtype="int8"
-    stages per-column-quantized rows — same byte budget, 4x the rows."""
+    stages per-column-quantized rows — same byte budget, 4x the rows.
+    plan="per_sb" swaps presampled per-super-batch hot sets at SB
+    boundaries (FEATURE_CACHE_PLAN cfg key)."""
     import numpy as np
 
     from sgnn_tpu.config import RunConfig
@@ -159,22 +161,24 @@ def bench_feature_cache(scale: float, epochs: int, batch_size: int,
     )
     if not feature_dtype:
         cfg.feature_cache_rate = 0.5
+    cfg.feature_cache_plan = plan
     budget = int(0.3 * ds.num_vertices) * ds.features.shape[1] * 4
     tr = SampleTrainer(cfg, ds, family="sage", weight_kind=WeightKind.MEAN,
                        features_on_device=False, hbm_budget_bytes=budget)
     report = tr.run(epochs=epochs, eval_every=10**9)
-    fc = tr.feat_cache
-    saving = 1.0 - fc.bytes_shipped / max(fc.bytes_full, 1)
-    log(f"[bench] feature-cache{feature_dtype and f' ({feature_dtype})'}: "
-        f"hit {fc.hit_rate:.3f}, "
-        f"saving {100 * saving:.1f}% of {fc.bytes_full / 2**20:.0f} MiB, "
+    hit, shipped, full = tr.feature_cache_stats
+    saving = 1.0 - shipped / max(full, 1)
+    log(f"[bench] feature-cache{feature_dtype and f' ({feature_dtype})'}"
+        f" (plan {plan}): hit {hit:.3f}, "
+        f"saving {100 * saving:.1f}% of {full / 2**20:.0f} MiB, "
         f"acc {report.train_acc[-1]:.3f}")
     return {
-        "hit_rate": round(fc.hit_rate, 4),
+        "hit_rate": round(hit, 4),
         "transfer_saving_pct": round(100 * saving, 2),
         "train_acc": round(report.train_acc[-1], 4),
-        "staged_rows": int(fc.hot_ids.size),
+        "staged_rows": int(tr.feat_cache.hot_ids.size),
         "feature_dtype": feature_dtype or "compute",
+        "plan": plan,
     }
 
 
@@ -545,6 +549,17 @@ def main():
         log(f"[bench] int8 feature-cache stage failed ({e!r}); omitting")
         fcache_int8 = {}
     try:
+        # same byte budget, per-super-batch presampled hot sets
+        # (FEATURE_CACHE_PLAN:per_sb — the batch_cache_num discipline
+        # applied to the feature cache)
+        fcache_per_sb = bench_feature_cache(
+            min(args.scale, 0.25), 2, min(args.batch, 2500),
+            plan="per_sb",
+        )
+    except Exception as e:
+        log(f"[bench] per-SB feature-cache stage failed ({e!r}); omitting")
+        fcache_per_sb = {}
+    try:
         anchor = bench_calibrated_anchor(
             min(args.scale, 0.25), 6, min(args.batch, 10000)
         )
@@ -601,6 +616,7 @@ def main():
             "degree_mode": "sampled" if args.up_degree else "global",
             "feature_cache": fcache,
             "feature_cache_int8": fcache_int8,
+            "feature_cache_per_sb": fcache_per_sb,
             "calibrated_anchor": anchor,
             "pdcache_beyond_hbm": pdcache_bh,
             "fullbatch_gcn": fullbatch,

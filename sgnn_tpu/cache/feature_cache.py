@@ -28,8 +28,8 @@ import numpy as np
 class FeatureCache:
     hot_ids: np.ndarray        # [C] global ids cached in HBM
     slot_map: np.ndarray       # [V] int32 slot or -1 (host)
-    dev_slot_map: jax.Array    # [V] int32 (device)
-    dev_hot: jax.Array         # [C, F] cached feature rows (device)
+    dev_slot_map: "jax.Array | None"  # [V] int32 (device; None until upload)
+    dev_hot: "jax.Array | None"       # [C, F] cached rows (None until upload)
     hits: int = 0
     misses: int = 0
     bytes_shipped: int = 0   # cold-row bytes actually sent host→device
@@ -37,17 +37,39 @@ class FeatureCache:
 
     @staticmethod
     def build(
-        features: np.ndarray, hot_ids: np.ndarray, dtype=None
+        features: np.ndarray, hot_ids: np.ndarray, dtype=None,
+        device: bool = True,
     ) -> "FeatureCache":
+        """`device=False` defers the HBM upload (`upload()`) — per-SB plans
+        keep only the ACTIVE super-batch's [C, F] rows resident (two sets
+        would double the probed capacity budget)."""
         v = features.shape[0]
         slot_map = np.full(v, -1, dtype=np.int32)
         slot_map[hot_ids] = np.arange(hot_ids.size, dtype=np.int32)
-        return FeatureCache(
+        fc = FeatureCache(
             hot_ids=hot_ids.astype(np.int32),
             slot_map=slot_map,
-            dev_slot_map=jnp.asarray(slot_map),
-            dev_hot=jnp.asarray(features[hot_ids], dtype=dtype),
+            dev_slot_map=None,
+            dev_hot=None,
         )
+        if device:
+            fc.upload(features, dtype)
+        return fc
+
+    def upload(self, features: np.ndarray, dtype=None) -> None:
+        """Stage this plan's hot rows (and slot map) into HBM, releasing any
+        previously-held device arrays first (per-SB swap keeps ONE [C, F]
+        set live — reference new_cache_var/set_cache_index swap,
+        ntsDataloador.hpp:285/:440)."""
+        self.dev_hot = None  # drop the old buffer before allocating the new
+        from ..sampler.native import gather_rows
+
+        rows = np.empty((self.hot_ids.size, features.shape[1]),
+                        features.dtype)
+        if self.hot_ids.size:
+            gather_rows(features, self.hot_ids, out=rows)
+        self.dev_slot_map = jnp.asarray(self.slot_map)
+        self.dev_hot = jnp.asarray(rows, dtype=dtype)
 
     # ------------------------------------------------------------------
     def gather_host_cold(

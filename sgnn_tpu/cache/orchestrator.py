@@ -199,10 +199,17 @@ class CachedSampleTrainer(SampleTrainer):
                 # beyond-HBM: ship only cache-miss feature rows, compacted
                 # (same path as SampleTrainer; the cache-omit sampler has
                 # already pruned the hot destinations' expansions, so the
-                # cold set is smaller than the uncached engine's)
+                # cold set is smaller than the uncached engine's).  Under
+                # FEATURE_CACHE_PLAN:per_sb the feature plan follows the
+                # SAME super-batch index as the embedding plan (identical
+                # partition: sb_size = batch_size * pipeline_num)
                 feat_src = (self._host_q if self._host_q is not None
                             else self.dataset.features)
-                x0, cold_pos = self.feat_cache.gather_cold_compact(
+                fsb = (self._produce_idx - 1) // max(self.cfg.pipeline_num, 1)
+                fcache = (self._fc_sb_caches[
+                    min(fsb, len(self._fc_sb_caches) - 1)]
+                    if self._fc_sb_caches is not None else self.feat_cache)
+                x0, cold_pos = fcache.gather_cold_compact(
                     feat_src, b0.srcs, b0.src_valid
                 )
                 y = self.dataset.labels[np.maximum(top.seeds, 0)].astype(
@@ -253,6 +260,10 @@ class CachedSampleTrainer(SampleTrainer):
                     self.cache = self.sb_caches[(i // pipe)
                                                 % len(self.sb_caches)]
                     self._refresh_cache()
+                    if self._fc_sb_caches is not None:
+                        # per-SB FEATURE plan swaps on the same boundary
+                        self._fc_install_sb(
+                            min(i // pipe, len(self._fc_sb_caches) - 1))
                 self._dropout_key, sub = jax.random.split(self._dropout_key)
                 with self.timers.phase("train_step"):
                     self.params, self.opt_state, loss, acc = self._step_fn(

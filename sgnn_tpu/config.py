@@ -52,6 +52,11 @@ class RunConfig:
     pipeline_num: int = 4
     cache_rate: float = 0.0          # hot-vertex embedding cache fraction
     feature_cache_rate: float = 0.0  # HBM feature cache fraction
+    # "global" = one degree-ranked hot set; "per_sb" = per-super-batch hot
+    # sets from presampled expected access frequency, swapped at SB
+    # boundaries (the reference batch_cache_num discipline applied to the
+    # FEATURE cache — raises hit rate when capacity << working set)
+    feature_cache_plan: str = "global"
     cache: bool = False
     cache_type: str = "none"
     cache_policy: str = "degree"
@@ -153,6 +158,7 @@ _KEYMAP = {
     "PIPELINE_NUM": ("pipeline_num", int),
     "CACHE_RATE": ("cache_rate", float),
     "FEATURE_CACHE_RATE": ("feature_cache_rate", float),
+    "FEATURE_CACHE_PLAN": ("feature_cache_plan", str),
     "CACHE": ("cache", _to_bool),
     "CACHE_TYPE": ("cache_type", str),
     "CACHE_POLICY": ("cache_policy", str),

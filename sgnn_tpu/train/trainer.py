@@ -210,6 +210,24 @@ class SampleTrainer:
         # batch (reference load_feature_gpu_cache ntsFastSampler.hpp:263 +
         # determine_cache_node_idx GCN_SAMPLE_PD_CACHE.hpp:1039).
         self.feat_cache = None
+        # Per-super-batch feature-cache plans (FEATURE_CACHE_PLAN:per_sb):
+        # the reference's batch_cache_num discipline (ntsBaseOp.hpp:427-541)
+        # applied to the FEATURE cache — each super-batch stages the rows
+        # presampling says ITS seeds will actually touch, swapped at SB
+        # boundaries, instead of one global degree-ranked set.  Producer
+        # and consumer track the active SB with separate counters (the
+        # prefetch thread samples ahead): the producer gathers cold rows
+        # under batch's OWN SB slot map, the consumer uploads that SB's
+        # [C, F] rows before stepping it (only ONE set resident at a time —
+        # two would double the probed capacity budget).
+        self._fc_sb_caches = None
+        self._fc_sb_size = 0
+        self._fc_dev_sb = 0
+        self._fc_produce_idx = 0
+        self._fc_consume_idx = 0
+        self._fc_train_mode = False
+        self._fc_host_store = None
+        self._fc_store_dtype = None
         if not features_on_device and cfg.feature_cache_rate > 0:
             from ..cache.feature_cache import (
                 FeatureCache, degree_ranked_hot_ids, hbm_feature_capacity,
@@ -222,7 +240,6 @@ class SampleTrainer:
                 budget_bytes=hbm_budget_bytes,
             )
             rows = min(int(cfg.feature_cache_rate * dataset.num_vertices), cap)
-            hot = degree_ranked_hot_ids(self.adj, rows)
             if self.feature_int8:
                 # quantize ONCE on the host; hot rows stage as int8 (2x the
                 # rows of bf16 per HBM byte) and cold rows also SHIP as int8
@@ -231,16 +248,48 @@ class SampleTrainer:
 
                 self._host_q, scale = quantize_columns(dataset.features)
                 self._feat_scale = jnp.asarray(scale)
-                self.feat_cache = FeatureCache.build(self._host_q, hot)
+                self._fc_host_store = self._host_q
             else:
+                self._fc_host_store = dataset.features
+                self._fc_store_dtype = self.compute_dtype
+            plan = (getattr(cfg, "feature_cache_plan", "global")
+                    or "global").lower()
+            sb_size = cfg.batch_size * max(cfg.pipeline_num, 1)
+            if (plan == "per_sb" and rows > 0
+                    and len(self.train_nids) > sb_size):
+                from ..cache.hotness import presample_hotness_per_sb
+
+                v = dataset.num_vertices
+                per = presample_hotness_per_sb(
+                    self.adj, self.train_nids, cfg.fanout,
+                    min(1.0, (rows + 0.5) / v), sb_size,
+                    edge_file=cfg.edge_file or None,
+                    batch_size=cfg.batch_size,
+                )[:, :rows]
+                self._fc_sb_caches = [
+                    FeatureCache.build(self._fc_host_store, ids,
+                                       dtype=self._fc_store_dtype,
+                                       device=False)
+                    for ids in per
+                ]
+                self._fc_sb_size = sb_size
+                self.feat_cache = self._fc_sb_caches[0]
+                self.feat_cache.upload(self._fc_host_store,
+                                       self._fc_store_dtype)
+                rows_staged = per.shape[1]
+            else:
+                hot = degree_ranked_hot_ids(self.adj, rows)
                 self.feat_cache = FeatureCache.build(
-                    dataset.features, hot, dtype=self.compute_dtype
-                )
+                    self._fc_host_store, hot, dtype=self._fc_store_dtype)
+                rows_staged = hot.size
             log.info(
                 "feature cache: %d/%d rows (%.1f%%) staged in HBM "
-                "(capacity probe allowed %d)",
-                hot.size, dataset.num_vertices,
-                100.0 * hot.size / max(dataset.num_vertices, 1), cap,
+                "(capacity probe allowed %d, plan %s%s)",
+                rows_staged, dataset.num_vertices,
+                100.0 * rows_staged / max(dataset.num_vertices, 1), cap,
+                plan,
+                f" x {len(self._fc_sb_caches)} SBs"
+                if self._fc_sb_caches else "",
             )
         key = jax.random.PRNGKey(cfg.seed)
         self.params = init_model(key, family, cfg.layer_sizes)
@@ -347,6 +396,58 @@ class SampleTrainer:
             return ()
         return (self.feat_cache.dev_hot, self.feat_cache.dev_slot_map)
 
+    # --------------------------------------- per-SB feature-cache plumbing
+    def _fc_producer_cache(self, sampler=None):
+        """The FeatureCache whose HOST slot map this batch gathers under.
+
+        Per-SB mode maps the producer's batch counter to its super-batch
+        (membership is stable — super_batch_stable_shuffle).  DP wrappers
+        pass their own sampler streams and run their own epoch loops, so
+        they stay on the single resident plan (`self.feat_cache`)."""
+        if (self._fc_sb_caches is None or not self._fc_train_mode
+                or sampler is not None):
+            return self.feat_cache
+        k = (self._fc_produce_idx * self.cfg.batch_size) // self._fc_sb_size
+        self._fc_produce_idx += 1
+        return self._fc_sb_caches[min(k, len(self._fc_sb_caches) - 1)]
+
+    def _fc_consume_advance(self):
+        """Consumer side: before stepping the next batch, make the DEVICE
+        arrays match the super-batch that batch was gathered under
+        (reference new_cache_var/set_cache_index swap,
+        ntsDataloador.hpp:285/:440); the outgoing SB's [C, F] rows are
+        released first so only one set is ever resident."""
+        if self._fc_sb_caches is None or not self._fc_train_mode:
+            return
+        k = (self._fc_consume_idx * self.cfg.batch_size) // self._fc_sb_size
+        self._fc_consume_idx += 1
+        self._fc_install_sb(min(k, len(self._fc_sb_caches) - 1))
+
+    @property
+    def feature_cache_stats(self):
+        """Aggregate (hit_rate, bytes_shipped, bytes_full) across every
+        feature-cache plan (per-SB mode spreads counters over n_sb
+        objects; `feat_cache` alone would report only the last SB's)."""
+        caches = (self._fc_sb_caches if self._fc_sb_caches is not None
+                  else ([self.feat_cache] if self.feat_cache else []))
+        hits = sum(c.hits for c in caches)
+        misses = sum(c.misses for c in caches)
+        return (hits / max(hits + misses, 1),
+                sum(c.bytes_shipped for c in caches),
+                sum(c.bytes_full for c in caches))
+
+    def _fc_install_sb(self, k: int) -> None:
+        if k == self._fc_dev_sb and self._fc_sb_caches[k].dev_hot is not None:
+            return
+        prev = self._fc_sb_caches[self._fc_dev_sb]
+        prev.dev_hot = None
+        prev.dev_slot_map = None
+        with self.timers.phase("cache_refresh"):
+            self._fc_sb_caches[k].upload(self._fc_host_store,
+                                         self._fc_store_dtype)
+        self.feat_cache = self._fc_sb_caches[k]
+        self._fc_dev_sb = k
+
     # ------------------------------------------------------------- batching
     def _make_batch(
         self, seeds: np.ndarray, sampler: Optional[HostSampler] = None
@@ -370,7 +471,8 @@ class SampleTrainer:
                 b0, top = hb.blocks[0], hb.blocks[-1]
                 feat_src = (self._host_q if self._host_q is not None
                             else self.dataset.features)
-                x0, cold_pos = self.feat_cache.gather_cold_compact(
+                x0, cold_pos = self._fc_producer_cache(
+                    sampler).gather_cold_compact(
                     feat_src, b0.srcs, b0.src_valid
                 )
                 y = self.dataset.labels[np.maximum(top.seeds, 0)].astype(
@@ -461,21 +563,39 @@ class SampleTrainer:
     def train_epoch(self) -> Tuple[float, float, int]:
         """One epoch over train nids → (mean loss, train acc, edges sampled)."""
         losses, accs, edges = [], [], 0
-        for batch, nedges in self._batch_stream(
-            self._epoch_order(self.train_nids), shuffle=False
-        ):
-            self._dropout_key, sub = jax.random.split(self._dropout_key)
-            with self.timers.phase("train_step"):
-                self.params, self.opt_state, loss, acc = self._step_fn(
-                    self.params, self.opt_state, batch, sub,
-                    self.dev_features, self.dev_labels,
-                    *self._cache_args(),
-                )
-            # device-array accumulation — one host sync per epoch keeps
-            # async dispatch pipelining host sampling with device compute
-            losses.append(loss)
-            accs.append(acc)
-            edges += nedges
+        if self._fc_sb_caches is not None:
+            # per-SB feature plans require stable SB membership across
+            # epochs (nts_local_shuffle parity) and fresh SB counters;
+            # BATCH_TYPE sequence keeps membership stable by construction
+            from ..cache.hotness import super_batch_stable_shuffle
+
+            order = (self.train_nids
+                     if self.cfg.batch_type.lower() == "sequence"
+                     else super_batch_stable_shuffle(
+                         self.train_nids, self._fc_sb_size,
+                         self.sampler.rng))
+            self._fc_train_mode = True
+            self._fc_produce_idx = 0
+            self._fc_consume_idx = 0
+        else:
+            order = self._epoch_order(self.train_nids)
+        try:
+            for batch, nedges in self._batch_stream(order, shuffle=False):
+                self._fc_consume_advance()
+                self._dropout_key, sub = jax.random.split(self._dropout_key)
+                with self.timers.phase("train_step"):
+                    self.params, self.opt_state, loss, acc = self._step_fn(
+                        self.params, self.opt_state, batch, sub,
+                        self.dev_features, self.dev_labels,
+                        *self._cache_args(),
+                    )
+                # device-array accumulation — one host sync per epoch keeps
+                # async dispatch pipelining host sampling with device compute
+                losses.append(loss)
+                accs.append(acc)
+                edges += nedges
+        finally:
+            self._fc_train_mode = False
         if not losses:
             return 0.0, 0.0, 0
         mean_loss = float(jnp.mean(jnp.stack(losses)))

@@ -439,3 +439,52 @@ def test_device_engine_hbm_probe(tiny_ds):
     assert not tr.features_on_device and tr.feat_cache is not None
     loss, acc, edges = tr.train_epoch()
     assert np.isfinite(loss) and edges > 0
+
+
+def test_feature_cache_per_sb_plan(tiny_ds):
+    """FEATURE_CACHE_PLAN:per_sb — presampled per-super-batch hot sets
+    swapped at SB boundaries (the reference batch_cache_num discipline,
+    ntsBaseOp.hpp:427-541, applied to the FEATURE cache).  With sequence
+    batching the trajectory must equal the all-in-HBM control exactly
+    (the cache changes only WHERE rows come from), and the per-SB plan's
+    aggregate hit rate must beat the global degree-ranked plan at the
+    same capacity (it ranks by expected access frequency from each SB's
+    own seeds)."""
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.train.trainer import SampleTrainer
+
+    def mk_cfg(plan="global"):
+        return RunConfig(
+            layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=64,
+            epochs=2, drop_rate=0.0, vertices=tiny_ds.num_vertices,
+            feature_cache_rate=0.5, feature_cache_plan=plan,
+            batch_type="sequence", pipeline_num=2,
+        )
+
+    budget = 125 * 32 * 4  # 125 of 500 rows fit
+    a = SampleTrainer(mk_cfg("per_sb"), tiny_ds, family="gcn",
+                      features_on_device=False, hbm_budget_bytes=budget)
+    assert a._fc_sb_caches is not None and len(a._fc_sb_caches) > 1
+    assert all(c.hot_ids.size == 125 for c in a._fc_sb_caches)
+    # only the active SB's rows are resident
+    assert sum(c.dev_hot is not None for c in a._fc_sb_caches) == 1
+    b = SampleTrainer(mk_cfg(), tiny_ds, family="gcn")  # all-in-HBM control
+    assert b.features_on_device
+    for _ in range(2):
+        loss_a, acc_a, _ = a.train_epoch()
+        loss_b, acc_b, _ = b.train_epoch()
+        np.testing.assert_allclose(loss_a, loss_b, rtol=1e-4)
+        np.testing.assert_allclose(acc_a, acc_b, rtol=1e-4)
+    assert sum(c.dev_hot is not None for c in a._fc_sb_caches) == 1
+    hit_sb, shipped, full = a.feature_cache_stats
+    assert 0 < shipped < full
+    # eval path flows through the currently-resident plan
+    assert 0.0 <= a.evaluate(a.val_nids) <= 1.0
+
+    g = SampleTrainer(mk_cfg("global"), tiny_ds, family="gcn",
+                      features_on_device=False, hbm_budget_bytes=budget)
+    assert g._fc_sb_caches is None
+    for _ in range(2):
+        g.train_epoch()
+    hit_g = g.feature_cache_stats[0]
+    assert hit_sb > hit_g, (hit_sb, hit_g)
