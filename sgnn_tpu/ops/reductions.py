@@ -59,6 +59,14 @@ def _segment_extreme_windowed(x, src, dst, valid, num_dst, plan, kind):
     chunk, window = plan.chunk, plan.dst_span
     e_total = src.shape[0]
     f = x.shape[1]
+    # narrow-table GATHERS hit a slow scan lowering (segment.
+    # _pad_feat_tile); pad the gathered table with `init` and slice each
+    # window reduction back so the carried accumulator stays narrow
+    from .segment import _eff_feat
+
+    fp = _eff_feat(f)
+    if fp != f:
+        x = jnp.pad(x, ((0, 0), (0, fp - f)), constant_values=init_f)
     src_c, dst_c, v_c = _pad_chunks(
         (src, dst, valid), e_total, chunk, fills=(0, num_dst - 1, False))
 
@@ -67,7 +75,7 @@ def _segment_extreme_windowed(x, src, dst, valid, num_dst, plan, kind):
         r0, dl = _window_ids(d, window)
         msgs = jnp.where(vld[:, None], x[s], init)
         local = seg_red(msgs, dl, num_segments=window,
-                        indices_are_sorted=True)
+                        indices_are_sorted=True)[:, :f]
         win = jax.lax.dynamic_slice(acc, (r0, 0), (window, f))
         return jax.lax.dynamic_update_slice(acc, comb(win, local),
                                             (r0, 0)), None

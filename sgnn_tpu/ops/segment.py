@@ -292,16 +292,20 @@ def _spmm_fwd_impl(x, src, dst, weight, num_dst):
             msgs.astype(jnp.float32), dst, num_segments=num_dst
         )
         return out.astype(x.dtype)
+    feat = x.shape[1]
+    out_dtype = x.dtype
+    x = _pad_feat_tile(x)  # narrow-table gathers hit a slow scan lowering
     src_c, dst_c, w_c = _pad_chunks((src, dst, weight), src.shape[0], chunk)
 
     def body(acc, args):
         s, d, w = args
         m = (x[s] * w[:, None]).astype(jnp.float32)
-        return acc + jax.ops.segment_sum(m, d, num_segments=num_dst), None
+        return acc + jax.ops.segment_sum(
+            m, d, num_segments=num_dst)[:, :feat], None
 
-    acc0 = jnp.zeros((num_dst, x.shape[1]), jnp.float32)
+    acc0 = jnp.zeros((num_dst, feat), jnp.float32)
     out, _ = jax.lax.scan(body, acc0, (src_c, dst_c, w_c))
-    return out.astype(x.dtype)
+    return out.astype(out_dtype)
 
 
 def _spmm_fwd(x, src, dst, weight, num_dst):
@@ -321,20 +325,26 @@ def _spmm_bwd(num_dst, res, g):
                         ).astype(weight.dtype)
         return dx, None, None, dw
     e_total = src.shape[0]
+    feat = x.shape[1]
+    out_dtype = x.dtype
+    num_src = x.shape[0]
+    x = _pad_feat_tile(x)  # narrow-table gathers hit a slow scan lowering
+    g = _pad_feat_tile(g)
     src_c, dst_c, w_c = _pad_chunks((src, dst, weight), e_total, chunk)
 
     def body(acc, args):
         s, d, w = args
         gd = g[d]                                           # [chunk, F]
         ge = (gd * w[:, None]).astype(jnp.float32)
-        acc = acc + jax.ops.segment_sum(ge, s, num_segments=x.shape[0])
+        acc = acc + jax.ops.segment_sum(
+            ge, s, num_segments=num_src)[:, :feat]
         dw_c = jnp.einsum("ef,ef->e", gd, x[s],
                           preferred_element_type=jnp.float32)
         return acc, dw_c
 
-    acc0 = jnp.zeros((x.shape[0], x.shape[1]), jnp.float32)
+    acc0 = jnp.zeros((num_src, feat), jnp.float32)
     dx, dw = jax.lax.scan(body, acc0, (src_c, dst_c, w_c))
-    return (dx.astype(x.dtype), None, None,
+    return (dx.astype(out_dtype), None, None,
             dw.reshape(-1)[:e_total].astype(weight.dtype))
 
 
@@ -375,14 +385,33 @@ def spmm_coo_csc(
     return _spmm_csc_fwd_impl(x, src, dst, weight, num_dst, plan)
 
 
+def _pad_feat_tile(t: jax.Array) -> jax.Array:
+    """Pad a [*, F] array's minor dim up to the 128-lane tile width.
+
+    The chunked/windowed scan bodies hit a SLOW XLA lowering when the
+    gathered/scattered minor dim is narrower than a tile: measured on v5e
+    at 47.5M edges, the windowed F=41 SpMM ran 3033 ms while the IDENTICAL
+    computation padded to 128 lanes ran 738 ms (= the F=128 cost — the
+    HBM bytes moved are the same either way, since arrays are (8,128)-
+    tiled regardless).  Zero columns flow through weighted sums and
+    segment reductions as exact zeros; callers slice the result back.
+    See docs/PERF.md round-3 'narrow-width windowed SpMM' entry."""
+    f = t.shape[-1]
+    eff = _eff_feat(f)
+    if f == eff:
+        return t
+    return jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, eff - f)])
+
+
 def _spmm_csc_fwd_impl(x, src, dst, weight, num_dst, plan=None):
     # weight multiplies under jnp promotion (f32 weights promote bf16 rows
     # to f32 messages) — identical arithmetic to spmm_coo.  int8-quantized
     # x (FEATURE_DTYPE:int8 refresh paths) returns f32: weighted sums are
     # not representable in the storage dtype.
     out_dtype = jnp.float32 if x.dtype == jnp.int8 else x.dtype
+    feat = x.shape[1]
     chunk = plan.chunk if plan is not None else _edge_chunk(
-        src.shape[0], x.shape[1])
+        src.shape[0], feat)
     if chunk is None:
         msgs = x[src] * weight[:, None]
         out = jax.ops.segment_sum(
@@ -390,6 +419,11 @@ def _spmm_csc_fwd_impl(x, src, dst, weight, num_dst, plan=None):
             indices_are_sorted=True,
         )
         return out.astype(out_dtype)
+    # narrow-table GATHERS hit a slow scan lowering (_pad_feat_tile) — pad
+    # the gathered table only; the per-chunk [window, F] reduction slices
+    # back to `feat` so accumulators stay NARROW (the padded-accumulator
+    # variant measured the same 738-749 ms but OOM'd scale-2 training)
+    x = _pad_feat_tile(x)
     src_c, dst_c, w_c = _pad_chunks(
         (src, dst, weight), src.shape[0], chunk, fills=(0, num_dst - 1, 0))
     if plan is not None:
@@ -401,9 +435,9 @@ def _spmm_csc_fwd_impl(x, src, dst, weight, num_dst, plan=None):
             m = (x[s] * w[:, None]).astype(jnp.float32)
             local = jax.ops.segment_sum(
                 m, dl, num_segments=window, indices_are_sorted=True)
-            return _window_add(acc, local, r0), None
+            return _window_add(acc, local[:, :feat], r0), None
 
-        acc0 = _acc_init((num_dst + window, x.shape[1]), weight)
+        acc0 = _acc_init((num_dst + window, feat), weight)
         out, _ = jax.lax.scan(bodyw, acc0, (src_c, dst_c, w_c))
         return out[:num_dst].astype(out_dtype)
 
@@ -411,9 +445,10 @@ def _spmm_csc_fwd_impl(x, src, dst, weight, num_dst, plan=None):
         s, d, w = args
         m = (x[s] * w[:, None]).astype(jnp.float32)
         return acc + jax.ops.segment_sum(
-            m, d, num_segments=num_dst, indices_are_sorted=True), None
+            m, d, num_segments=num_dst, indices_are_sorted=True)[:, :feat], \
+            None
 
-    acc0 = jnp.zeros((num_dst, x.shape[1]), jnp.float32)
+    acc0 = jnp.zeros((num_dst, feat), jnp.float32)
     out, _ = jax.lax.scan(body, acc0, (src_c, dst_c, w_c))
     return out.astype(out_dtype)
 
@@ -442,6 +477,13 @@ def _spmm_csc_bwd(num_dst, plan, res, g):
         dw = dw_p[inv_perm].astype(weight.dtype)  # back to caller edge order
         return dx, None, None, dw, None, None
     e_total = src.shape[0]
+    feat = x.shape[1]
+    out_dtype = x.dtype
+    # narrow-table GATHERS hit a slow scan lowering (_pad_feat_tile); the
+    # zero columns contribute exact zeros to dx/dw, reductions slice back
+    # so accumulators stay narrow
+    x = _pad_feat_tile(x)
+    g = _pad_feat_tile(g)
     sp_c, dp_c, wp_c = _pad_chunks(
         (sp, dp, wp), e_total, chunk, fills=(num_src - 1, 0, 0))
     if plan is not None:
@@ -454,30 +496,31 @@ def _spmm_csc_bwd(num_dst, plan, res, g):
             ge = (gd * w[:, None]).astype(jnp.float32)
             local = jax.ops.segment_sum(
                 ge, sl, num_segments=window, indices_are_sorted=True)
-            acc = _window_add(acc, local, r0)
+            acc = _window_add(acc, local[:, :feat], r0)
             dw_c = jnp.einsum("ef,ef->e", gd, x[s],
                               preferred_element_type=jnp.float32)
             return acc, dw_c
 
-        acc0 = _acc_init((num_src + window, x.shape[1]), g)
+        acc0 = _acc_init((num_src + window, feat), g)
         dx, dw_p = jax.lax.scan(bodyw, acc0, (sp_c, dp_c, wp_c))
         dw = dw_p.reshape(-1)[:e_total][inv_perm].astype(weight.dtype)
-        return dx[:num_src].astype(x.dtype), None, None, dw, None, None
+        return (dx[:num_src].astype(out_dtype), None, None, dw,
+                None, None)
 
     def body(acc, args):
         s, d, w = args
         gd = g[d]
         ge = (gd * w[:, None]).astype(jnp.float32)
         acc = acc + jax.ops.segment_sum(
-            ge, s, num_segments=num_src, indices_are_sorted=True)
+            ge, s, num_segments=num_src, indices_are_sorted=True)[:, :feat]
         dw_c = jnp.einsum("ef,ef->e", gd, x[s],
                           preferred_element_type=jnp.float32)
         return acc, dw_c
 
-    acc0 = jnp.zeros((num_src, x.shape[1]), jnp.float32)
+    acc0 = jnp.zeros((num_src, feat), jnp.float32)
     dx, dw_p = jax.lax.scan(body, acc0, (sp_c, dp_c, wp_c))
     dw = dw_p.reshape(-1)[:e_total][inv_perm].astype(weight.dtype)
-    return dx.astype(x.dtype), None, None, dw, None, None
+    return dx.astype(out_dtype), None, None, dw, None, None
 
 
 spmm_coo_csc.defvjp(_spmm_csc_fwd, _spmm_csc_bwd)
@@ -831,6 +874,9 @@ def _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted,
                                     indices_are_sorted=indices_are_sorted)
         elif windowed:
             window = plan.dst_span
+            # narrow-table gathers hit a slow scan lowering; reductions
+            # slice back so accumulators stay narrow (_pad_feat_tile)
+            xi = _pad_feat_tile(xi)
             sc, dc, ac = _pad_chunks(
                 (src, dst, ai), e_total, chunk, fills=(0, num_dst - 1, 0))
 
@@ -840,13 +886,14 @@ def _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted,
                 m = (xi[s] * a[:, None].astype(xi.dtype)).astype(jnp.float32)
                 local = jax.ops.segment_sum(
                     m, dl, num_segments=window, indices_are_sorted=True)
-                return _window_add(acc, local, r0), None
+                return _window_add(acc, local[:, :fh], r0), None
 
             o, _ = jax.lax.scan(
                 bodyw, _acc_init((num_dst + window, fh), ai),
                 (sc, dc, ac))
             o = o[:num_dst]
         else:
+            xi = _pad_feat_tile(xi)
             sc, dc, ac = _pad_chunks(
                 (src, dst, ai), e_total, chunk,
                 fills=(0, num_dst - 1 if indices_are_sorted else 0, 0))
@@ -856,7 +903,7 @@ def _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted,
                 m = (xi[s] * a[:, None].astype(xi.dtype)).astype(jnp.float32)
                 return acc + jax.ops.segment_sum(
                     m, d, num_segments=num_dst,
-                    indices_are_sorted=indices_are_sorted), None
+                    indices_are_sorted=indices_are_sorted)[:, :fh], None
 
             o, _ = jax.lax.scan(body, jnp.zeros((num_dst, fh), jnp.float32),
                                 (sc, dc, ac))
@@ -886,9 +933,12 @@ def _hm_bwd(num_dst, indices_are_sorted, plan, res, g):
         sp, dp = src[perm], dst[perm]
         dxs, das = [], []
         for i in range(heads):
-            xi = x[:, i * fh:(i + 1) * fh]
+            # narrow-table gathers hit a slow scan lowering — pad the
+            # gathered tables only; reductions slice back to fh so the
+            # carried accumulator stays narrow (_pad_feat_tile)
+            xi = _pad_feat_tile(x[:, i * fh:(i + 1) * fh])
             ap = att_hm[i][perm]
-            gi = g[:, i * fh:(i + 1) * fh]
+            gi = _pad_feat_tile(g[:, i * fh:(i + 1) * fh])
             sc, dc, ac = _pad_chunks(
                 (sp, dp, ap), e_total, chunk, fills=(num_src - 1, 0, 0))
 
@@ -899,7 +949,7 @@ def _hm_bwd(num_dst, indices_are_sorted, plan, res, g):
                 ge = (gd * a[:, None].astype(gd.dtype)).astype(jnp.float32)
                 local = jax.ops.segment_sum(
                     ge, sl, num_segments=window, indices_are_sorted=True)
-                acc = _window_add(acc, local, r0)
+                acc = _window_add(acc, local[:, :fh], r0)
                 da_c = jnp.einsum("ef,ef->e", gd, xi[s],
                                   preferred_element_type=jnp.float32)
                 return acc, da_c
@@ -924,13 +974,16 @@ def _hm_bwd(num_dst, indices_are_sorted, plan, res, g):
             da = jnp.einsum("ef,ef->e", gd, xi[src],
                             preferred_element_type=jnp.float32)
         else:
+            xi = _pad_feat_tile(xi)
+            gi = _pad_feat_tile(gi)
             sc, dc, ac = _pad_chunks((src, dst, ai), e_total, chunk)
 
             def body(acc, args, xi=xi, gi=gi):
                 s, d, a = args
                 gd = gi[d]
                 ge = (gd * a[:, None].astype(gd.dtype)).astype(jnp.float32)
-                acc = acc + jax.ops.segment_sum(ge, s, num_segments=num_src)
+                acc = acc + jax.ops.segment_sum(
+                    ge, s, num_segments=num_src)[:, :fh]
                 da_c = jnp.einsum("ef,ef->e", gd, xi[s],
                                   preferred_element_type=jnp.float32)
                 return acc, da_c
