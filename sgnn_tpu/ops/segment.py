@@ -215,6 +215,23 @@ class ShardedSpmmPlanner(SpmmPlanner):
         self.num_dst = int(num_dst)
         self._cache = {}
 
+    def softmax_starts(self) -> np.ndarray:
+        """[n, num_dst] int32 per-shard first-edge positions (stacked
+        edition of SpmmPlanner.softmax_starts): row p is searchsorted over
+        shard p's FULL padded dst row — the weight-0 pad tail sits at
+        num_dst-1, keeping the row ascending, and pad edges are masked by
+        `valid` wherever the broadcast result is consumed.  Feeds the
+        sharded gather-free GAT attention (parallel/halo.sharded_gat_layer
+        fast path, one stacked static operand through shard_map)."""
+        if "softmax_starts" not in self._cache:
+            n = self._dst_rows.shape[0]
+            ids = np.arange(self.num_dst, dtype=self._dst_rows.dtype)
+            self._cache["softmax_starts"] = np.stack([
+                np.searchsorted(self._dst_rows[p], ids, side="left")
+                for p in range(n)
+            ]).astype(np.int32)
+        return self._cache["softmax_starts"]
+
     def _spans(self, chunk: int) -> SpmmPlan:
         n = self._dst_rows.shape[0]
         dst_span = max(

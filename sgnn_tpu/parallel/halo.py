@@ -336,6 +336,9 @@ def sharded_gat_layer(
     perm: "jax.Array | None" = None,      # per-shard CSR order → sorted
     inv_perm: "jax.Array | None" = None,  #   segment ops when provided
     planner=None,   # ops/segment.ShardedSpmmPlanner → windowed chunking
+    att_starts: "jax.Array | None" = None,  # [rows] per-shard first-edge
+                                            # positions → gather-free
+                                            # attention (fast_att)
 ) -> jax.Array:
     """One partition-parallel GAT layer (call inside shard_map).
 
@@ -345,8 +348,18 @@ def sharded_gat_layer(
     edge partition is BY DESTINATION OWNER, so every dst's softmax group is
     shard-local — only the transformed activations cross the mesh (halo),
     and the segment softmax + weighted SpMM run locally.
+
+    With `att_starts` (ShardedSpmmPlanner.softmax_starts row) the layer
+    runs the SAME gather-free attention formulation as the single-chip
+    full_forward (measured 971→279 ms per layer at Reddit scale,
+    docs/PERF.md round-3): per-dst score halves broadcast by telescoping
+    scatter+cumsum, max-free clamped exponential, normalization off the
+    edge axis.  The reference likewise runs one softmax kernel on both the
+    local and distributed paths (DistEdgeSoftMax vs SingleEdgeSoftMax).
     """
     from ..ops.segment import (
+        attention_exp,
+        broadcast_dst_sorted,
         segment_softmax_coo,
         spmm_coo,
         spmm_coo_csc,
@@ -355,6 +368,7 @@ def sharded_gat_layer(
     )
 
     sorted_dst = perm is not None  # new-style shards pad dst at rows-1
+    fast_att = att_starts is not None and sorted_dst
     ht = jnp.dot(h_shard, wl, preferred_element_type=h_shard.dtype)
     f = ht.shape[-1]
     if send_idx is None:
@@ -362,24 +376,62 @@ def sharded_gat_layer(
     else:
         ext = targeted_halo_exchange(ht, send_idx, axis_name)
     rows = h_shard.shape[0]
+    e_pad = src_idx.shape[0]
+
+    def dst_half(vec_rows):  # [rows] per-dst score half → [E_pad]
+        if fast_att:
+            return broadcast_dst_sorted(vec_rows, att_starts, e_pad,
+                                        out_dtype=ht.dtype)
+        return vec_rows[dst_local]
+
+    def z_of(u):  # exact per-dst normalizer (sorted segment sum)
+        return jax.ops.segment_sum(
+            u.astype(jnp.float32), dst_local, num_segments=rows,
+            indices_are_sorted=True)
+
+    def norm(hagg, z):  # divide-after-aggregation, f32 then back
+        z = jnp.maximum(z, jnp.finfo(jnp.float32).tiny)
+        z = z.reshape(z.shape + (1,) * (hagg.ndim - z.ndim))
+        return (hagg.astype(jnp.float32) / z).astype(ht.dtype)
+
     if heads > 1:
         fh = f // heads
         a_s = attn[:f, 0].reshape(heads, fh)
         a_d = attn[f:, 0].reshape(heads, fh)
         ha_ext = jnp.einsum("shf,hf->sh", ext.reshape(-1, heads, fh), a_s)
         ha_dst = jnp.einsum("shf,hf->sh", ht.reshape(-1, heads, fh), a_d)
-        score = jax.nn.leaky_relu(ha_ext[src_idx] + ha_dst[dst_local], 0.2)
-        att = segment_softmax_coo(score, dst_local, valid, rows,
-                                  indices_are_sorted=sorted_dst)
+        if fast_att:
+            us = []
+            for i in range(heads):  # per-head 1-D [E] arrays (fast_att)
+                sc = jax.nn.leaky_relu(
+                    ha_ext[:, i][src_idx] + dst_half(ha_dst[:, i]), 0.2)
+                us.append(attention_exp(sc, valid))
+            att = jnp.stack(us, axis=1)                     # [E, H]
+        else:
+            score = jax.nn.leaky_relu(
+                ha_ext[src_idx] + ha_dst[dst_local], 0.2)
+            att = segment_softmax_coo(score, dst_local, valid, rows,
+                                      indices_are_sorted=sorted_dst)
         if perm is not None:
             plan = (planner.plan(f, live_factor=3)
                     if planner is not None else None)
-            return spmm_coo_multihead_csc(ext, src_idx, dst_local, att,
-                                          perm, inv_perm, rows, plan)
-        return spmm_coo_multihead(ext, src_idx, dst_local, att, rows)
+            h = spmm_coo_multihead_csc(ext, src_idx, dst_local, att,
+                                       perm, inv_perm, rows, plan)
+        else:
+            h = spmm_coo_multihead(ext, src_idx, dst_local, att, rows)
+        if fast_att:
+            z = jnp.stack([z_of(u) for u in us], axis=1)    # [rows, H]
+            h = norm(h.reshape(rows, heads, fh), z).reshape(rows, f)
+        return h
     # scalar per-edge gathers of precomputed per-vertex score halves
-    score = (ext @ attn[:f, 0])[src_idx] + (ht @ attn[f:, 0])[dst_local]
+    score = (ext @ attn[:f, 0])[src_idx] + dst_half(ht @ attn[f:, 0])
     score = jax.nn.leaky_relu(score, 0.2)
+    if fast_att:
+        u = attention_exp(score, valid)
+        plan = planner.plan(f) if planner is not None else None
+        h = spmm_coo_csc(ext, src_idx, dst_local, u, perm, inv_perm,
+                         rows, plan)
+        return norm(h, z_of(u))
     att = segment_softmax_coo(score, dst_local, valid, rows,
                               indices_are_sorted=sorted_dst)
     if perm is not None:

@@ -237,6 +237,8 @@ def global_mesh(data: Optional[int] = None, graph: int = 1) -> Mesh:
 def run_multihost_fullbatch_epochs(
     cfg, dataset, epochs: Optional[int] = None, family: str = "gcn",
     halo: str = "all_gather", weight_kind=None,
+    state_out: Optional[dict] = None,
+    resume_state: Optional[dict] = None,
 ):
     """Vertex-sharded full-batch training over EVERY device of EVERY process.
 
@@ -266,6 +268,19 @@ def run_multihost_fullbatch_epochs(
     mesh = Mesh(np.asarray(devs).reshape(len(devs)), ("graph",))
     tr = FullBatchTrainer(cfg, dataset, family=family, mesh=mesh, halo=halo,
                           weight_kind=weight_kind)
+    if resume_state is not None:
+        # kill-and-resume parity (device-DP analog above): params/opt + the
+        # dropout key chain, so a resumed run reproduces the uninterrupted
+        # trajectory exactly (the fullbatch step has no other RNG state)
+        template = {"params": tr.params, "opt_state": tr.opt_state,
+                    "dropout_key": tr._dropout_key}
+        flat, treedef = jax.tree.flatten(template)
+        leaves = resume_state["leaves"]
+        assert len(leaves) == len(flat), (len(leaves), len(flat))
+        restored = jax.tree.unflatten(treedef, leaves)
+        tr.params = jax.tree.map(np.asarray, restored["params"])
+        tr.opt_state = jax.tree.map(np.asarray, restored["opt_state"])
+        tr._dropout_key = jnp.asarray(restored["dropout_key"])
     n = len(devs)
     rows = tr.sharded.rows_per_shard
     pid = jax.process_index()
@@ -306,6 +321,7 @@ def run_multihost_fullbatch_epochs(
         perm_g = dev_block(tr.sharded.perm)
         inv_g = dev_block(tr.sharded.inv_perm)
     smeta_g = dev_block(tr.sharded.shard_meta)
+    starts_g = dev_block(tr.shard_planner.softmax_starts())
 
     losses = []
     for ep in range(epochs or cfg.epochs):
@@ -313,12 +329,18 @@ def run_multihost_fullbatch_epochs(
         tr._dropout_key, dkey = jax.random.split(tr._dropout_key)
         params_g, opt_g, loss, _pred = tr._step(
             params_g, opt_g, x_g, y_g, mask_g, src_g, dst_g, w_g, sidx_g,
-            perm_g, inv_g, smeta_g, to_g(dkey, P()),
+            perm_g, inv_g, smeta_g, starts_g, to_g(dkey, P()),
         )
         losses.append(float(np.asarray(loss.addressable_shards[0].data)))
         check_finite_loss(losses[-1], ep, "run_multihost_fullbatch_epochs")
         log.info("multihost fullbatch epoch %d (%d proc, %d dev): loss %.6f",
                  ep, jax.process_count(), n, losses[-1])
+    if state_out is not None:
+        state_out.update({
+            "params": _host_copy(params_g),
+            "opt_state": _host_copy(opt_g),
+            "dropout_key": np.asarray(tr._dropout_key),
+        })
     return losses
 
 def _host_copy(tree):

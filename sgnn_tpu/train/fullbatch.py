@@ -528,7 +528,7 @@ class FullBatchTrainer:
         halo_mode = self.halo
 
         def _forward_local(p, dk, x, src, dstl, w_edge, sidx, perm, invp,
-                           smeta):
+                           smeta, starts):
             """Shard-local L-layer forward (inside a shard_map body).
 
             Shared by the training step and the sharded predict program —
@@ -647,6 +647,7 @@ class FullBatchTrainer:
                             heads=1 if l == n_layers - 1 else heads,
                             perm=perm[0], inv_perm=invp[0],
                             planner=shard_planner,
+                            att_starts=starts[0],
                         )
                         h = jax.nn.relu(h if l == n_layers - 1 else bn(h))
                         if l == n_layers - 1:
@@ -674,14 +675,14 @@ class FullBatchTrainer:
             mesh=self.mesh,
             in_specs=(P(), P(), P("graph"), P("graph"), P("graph"),
                       P("graph"), P("graph"), P("graph"), P("graph"),
-                      P("graph"), P("graph"), P("graph"), P()),
+                      P("graph"), P("graph"), P("graph"), P("graph"), P()),
             out_specs=(P(), P(), P(), P("graph")),
         )
         def step(params, opt_state, x, y, mask, src, dstl, w_edge, sidx,
-                 perm, invp, smeta, dkey):
+                 perm, invp, smeta, starts, dkey):
             def fwd(p, dk):
                 h = _forward_local(p, dk, x, src, dstl, w_edge, sidx,
-                                   perm, invp, smeta)
+                                   perm, invp, smeta, starts)
                 # masked NLL over the local shard, reduced globally
                 picked = jnp.take_along_axis(
                     h, y[:, None].astype(jnp.int32), axis=1
@@ -715,30 +716,36 @@ class FullBatchTrainer:
             shard_map,
             mesh=self.mesh,
             in_specs=(P(), P("graph"), P("graph"), P("graph"), P("graph"),
-                      P("graph"), P("graph"), P("graph"), P("graph")),
+                      P("graph"), P("graph"), P("graph"), P("graph"),
+                      P("graph")),
             out_specs=P("graph"),
         )
         def predict_local(params, x, src, dstl, w_edge, sidx, perm, invp,
-                          smeta):
+                          smeta, starts):
             return _forward_local(params, None, x, src, dstl, w_edge, sidx,
-                                  perm, invp, smeta)
+                                  perm, invp, smeta, starts)
 
         self._predict_step = jax.jit(predict_local)
 
     def _sharded_operands(self):
         """Edge operands for the sharded step/predict programs, in the
-        (src, dst_local, weight, send_idx, perm, inv_perm, shard_meta)
-        argument order."""
+        (src, dst_local, weight, send_idx, perm, inv_perm, shard_meta,
+        softmax_starts) argument order."""
         smeta = jnp.asarray(self.sharded.shard_meta)
+        # per-shard first-edge positions (gather-free GAT attention, one
+        # stacked static operand — passed as an operand rather than closed
+        # over: this runtime rejects programs with large baked-in constants)
+        starts = jnp.asarray(self.shard_planner.softmax_starts())
         if self.targeted is not None:
             t = self.targeted
             return (t.src_local, t.dst_local, t.weight, t.send_idx,
-                    t.perm, t.inv_perm, smeta)
+                    t.perm, t.inv_perm, smeta, starts)
         sidx = jnp.zeros(
             (int(np.prod(self.mesh.devices.shape)), 1, 1), jnp.int32
         )
         s = self.sharded
-        return s.src, s.dst_local, s.weight, sidx, s.perm, s.inv_perm, smeta
+        return (s.src, s.dst_local, s.weight, sidx, s.perm, s.inv_perm,
+                smeta, starts)
 
     # ---------------------------------------------------------------- run
     def train_epoch(self) -> Tuple[float, float, float, float]:

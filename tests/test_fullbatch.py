@@ -620,6 +620,96 @@ def test_gat_fast_attention_matches_reference_formulation(tiny_ds, heads):
                                        rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("halo,heads", [("all_gather", 1), ("targeted", 2)])
+def test_sharded_gat_fast_attention_matches_reference(tiny_ds, halo, heads):
+    """sharded_gat_layer's gather-free path (att_starts: per-shard
+    broadcast_dst_sorted + attention_exp + divide-after-aggregation) equals
+    its own reference segment_softmax_coo formulation, forward AND grads,
+    on the CPU mesh — both halo modes, single- and multi-head (VERDICT r3
+    #6: the sharded path must run the same attention kernel as the local
+    one, DistEdgeSoftMax parity, ntsDistCPUGraphOp.hpp:34-524)."""
+    import functools
+
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from sgnn_tpu.ops.segment import ShardedSpmmPlanner
+    from sgnn_tpu.parallel.halo import (
+        build_targeted_halo,
+        shard_graph,
+        sharded_gat_layer,
+    )
+
+    adj = Adjacency.from_edges(tiny_ds.edges, tiny_ds.num_vertices)
+    src_, dst_, w_ = build_coo(adj, WeightKind.NONE)
+    w_real = w_[: adj.num_edges]
+    n = 4
+    mesh = Mesh(np.asarray(jax.devices()[:n]).reshape(n), ("graph",))
+    if halo == "targeted":
+        t = build_targeted_halo(adj, n, w_real)
+        src_rows, dst_rows, w_rows = t.src_local, t.dst_local, t.weight
+        perm_rows, inv_rows, sidx = t.perm, t.inv_perm, t.send_idx
+        num_src = t.rows_per_shard + n * t.halo_pad
+        rows = t.rows_per_shard
+    else:
+        sg = shard_graph(adj, n, w_real)
+        src_rows, dst_rows, w_rows = sg.src, sg.dst_local, sg.weight
+        perm_rows, inv_rows, sidx = sg.perm, sg.inv_perm, None
+        num_src = n * sg.rows_per_shard
+        rows = sg.rows_per_shard
+    planner = ShardedSpmmPlanner(
+        np.asarray(dst_rows),
+        np.take_along_axis(np.asarray(src_rows), np.asarray(perm_rows), 1),
+        num_src=num_src, num_dst=rows,
+        e_real=(np.asarray(w_rows) != 0).sum(axis=1))
+    starts = jnp.asarray(planner.softmax_starts())
+    f_in, f_out = 32, 16 * heads
+    k = jax.random.PRNGKey(3)
+    wl = jax.random.normal(k, (f_in, f_out), jnp.float32) * 0.3
+    attn = jax.random.normal(jax.random.PRNGKey(7), (2 * f_out, 1),
+                             jnp.float32) * 0.5
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((rows * n, f_in)), jnp.float32)
+
+    if sidx is None:  # dummy operand so both modes share one signature
+        sidx = jnp.zeros((n, 1, 1), jnp.int32)
+        use_sidx = False
+    else:
+        use_sidx = True
+
+    def make_run(fast):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(), P("graph"), P("graph"), P("graph"),
+                      P("graph"), P("graph"), P("graph"), P("graph"),
+                      P("graph")),
+            out_specs=P("graph"),
+        )
+        def fwd(wl_, attn_, xs, s, d, wgt, si, pm, iv, st):
+            return sharded_gat_layer(
+                xs, wl_, attn_, s[0], d[0], wgt[0] != 0,
+                send_idx=si[0] if use_sidx else None,
+                heads=heads, perm=pm[0], inv_perm=iv[0], planner=planner,
+                att_starts=st[0] if fast else None)
+
+        def loss(params):
+            wl_, attn_ = params
+            out = fwd(wl_, attn_, x, src_rows, dst_rows, w_rows, sidx,
+                      perm_rows, inv_rows, starts)
+            return jnp.sum(out * out), out
+
+        (_, out), grads = jax.value_and_grad(loss, has_aux=True)((wl, attn))
+        return out, grads
+
+    ref_out, ref_g = make_run(False)
+    fast_out, fast_g = make_run(True)
+    np.testing.assert_allclose(np.asarray(fast_out), np.asarray(ref_out),
+                               rtol=5e-4, atol=5e-5)
+    for a, b in zip(jax.tree.leaves(fast_g), jax.tree.leaves(ref_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
 def test_broadcast_dst_sorted_empty_segments():
     """Telescoping scatter-ADD reconstructs vals[dst] exactly through runs
     of EMPTY destinations (consecutive deltas at one position must sum to

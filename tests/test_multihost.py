@@ -149,6 +149,33 @@ def test_two_process_device_dp_sharded_features(tmp_path):
     np.testing.assert_allclose(mh, ref, rtol=1e-5)
 
 
+def test_two_process_fullbatch_checkpoint_resume(tmp_path):
+    """Multihost FULLBATCH checkpoint/resume (VERDICT r3 #8 — parity with
+    the device-DP path): a 2-process vertex-sharded run that checkpoints at
+    the halfway epoch and resumes must reproduce the uninterrupted
+    2-process trajectory, dropout key chain included."""
+    port = _free_port()
+    ref_out = str(tmp_path / "ref.json")
+    p0 = _launch_mode(2, 0, port, 2, ref_out, "fullbatch", epochs=4)
+    p1 = _launch_mode(2, 1, port, 2, str(tmp_path / "u1.json"),
+                      "fullbatch", epochs=4)
+    _wait(p0)
+    _wait(p1)
+    ref = json.load(open(ref_out))
+
+    port = _free_port()
+    ck_out = str(tmp_path / "ck.json")
+    p0 = _launch_mode(2, 0, port, 2, ck_out, "fullbatch_ckpt", epochs=4)
+    p1 = _launch_mode(2, 1, port, 2, str(tmp_path / "u2.json"),
+                      "fullbatch_ckpt", epochs=4)
+    _wait(p0)
+    _wait(p1)
+    ck = json.load(open(ck_out))
+
+    assert len(ref) == len(ck) == 4
+    np.testing.assert_allclose(ck, ref, rtol=1e-5)
+
+
 def test_two_process_device_dp_checkpoint_resume(tmp_path):
     """Multihost checkpoint/resume (VERDICT r2 #8): a 2-process run that
     checkpoints at the halfway epoch (process-0 writes, all restore) and
