@@ -70,6 +70,12 @@ class RunConfig:
     optim_kernel: bool = True
     up_degree: bool = False          # recompute degrees within sampled subgraph
     pushdown: bool = False           # serve bottom layer from the PD cache
+    # PD-cache refresh placement: "auto" = device sampler + in-scan refresh
+    # when topology+features fit HBM, host-sampled CPU-helper posture
+    # beyond it (the reference pairs cache omission with its FASTEST
+    # sampler, sample_gpu_fast_omit ntsFastSampler.hpp:711); "host"/"device"
+    # force one side (tests, reference-exact comparisons)
+    pd_refresh: str = "auto"
     # PROC_REP: parsed for cfg-file compat only.  The reference also never
     # consumes it — replication_threshold is assigned (main.cpp:65) but used
     # solely inside commented-out code (graph.hpp:3550 etc.).
@@ -171,6 +177,7 @@ _KEYMAP = {
     "OPTIM_KERNEL": ("optim_kernel", _to_bool),
     "UP_DEGREE": ("up_degree", _to_bool),
     "PUSHDOWN": ("pushdown", _to_bool),
+    "PD_REFRESH": ("pd_refresh", str),
     "PROC_REP": ("repthreshold", int),
     "MINI_PULL": ("mini_pull", int),
     "OPTIMIZER": ("optimizer", str),

@@ -194,7 +194,7 @@ class DeviceDataParallelTrainer:
 
     def train_epoch(self) -> Tuple[float, float, int]:
         base = self.base
-        nids = base._epoch_order(base.train_nids)
+        nids = self._epoch_nids()
         seeds_all, valid_all, src_pads = self._shard_seed_arrays(nids)
         epoch_fn = self._get_epoch_fn(src_pads)
         base._sample_key, key = jax.random.split(base._sample_key)
@@ -212,6 +212,9 @@ class DeviceDataParallelTrainer:
             int(acc_np[0]) / max(int(acc_np[1]), 1),
             int(np.asarray(edges)),
         )
+
+    def _epoch_nids(self):
+        return self.base._epoch_order(self.base.train_nids)
 
     def _build_dp_eval(self, src_pads):
         base = self.base
@@ -312,3 +315,157 @@ class DeviceDataParallelTrainer:
                 ep, self.n_dev, loss, tr_acc, va, dt,
             )
         return report
+
+
+class DeviceCachedDataParallelTrainer(DeviceDataParallelTrainer):
+    """*PCMULTI on the fast path: device-sampled DP + in-scan hot cache.
+
+    Reference: GCN/GS/GAT_SAMPLE_PC_MULTI — PD-cache combined with multi-GPU
+    data parallelism, the cache shared across devices (distributed by NCCL
+    AllGather, core/ntsDataloador.hpp:735-762).  Here the cache plan is ONE
+    global hot set (concurrent per-device streams, same discipline as the
+    reference's multi-GPU cache engines); params are replicated, so every
+    device recomputes the identical `agg @ W0` refresh at each super-batch
+    boundary — a [C, F]·[F, H] matmul, far cheaper than a collective to
+    share it.  Sampling omits cached destinations via the replicated omit
+    map (sample_gpu_fast_omit parity), gradients psum over ICI.
+
+    `base` must be a DeviceCachedSampleTrainer (built with per_sb=False).
+    """
+
+    def _build_dp_epoch(self, src_pads):
+        base = self.base
+        family, drop_rate = base.family, base.cfg.drop_rate
+        heads = base.cfg.heads
+        optimizer = base.optimizer
+        fanouts = tuple(base.cfg.fanout)
+        wk = base.weight_kind
+        dm = base.dev_degree_mode
+        fs, cd = base._feat_scale, base.compute_dtype
+        remat = base.cfg.remat
+        bn = base.cfg.batch_norm
+        shard_feats = self.shard_features
+        sb_steps = base.super_batch_steps
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(None, "data"), P(None, "data"),
+                      P("data"), P(), P(), P(), P(),
+                      P("data") if shard_feats else P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+        )
+        def epoch(params, opt_state, cache_emb, seeds_all, valid_all, keys,
+                  indptr, indices, in_deg, out_deg, features, labels,
+                  omit_map, cache_agg):
+            key = keys[0]
+
+            def refresh(w0):
+                return jnp.dot(cache_agg.astype(jnp.float32), w0,
+                               preferred_element_type=jnp.float32)
+
+            def body(carry, xs):
+                params, opt_state, cache_emb, step_i, key = carry
+                seeds, valid = xs
+                key, sk, dk = jax.random.split(key, 3)
+                # super-batch boundary: republish the cache with current W0
+                # (every device computes the identical replicated refresh)
+                cache_emb = jax.lax.cond(
+                    step_i % sb_steps == 0,
+                    lambda: refresh(params.weights[0]),
+                    lambda: cache_emb,
+                )
+                batch = device_sample_batch(
+                    sk, seeds, valid, indptr, indices, in_deg, out_deg,
+                    features, labels, fanouts, src_pads, wk,
+                    omit_map=omit_map, degree_mode=dm,
+                    gather_features=not shard_feats,
+                    feat_scale=None if shard_feats else fs,
+                    compute_dtype=cd,
+                )
+                if shard_feats:
+                    batch = _fetch_sharded_x0(features, batch, fs, cd)
+
+                def loss_fn(p):
+                    logp = model_forward(
+                        p, family, batch, drop_rate=drop_rate, train=True,
+                        dropout_key=dk, cache_emb=cache_emb, remat=remat,
+                        heads=heads, batch_norm=bn,
+                    )
+                    return (
+                        nll_loss_masked(logp, batch.labels,
+                                        batch.label_valid),
+                        logp,
+                    )
+
+                (loss, logp), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                grads = jax.lax.psum(grads, "data")
+                new_p, new_o = optimizer.update(grads, opt_state, params)
+                acc = masked_accuracy(logp, batch.labels, batch.label_valid)
+                hits = (jnp.sum(batch.cache_mask)
+                        if batch.cache_mask is not None else 0)
+                lookups = jnp.sum(batch.blocks[0].dst_valid)
+                n_edges = sum(jnp.sum(b.weight != 0) for b in batch.blocks)
+                return ((new_p, new_o, cache_emb, step_i + 1, key),
+                        (loss, acc, n_edges, hits, lookups))
+
+            init = (params, opt_state, cache_emb,
+                    jnp.zeros((), jnp.int32), key)
+            (params, opt_state, cache_emb, _, _), outs = jax.lax.scan(
+                body, init, (seeds_all, valid_all)
+            )
+            losses, accs, edges, hits, lookups = outs
+            loss = jax.lax.pmean(jnp.mean(losses), "data")
+            acc = jax.lax.psum(jnp.sum(accs, axis=0), "data")
+            e = jax.lax.psum(jnp.sum(edges), "data")
+            h = jax.lax.psum(jnp.sum(hits), "data")
+            lk = jax.lax.psum(jnp.sum(lookups), "data")
+            return params, opt_state, cache_emb, loss, acc, e, h, lk
+
+        return jax.jit(epoch)
+
+    def _epoch_nids(self):
+        from ..cache.hotness import super_batch_stable_shuffle
+
+        base = self.base
+        return super_batch_stable_shuffle(
+            base.train_nids,
+            base.cfg.batch_size * base.super_batch_steps,
+            base.sampler.rng,
+        )
+
+    def train_epoch(self) -> Tuple[float, float, int]:
+        base = self.base
+        nids = self._epoch_nids()
+        seeds_all, valid_all, src_pads = self._shard_seed_arrays(nids)
+        epoch_fn = self._get_epoch_fn(src_pads)
+        if base.cache.cache_emb is None:
+            hidden = base.cfg.layer_sizes[1]
+            base.cache.cache_emb = jnp.zeros(
+                (base.cache.num_cached, hidden), jnp.float32
+            )
+        base._sample_key, key = jax.random.split(base._sample_key)
+        keys = jax.random.split(key, self.n_dev)
+        with self.timers.phase("dp_device_epoch"):
+            (base.params, base.opt_state, base.cache.cache_emb, loss, acc,
+             edges, hits, lookups) = epoch_fn(
+                base.params, base.opt_state, base.cache.cache_emb,
+                jnp.asarray(seeds_all), jnp.asarray(valid_all), keys,
+                base.dev_indptr, base.dev_indices, base.dev_in_deg,
+                base.dev_out_deg, self._features_arg(), base.dev_labels,
+                base.cache_maps[0], base.cache_agg_all[0],
+            )
+            acc_np = np.asarray(acc)
+        base.cache_hits = int(np.asarray(hits))
+        base.cache_lookups = int(np.asarray(lookups))
+        return (
+            float(loss),
+            int(acc_np[0]) / max(int(acc_np[1]), 1),
+            int(np.asarray(edges)),
+        )
+
+    @property
+    def cache_hit_rate(self) -> float:
+        return self.base.cache_hit_rate

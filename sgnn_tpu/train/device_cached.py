@@ -49,6 +49,9 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
         weight_kind: WeightKind = WeightKind.MEAN,
         bias_correction: bool = False,
         adj=None,
+        per_sb: bool = True,   # False → ONE global hot set (the *PCMULTI
+        #                        discipline: concurrent per-device streams
+        #                        share one cache, ntsDataloador.hpp:735)
         **_: object,
     ) -> None:
         if len(cfg.layer_sizes) < 3:
@@ -74,7 +77,7 @@ class DeviceCachedSampleTrainer(DeviceSampleTrainer):
         # SB, all stacked into device arrays so the SCAN swaps plans with a
         # dynamic index at each SB boundary — the fused-program analogue of
         # set_cache_index (ntsDataloador.hpp:440).
-        self.per_sb = len(self.train_nids) > sb_size
+        self.per_sb = per_sb and len(self.train_nids) > sb_size
         if self.per_sb:
             from ..cache.hotness import presample_hotness_per_sb
 

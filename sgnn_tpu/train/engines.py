@@ -202,17 +202,30 @@ def build_trainer(cfg: RunConfig, dataset: Dataset):
     if spec.fullbatch:
         return FullBatchEngine(cfg, dataset, spec.family, spec.weight_kind)
     degree_mode = resolve_degree_mode(cfg)
+    pushdown_derived = False
     if cfg.pushdown and not spec.use_cache and not spec.multi_device:
         # PUSHDOWN:1 turns the pushdown/PD path on inside non-PD engines
         # (reference: the engines sample one fewer layer and serve the
         # bottom from PushDown, GCN_SAMPLE_ALLGPU.hpp:444) — here that IS
         # the cached trainer: the hot set's bottom layer comes from the
         # cache and cached destinations are not expanded by the sampler.
+        # Keeps the host engine's sampler placement (pushdown_derived).
+        pushdown_derived = True
         spec = dataclasses.replace(spec, use_cache=True,
                                    cache_on_device=spec.device_sampling)
-    if spec.use_cache and spec.cache_on_device and not spec.multi_device:
-        # GS_SAMPLE_CACHE: cache refreshed on the accelerator — fully-fused
-        # device-sampled + in-scan cached trainer
+    pd_refresh = getattr(cfg, "pd_refresh", "auto")
+    if (spec.use_cache and not spec.multi_device
+            and (spec.cache_on_device
+                 or (pd_refresh != "host" and not pushdown_derived))):
+        # Cache riding the FAST sampler: GS_SAMPLE_CACHE refreshes on the
+        # accelerator by design, and the *PDCACHE flagships take the same
+        # fully-fused device-sampled + in-scan cached trainer whenever
+        # topology+features (or their int8 quantization) fit HBM — the
+        # reference likewise pairs cache omission with its fastest sampler
+        # (sample_gpu_fast_omit, core/ntsFastSampler.hpp:711, kernels
+        # ntsCUDATransferKernel.cuh:754-851).  Measured r3 gap this closes:
+        # host-sampled PD-cache ~3.5M edges/s vs 14.4M device
+        # (docs/PERF.md).  PD_REFRESH:host forces the CPU-helper posture.
         from .device_cached import DeviceCachedSampleTrainer
         from .device_trainer import FeaturesExceedHbm
 
@@ -228,8 +241,33 @@ def build_trainer(cfg: RunConfig, dataset: Dataset):
 
             get_logger("sgnn.engine").warning(
                 "%s: %s — falling back to the host-refreshed cached "
-                "trainer", spec.name, exc)
+                "trainer (beyond-HBM CPU-helper posture)", spec.name, exc)
             spec = dataclasses.replace(spec, cache_on_device=False)
+    if spec.use_cache and spec.multi_device and pd_refresh != "host":
+        # *PCMULTI on the fast path: device-sampled DP + in-scan cache with
+        # ONE global hot set (reference multi-GPU cache discipline,
+        # ntsDataloador.hpp:735); beyond-HBM falls through to the host
+        # CPU-helper composition below
+        from ..parallel.dp_device import DeviceCachedDataParallelTrainer
+        from .device_cached import DeviceCachedSampleTrainer
+        from .device_trainer import FeaturesExceedHbm
+
+        try:
+            base = DeviceCachedSampleTrainer(
+                cfg, dataset,
+                family=spec.family,
+                weight_kind=spec.weight_kind,
+                bias_correction=spec.bias_correction,
+                per_sb=False,
+            )
+            return DeviceCachedDataParallelTrainer(
+                base, shard_features=cfg.shard_features)
+        except FeaturesExceedHbm as exc:
+            from ..utils.logging import get_logger
+
+            get_logger("sgnn.engine").warning(
+                "%s: %s — falling back to the host-refreshed cached DP "
+                "composition", spec.name, exc)
     if spec.use_cache:
         from ..cache.orchestrator import CachedSampleTrainer
 

@@ -288,6 +288,83 @@ def test_device_cached_per_sb_plans(tiny_ds):
     assert tr.cache_lookups > 0
 
 
+def test_pdcache_engine_routes_through_device_sampler(tiny_ds):
+    """VERDICT r3 #2: the *PDCACHE flagship rides the FAST (device) sampler
+    with the omit map when everything fits HBM (reference pairs cache
+    omission with sample_gpu_fast_omit, ntsFastSampler.hpp:711); the host
+    CPU-helper posture stays reachable via PD_REFRESH:host.  At saturating
+    fanout (>= max in-degree: both samplers see every edge, weights equal)
+    the two placements train loss-equal."""
+    from sgnn_tpu.cache.orchestrator import CachedSampleTrainer
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.train.device_cached import DeviceCachedSampleTrainer
+    from sgnn_tpu.train.engines import build_trainer
+
+    def mk(pd_refresh):
+        return RunConfig(
+            layer_sizes=[32, 16, 5], fanout=[18, 18], batch_size=32,
+            epochs=2, drop_rate=0.0, vertices=tiny_ds.num_vertices,
+            pipeline_num=2, cache_rate=0.1, algorithm="GCNSAMPLEPDCACHE",
+            batch_type="sequence", pd_refresh=pd_refresh,
+        )
+
+    dev = build_trainer(mk("auto"), tiny_ds)
+    host = build_trainer(mk("host"), tiny_ds)
+    assert isinstance(dev, DeviceCachedSampleTrainer)
+    assert isinstance(host, CachedSampleTrainer)
+    assert not isinstance(host, DeviceCachedSampleTrainer)
+    for ep in range(2):
+        ld, _, _ = dev.train_epoch()
+        lh, _, _ = host.train_epoch()
+        assert abs(ld - lh) < 2e-4, (ep, ld, lh)
+    # cache genuinely engaged on the device path
+    assert dev.cache_lookups > 0 and dev.cache_hits > 0
+
+
+def test_pcmulti_engine_device_sampled_dp(tiny_ds):
+    """*PCMULTI flagship on the fast path: device-sampled DP + in-scan
+    cache with one global hot set (reference multi-GPU cache discipline,
+    ntsDataloador.hpp:735).  On a 1-device mesh with saturating fanout it
+    trains loss-equal to the single-device device-cached trainer; on the
+    full CPU mesh it learns and the cache engages."""
+    import jax
+    from jax.sharding import Mesh
+
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.parallel.dp_device import DeviceCachedDataParallelTrainer
+    from sgnn_tpu.train.device_cached import DeviceCachedSampleTrainer
+    from sgnn_tpu.train.engines import build_trainer
+
+    def mk():
+        return RunConfig(
+            layer_sizes=[32, 16, 5], fanout=[18, 18], batch_size=32,
+            epochs=2, drop_rate=0.0, vertices=tiny_ds.num_vertices,
+            pipeline_num=2, cache_rate=0.1, algorithm="GCNSAMPLEPCMULTI",
+            batch_type="sequence",
+        )
+
+    dp = build_trainer(mk(), tiny_ds)
+    assert isinstance(dp, DeviceCachedDataParallelTrainer)
+    l0, _, _ = dp.train_epoch()
+    l1, _, _ = dp.train_epoch()
+    assert np.isfinite(l1) and l1 < l0
+    assert dp.base.cache_lookups > 0 and dp.base.cache_hits > 0
+
+    # 1-device mesh == single-device device-cached trainer (global hot set)
+    single = DeviceCachedSampleTrainer(
+        mk(), tiny_ds, family="gcn", weight_kind=WeightKind.GCN,
+        per_sb=False)
+    base = DeviceCachedSampleTrainer(
+        mk(), tiny_ds, family="gcn", weight_kind=WeightKind.GCN,
+        per_sb=False)
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("data",))
+    dp1 = DeviceCachedDataParallelTrainer(base, mesh=mesh1)
+    for ep in range(2):
+        ls, _, _ = single.train_epoch()
+        ld, _, _ = dp1.train_epoch()
+        assert abs(ls - ld) < 2e-4, (ep, ls, ld)
+
+
 def test_presample_regenerates_when_rate_grows(tmp_path, adj, tiny_ds):
     """The .bin filename omits cache_rate (reference convention), so a file
     written under a smaller rate must NOT silently shrink a later, larger
@@ -382,22 +459,42 @@ def test_cached_engine_beyond_hbm_training(tiny_ds):
 
 
 def test_cached_engine_beyond_hbm_via_cfg(tiny_ds):
-    """HBM_BUDGET cfg key drives the same composition through the engine
-    registry (GCNSAMPLEPDCACHE string)."""
+    """HBM_BUDGET cfg key drives the fallback chain through the engine
+    registry (GCNSAMPLEPDCACHE string): int8-fits → device-sampled cached
+    trainer with quantized resident features; beyond even int8 → the
+    host-sampled CPU-helper composition with the partial-HBM feature
+    cache; PD_REFRESH:host forces the host posture at any budget."""
     from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.train.device_cached import DeviceCachedSampleTrainer
     from sgnn_tpu.train.engines import build_trainer
 
-    cfg = RunConfig(
-        algorithm="GCNSAMPLEPDCACHE", layer_sizes=[32, 16, 5],
-        fanout=[4, 3], batch_size=64, epochs=1, drop_rate=0.0,
-        vertices=tiny_ds.num_vertices, cache_rate=0.2,
-        feature_cache_rate=0.5, pipeline_num=2,
-        hbm_budget=125 * 32 * 4,
-    )
-    tr = build_trainer(cfg, tiny_ds)
-    assert not tr.features_on_device and tr.feat_cache is not None
+    def mk_cfg(budget, **kw):
+        return RunConfig(
+            algorithm="GCNSAMPLEPDCACHE", layer_sizes=[32, 16, 5],
+            fanout=[4, 3], batch_size=64, epochs=1, drop_rate=0.0,
+            vertices=tiny_ds.num_vertices, cache_rate=0.2,
+            feature_cache_rate=0.5, pipeline_num=2,
+            hbm_budget=budget, **kw,
+        )
+
+    # 125 of 500 f32 rows fit → int8 (500 rows) fits → device path
+    tr = build_trainer(mk_cfg(125 * 32 * 4), tiny_ds)
+    assert isinstance(tr, DeviceCachedSampleTrainer)
+    assert tr.dev_features.dtype == np.int8
     loss, acc, edges = tr.train_epoch()
     assert np.isfinite(loss) and edges > 0
+
+    # even int8 misses → host CPU-helper posture + partial feature cache
+    tr2 = build_trainer(mk_cfg(125 * 32), tiny_ds)
+    assert not isinstance(tr2, DeviceCachedSampleTrainer)
+    assert not tr2.features_on_device and tr2.feat_cache is not None
+    loss, acc, edges = tr2.train_epoch()
+    assert np.isfinite(loss) and edges > 0
+
+    # explicit host posture at a budget where the device path WOULD fit
+    tr3 = build_trainer(mk_cfg(125 * 32 * 4, pd_refresh="host"), tiny_ds)
+    assert not isinstance(tr3, DeviceCachedSampleTrainer)
+    assert not tr3.features_on_device and tr3.feat_cache is not None
 
 
 def test_device_engine_hbm_probe(tiny_ds):
