@@ -131,10 +131,25 @@ def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
     log(f"[bench] sage epochs: {[round(t, 3) for t in report.epoch_times]} "
         f"edges/epoch {edges[0] if edges else 0} → {med:,.0f} edges/s")
     log(f"[bench] timers: {trainer.timers.summary()}")
+    # roofline: the sampled step's aggregation bytes model — bottom hop
+    # gathers 602-wide feature rows, top hop 128-wide activations, both
+    # scattered again in the backward (utils/roofline.py)
+    from sgnn_tpu.utils.roofline import sampled_bytes_model, stage_roofline
+
+    e_ep = edges[0] if edges else 0
+    # fanout 25:10 two-hop split of the epoch's edges
+    e_bot = int(e_ep * 25 / 35)
+    rl = stage_roofline(
+        float(np.median(times)), e_ep,
+        sampled_bytes_model([e_bot, e_ep - e_bot], 602, 128,
+                            dtype_bytes=2 if dtype == "bfloat16" else 4),
+        row_ops_per_edge=2.0,
+    )
     return {
         "edges_per_sec": med,
         "epoch_time": float(np.median(times)),
         "final_train_acc": report.train_acc[-1],
+        "roofline": rl,
     }
 
 
@@ -182,12 +197,19 @@ def bench_feature_cache(scale: float, epochs: int, batch_size: int,
     }
 
 
-def bench_calibrated_anchor(scale: float, epochs: int, batch: int) -> dict:
+def bench_calibrated_anchor(scale: float, epochs: int, batch: int,
+                            feature_dtype: str = "",
+                            seeds=(0, 1, 2)) -> dict:
     """Regression-sensitive accuracy anchor (VERDICT r2 Missing #5): the
     Bayes-capped synthetic (20% label noise → ceiling ≈0.805, weak features,
     mixed communities) where a weight-rule bug shows as a multi-point drop
-    instead of hiding under a saturating 0.9995.  Expected value measured
-    once per scale and asserted ±3 points (docs/PERF.md round-3 entry)."""
+    instead of hiding under a saturating 0.9995.
+
+    Round-4 hardening (VERDICT r3 #7): the window is a MULTI-SEED mean —
+    the seed-0-specific ±3-pt window had seed 2 sitting outside it (PERF.md
+    round-3); a 3-seed mean has real statistical power.  feature_dtype
+    ("int8") runs the same anchor through the quantized feature store, so
+    quantization cost is bounded on a NON-saturating accuracy signal."""
     import numpy as np
 
     from sgnn_tpu.config import RunConfig
@@ -195,31 +217,40 @@ def bench_calibrated_anchor(scale: float, epochs: int, batch: int) -> dict:
     from sgnn_tpu.train.device_trainer import DeviceSampleTrainer
 
     ds = _reddit_like_cached(scale, calibrated=True)
-    cfg = RunConfig(
-        layer_sizes=[602, 128, 41], fanout=[25, 10], batch_size=batch,
-        epochs=epochs, learn_rate=0.01, drop_rate=0.3,
-        vertices=ds.num_vertices, dtype="bfloat16", src_pad_factor=1.2,
-        seed=0,
-    )
-    tr = DeviceSampleTrainer(cfg, ds, family="sage",
-                             weight_kind=WeightKind.MEAN)
-    report = tr.run(epochs=epochs, eval_every=10**9)
-    test_acc = tr.evaluate(ds.nids_with_mask(2))
-    # measured-once expectation at the bench configuration (scale 0.25,
-    # batch 10000, 6 epochs): see docs/PERF.md "Calibrated accuracy anchor".
-    # Other scales (smoke runs) record the accuracy without the window.
+    accs, train_accs = [], []
+    for seed in seeds:
+        cfg = RunConfig(
+            layer_sizes=[602, 128, 41], fanout=[25, 10], batch_size=batch,
+            epochs=epochs, learn_rate=0.01, drop_rate=0.3,
+            vertices=ds.num_vertices, dtype="bfloat16", src_pad_factor=1.2,
+            seed=seed, feature_dtype=feature_dtype,
+        )
+        tr = DeviceSampleTrainer(cfg, ds, family="sage",
+                                 weight_kind=WeightKind.MEAN)
+        report = tr.run(epochs=epochs, eval_every=10**9)
+        accs.append(float(tr.evaluate(ds.nids_with_mask(2))))
+        train_accs.append(report.train_acc[-1])
+    mean = float(np.mean(accs))
+    std = float(np.std(accs))
+    # measured-once 3-seed mean at the bench configuration (scale 0.25,
+    # batch 10000, 6 epochs, on chip): see docs/PERF.md round-4 entry.
+    # Other scales (smoke runs) record the accuracies without the window.
     at_bench_cfg = abs(scale - 0.25) < 1e-9 and batch == 10000 and epochs == 6
-    expected = 0.729 if at_bench_cfg else None
-    ok = (abs(test_acc - expected) <= 0.03) if expected is not None else None
-    log(f"[bench] calibrated anchor: train {report.train_acc[-1]:.4f} "
-        f"test {test_acc:.4f} (expected {expected}±0.03 → "
-        f"{'OK' if ok else 'REGRESSION'})" if expected is not None else
-        f"[bench] calibrated anchor (off-cfg scale {scale}): "
-        f"train {report.train_acc[-1]:.4f} test {test_acc:.4f}")
-    return {"test_acc": round(float(test_acc), 4),
-            "train_acc": round(report.train_acc[-1], 4),
+    expected = 0.733 if at_bench_cfg else None
+    ok = (abs(mean - expected) <= 0.02) if expected is not None else None
+    log(f"[bench] calibrated anchor{feature_dtype and f' ({feature_dtype})'}"
+        f": seeds {seeds} test {[round(a, 4) for a in accs]} "
+        f"mean {mean:.4f}±{std:.4f}"
+        + (f" (expected {expected}±0.02 → "
+           f"{'OK' if ok else 'REGRESSION'})" if expected is not None
+           else ""))
+    return {"test_acc_mean": round(mean, 4),
+            "test_acc_std": round(std, 4),
+            "test_acc_seeds": [round(a, 4) for a in accs],
+            "train_acc": round(float(np.mean(train_accs)), 4),
             "expected_test_acc": expected,
             "within_expected": ok,
+            "feature_dtype": feature_dtype or "compute",
             "bayes_ceiling": 0.805}
 
 
@@ -282,7 +313,21 @@ def bench_fullbatch(scale: float, epochs: int) -> dict:
     med = float(np.median(times[1:] or times))
     log(f"[bench] fullbatch: epochs {[round(t, 3) for t in times]} "
         f"train acc {accs[-1]:.4f}")
-    return {"epoch_time_s": round(med, 4), "train_acc": round(accs[-1], 4)}
+    # roofline accounting (utils/roofline.py): ns/edge, achieved GB/s
+    # against the documented bytes model, % of HBM peak, % of the measured
+    # random-row-access floor — the reference's end-of-run counter dump
+    # rendered against the HARDWARE (GCN_SAMPLE_PD_CACHE.hpp:907-909)
+    from sgnn_tpu.utils.roofline import spmm_bytes_model, stage_roofline
+
+    e = ds.num_edges
+    rl = stage_roofline(
+        med, e * 2,  # 2 SpMM layers per epoch forward
+        spmm_bytes_model(e, ds.num_vertices, [128, 41], dtype_bytes=2,
+                         backward=True),
+        row_ops_per_edge=3.0,  # fwd gather+reduce + bwd scatter
+    )
+    return {"epoch_time_s": round(med, 4), "train_acc": round(accs[-1], 4),
+            "mxu_spmm": tr.mxu_pair is not None, "roofline": rl}
 
 
 def _wait_for_device_contact(tries: int = 7, probe_timeout: int = 300):
@@ -342,17 +387,44 @@ def bench_serving(scale: float) -> dict:
     # production serving loop: COO + features device-RESIDENT (uploaded
     # once) — each pass is one device program, no host re-staging; sync
     # via a scalar host read (block_until_ready is a no-op on this
-    # platform, docs/PERF.md)
+    # platform, docs/PERF.md).  Construction/first/warm passes break the
+    # one-shot column down: staging (upload), compile+pass (first call),
+    # pass (warm) — the 49 s one-shot is ~all staging+compile (VERDICT r3
+    # weak #7).
+    t0 = time.perf_counter()
     srv = InferenceServer(params, "gcn", adj, ds.features,
                           mean_style="fullbatch")
+    staging_s = time.perf_counter() - t0
     res_times = []
     for _ in range(4):
         t0 = time.perf_counter()
         float(srv.logprobs(as_numpy=False)[0, 0])
         res_times.append(time.perf_counter() - t0)
     res = float(np.median(res_times[1:]))
+    first_s = res_times[0]
+    breakdown = {"staging_s": round(staging_s, 3),
+                 "compile_s": round(max(first_s - res, 0.0), 3),
+                 "pass_s": round(res, 4)}
     log(f"[bench] serving (resident): passes "
-        f"{[round(t, 4) for t in res_times]}")
+        f"{[round(t, 4) for t in res_times]} breakdown {breakdown}")
+    # warm query latency over a mixed request stream (production query
+    # path, exact neighborhoods): p50/p99 after warmup
+    try:
+        srv.warmup(sizes=(8, 64, 512), reps=2)
+        rng = np.random.default_rng(0)
+        lat = []
+        for _ in range(60):
+            n = int(rng.choice([8, 64, 512]))
+            nids = rng.choice(ds.num_vertices, size=n, replace=False)
+            t0 = time.perf_counter()
+            srv.query(nids)
+            lat.append(time.perf_counter() - t0)
+        qlat = {"query_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
+                "query_p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 2)}
+        log(f"[bench] warm query latency: {qlat}")
+    except Exception as e:  # noqa: BLE001
+        log(f"[bench] query-latency stage failed ({e!r}); omitting")
+        qlat = {}
     # bf16 residency: the pass is feature-gather-bound, so halving row
     # bytes attacks the dominant term (classification head stays f32).
     # Release the f32 server FIRST — two resident servers at scale 4
@@ -375,11 +447,24 @@ def bench_serving(scale: float) -> dict:
                           == np.argmax(logp, 1)))
     log(f"[bench] serving (resident bf16): passes "
         f"{[round(t, 4) for t in bf_times]} pred agreement {agree:.4f}")
+    # roofline for the resident bf16 pass (2 SpMM layers per pass)
+    from sgnn_tpu.utils.roofline import spmm_bytes_model, stage_roofline
+
+    e = adj.num_edges
+    rl = stage_roofline(
+        res16, e * 2,
+        spmm_bytes_model(e, ds.num_vertices, [128, 41], dtype_bytes=2),
+        row_ops_per_edge=2.0,
+    )
     return {"one_shot_pass_s": round(cold, 4),
+            "one_shot_breakdown": breakdown,
             "resident_pass_time_s": round(res, 4),
             "resident_vertices_per_sec": round(logp.shape[0] / res, 1),
             "resident_bf16_pass_time_s": round(res16, 4),
-            "resident_bf16_pred_agreement": round(agree, 4)}
+            "resident_bf16_pred_agreement": round(agree, 4),
+            "mxu_spmm_bf16": srv16._mxu is not None,
+            "roofline_bf16": rl,
+            **qlat}
 
 
 def bench_gat_serving(scale: float) -> dict:
@@ -567,6 +652,18 @@ def main():
         log(f"[bench] calibrated-anchor stage failed ({e!r}); omitting")
         anchor = {}
     try:
+        # the same non-saturating anchor through the int8 feature store:
+        # bounds quantization cost where a saturating 0.99 cannot hide it
+        # (VERDICT r3 weak #3); one seed — the delta vs the 3-seed mean is
+        # the signal, not the seed lottery
+        anchor_int8 = bench_calibrated_anchor(
+            min(args.scale, 0.25), 6, min(args.batch, 10000),
+            feature_dtype="int8", seeds=(0,),
+        )
+    except Exception as e:
+        log(f"[bench] int8 calibrated-anchor stage failed ({e!r}); omitting")
+        anchor_int8 = {}
+    try:
         pdcache_bh = bench_pdcache_beyond_hbm(
             min(args.scale, 0.25), 2, min(args.batch, 2500)
         )
@@ -618,6 +715,7 @@ def main():
             "feature_cache_int8": fcache_int8,
             "feature_cache_per_sb": fcache_per_sb,
             "calibrated_anchor": anchor,
+            "calibrated_anchor_int8": anchor_int8,
             "pdcache_beyond_hbm": pdcache_bh,
             "fullbatch_gcn": fullbatch,
             "serving_exact": serving,

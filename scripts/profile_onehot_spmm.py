@@ -187,6 +187,18 @@ if __name__ == "__main__":
         "2": (1024, 8192, 2048, 128, 1024),
         "3": (1536, 8192, 2048, 512, 1536),
         "4": (768, 8192, 2048, 256, 1024),
+        # round-4 follow-ups: rate is flat in S/W (not FLOP-bound), so push
+        # block sizes up (less real-graph padding) and E_T up (less per-step
+        # overhead) to find where the knee is
+        "5": (1024, 8192, 4096, 256, 1280),
+        "6": (2048, 8192, 2048, 512, 2048),
+        "7": (1536, 8192, 4096, 512, 1536),
+        "8": (1024, 8192, 2048, 512, 1280),
+        "9": (2048, 8192, 4096, 1024, 2048),
+        "10": (1024, 8192, 8192, 256, 1280),
+        "11": (1024, 8192, 4096, 128, 1280),
+        "12": (1536, 8192, 8192, 256, 1536),
+        "13": (1536, 8192, 4096, 256, 1536),
     }
     for k in (sys.argv[1:] or ["0"]):
         run_config(*cfgs[k], check=(k == "0"))

@@ -88,6 +88,11 @@ class RunConfig:
     shard_features: bool = False     # row-shard features over the mesh
     partition_graph: bool = False    # *FULLBATCH: vertex-shard over all devices
     halo: str = "all_gather"         # all_gather | targeted (sharded full-batch)
+    # one-hot MXU SpMM kernel for static-weight whole-graph aggregation
+    # (ops/pallas/mxu_spmm.py): auto = on-TPU bf16 full-batch paths when the
+    # tile plan's padding stays under the knee; on = force (incl. f32 inputs,
+    # which the kernel computes in bf16); off = always the windowed XLA path
+    mxu_spmm: str = "auto"
     # vertex-range balancing for sharded full-batch: "degree" = α·V+E cost
     # model (reference tune_chunks, graph.hpp:1837), "equal" = equal ranges
     partition_balance: str = "degree"
@@ -185,6 +190,7 @@ _KEYMAP = {
     "SHARD_FEATURES": ("shard_features", _to_bool),
     "PARTITION_GRAPH": ("partition_graph", _to_bool),
     "HALO": ("halo", str),
+    "MXU_SPMM": ("mxu_spmm", str),
     "PARTITION_BALANCE": ("partition_balance", str),
     "RUNS": ("runs", int),
     "TIME_SKIP": ("time_skip", int),

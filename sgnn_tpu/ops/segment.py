@@ -874,6 +874,17 @@ def spmm_coo_multihead_hm(
                         plan)
 
 
+def _head_cols(a_chunk, fh: int, width: int, dtype):
+    """[chunk, H] per-head weights → [chunk, width] column-expanded mask
+    matching the CONCATENATED head layout (head i owns columns
+    [i·fh, (i+1)·fh); pad columns beyond H·fh are zero)."""
+    rep = jnp.repeat(a_chunk.astype(dtype), fh, axis=1)
+    pad = width - rep.shape[1]
+    if pad:
+        rep = jnp.pad(rep, ((0, 0), (0, pad)))
+    return rep
+
+
 def _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted,
                  plan=None):
     heads = att_hm.shape[0]
@@ -881,6 +892,35 @@ def _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted,
     e_total = src.shape[0]
     chunk = plan.chunk if plan is not None else _hm_chunk(e_total, fh)
     windowed = plan is not None and indices_are_sorted
+    # HEAD-BLOCKED path (VERDICT r3 #5): when the concatenated head width
+    # H·fh fits the SAME padded tile the per-head path already budgets
+    # (fh=32 pads to 128 lanes — 4 heads ride the pad for free), run ONE
+    # windowed scan gathering [chunk, H·fh] and expanding the per-head
+    # weights to columns, instead of H sequential scans each gathering a
+    # 4x tile-padded [chunk, fh] slab.  Measured: 4-head GAT resident pass
+    # 1.652 → see docs/PERF.md round 4.  Reference analog: block-per-dst
+    # multi-head kernels, cuda/ntsCUDADistKernel.cuh:319.
+    if (heads > 1 and heads * fh <= _eff_feat(fh) and windowed
+            and chunk is not None):
+        window = plan.dst_span
+        f = heads * fh
+        xp = _pad_feat_tile(x)
+        sc, dc, ac = _pad_chunks(
+            (src, dst, att_hm.T), e_total, chunk,
+            fills=(0, num_dst - 1, 0))
+
+        def bodyhb(acc, args):
+            s, d, a = args
+            r0, dl = _window_ids(d, window)
+            cols = _head_cols(a, fh, xp.shape[1], xp.dtype)
+            m = (xp[s] * cols).astype(jnp.float32)
+            local = jax.ops.segment_sum(
+                m, dl, num_segments=window, indices_are_sorted=True)
+            return _window_add(acc, local[:, :f], r0), None
+
+        o, _ = jax.lax.scan(
+            bodyhb, _acc_init((num_dst + window, f), att_hm), (sc, dc, ac))
+        return o[:num_dst].astype(x.dtype)
     outs = []
     for i in range(heads):
         xi = x[:, i * fh:(i + 1) * fh]
@@ -942,6 +982,39 @@ def _hm_bwd(num_dst, indices_are_sorted, plan, res, g):
     e_total = src.shape[0]
     num_src = x.shape[0]
     chunk = plan.chunk if plan is not None else _hm_chunk(e_total, fh)
+    if (heads > 1 and heads * fh <= _eff_feat(fh) and chunk is not None
+            and plan is not None and indices_are_sorted
+            and perm is not None):
+        # head-blocked CSR backward (see _hm_fwd_impl): one windowed scan
+        # over the concatenated [chunk, H·fh] layout for BOTH dx and da
+        window = plan.src_span
+        f = heads * fh
+        sp, dp = src[perm], dst[perm]
+        xp, gp = _pad_feat_tile(x), _pad_feat_tile(g)
+        sc, dc, ac = _pad_chunks(
+            (sp, dp, att_hm.T[perm]), e_total, chunk,
+            fills=(num_src - 1, 0, 0))
+
+        def bodyhb(acc, args):
+            s, d, a = args
+            r0, sl = _window_ids(s, window)
+            gd = gp[d]
+            cols = _head_cols(a, fh, gp.shape[1], gd.dtype)
+            ge = (gd * cols).astype(jnp.float32)
+            local = jax.ops.segment_sum(
+                ge, sl, num_segments=window, indices_are_sorted=True)
+            acc = _window_add(acc, local[:, :f], r0)
+            # da[i, e] = <g[dst], x[src]> over head i's columns: one
+            # elementwise product, per-head partial row sums
+            prod = (gd[:, :f] * xp[s][:, :f]).astype(jnp.float32)
+            da_c = prod.reshape(prod.shape[0], heads, fh).sum(-1)
+            return acc, da_c
+
+        dx, da_p = jax.lax.scan(
+            bodyhb, _acc_init((num_src + window, f), g), (sc, dc, ac))
+        da = da_p.reshape(-1, heads)[:e_total][inv_perm].T
+        return (dx[:num_src].astype(x.dtype), None, None,
+                da.astype(att_hm.dtype), None, None)
     if chunk is not None and plan is not None and perm is not None:
         # windowed CSR backward: reorder edges by src once ([E]-int gathers,
         # cheap next to the row work), then each chunk's dx lands in a

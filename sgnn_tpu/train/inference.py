@@ -124,7 +124,7 @@ def _planner_for(adj: Adjacency, dstp: np.ndarray,
 
 def _jit_full_forward(params, x, src, dst, w, *, family, num_vertices,
                       heads, batch_norm=False, aggregator="sum",
-                      x_scale=None, planner=None):
+                      x_scale=None, planner=None, mxu=None):
     """Lazily-jitted whole-graph forward (one compile per static config).
 
     `x_scale` ([F] per-column scales) marks int8-quantized resident
@@ -132,38 +132,49 @@ def _jit_full_forward(params, x, src, dst, w, *, family, num_vertices,
     `planner` (ops/segment.SpmmPlanner) bounds chunked SpMM accumulation to
     dst windows so big-graph serving passes stay linear in E; it enters the
     compiled program only through static window ints (keyed by identity —
-    the cache holds a reference so ids stay unique)."""
+    the cache holds a reference so ids stay unique).
+    `mxu`: optional ((srcs, dsts, wbits, visited, meta), (static,)) one-hot
+    MXU SpMM forward plan (ops/pallas/mxu_spmm.py) — the 5 arrays are jit
+    ARGUMENTS, never closure constants (hundreds of MB of compile payload
+    otherwise), the static geometry keys the cache."""
     global _full_fwd
+    mxu_static = None if mxu is None else mxu[1]
     key = (x_scale is not None,
-           id(planner) if planner is not None else None)
+           id(planner) if planner is not None else None,
+           mxu_static)
     if key not in _full_fwd:
         from .fullbatch import full_forward
 
         if key[0]:
             fn = jax.jit(
-                lambda p, x, s, d, w, xs, fam, nv, h, bn, agg: full_forward(
+                lambda p, x, s, d, w, xs, mops, fam, nv, h, bn, agg:
+                full_forward(
                     p, fam, x, s, d, w, nv, heads=h, batch_norm=bn,
                     aggregator=agg, x_scale=xs,
                     fwd_sorted=True, planner=planner,
+                    mxu=None if mops is None else (mops, mxu_static),
                 ),
-                static_argnums=(6, 7, 8, 9, 10),
+                static_argnums=(7, 8, 9, 10, 11),
             )
         else:
             fn = jax.jit(
-                lambda p, x, s, d, w, fam, nv, h, bn, agg: full_forward(
+                lambda p, x, s, d, w, mops, fam, nv, h, bn, agg:
+                full_forward(
                     p, fam, x, s, d, w, nv, heads=h, batch_norm=bn,
                     aggregator=agg,
                     fwd_sorted=True,  # dst is CSC-ascending, padded at nv-1
                     planner=planner,
+                    mxu=None if mops is None else (mops, mxu_static),
                 ),
-                static_argnums=(5, 6, 7, 8, 9),
+                static_argnums=(6, 7, 8, 9, 10),
             )
         _full_fwd[key] = (fn, planner)  # keep planner alive (id stability)
     fn = _full_fwd[key][0]
+    mops = None if mxu is None else mxu[0]
     if key[0]:
-        return fn(params, x, src, dst, w, x_scale, family,
+        return fn(params, x, src, dst, w, x_scale, mops, family,
                   num_vertices, heads, batch_norm, aggregator)
-    return fn(params, x, src, dst, w, family, num_vertices,
+    return fn(params, x, src, dst, w, mops, family, num_vertices,
               heads, batch_norm, aggregator)
 
 
@@ -517,6 +528,7 @@ class InferenceServer:
         batch_norm: bool = False,
         aggregator: str = "sum",
         dtype=np.float32,
+        mxu_spmm: str = "auto",
     ) -> None:
         if weight_kind is None:
             weight_kind = {"gcn": WeightKind.GCN, "sage": WeightKind.MEAN,
@@ -558,6 +570,24 @@ class InferenceServer:
         self._h_indices = adj.indices.astype(np.int32)
         self._h_w = wp[: adj.num_edges]
         self._seen_query_shapes: set = set()
+        # one-hot MXU SpMM forward plan for the resident exact pass
+        # (ops/pallas/mxu_spmm.py; 63.9 vs 178.9 ms per SpMM at Reddit
+        # scale).  auto: TPU + bf16 residency + static-weight families —
+        # the kernel computes in bf16, so f32 servers keep the exact
+        # windowed path unless forced with mxu_spmm="on".
+        self._mxu = None
+        eligible = (family != "gat" and aggregator == "sum"
+                    and mxu_spmm != "off")
+        if eligible and (mxu_spmm == "on" or (
+                jax.default_backend() == "tpu"
+                and self._x.dtype == jnp.bfloat16)):
+            from ..ops.pallas.mxu_spmm import build_mxu_spmm_plan
+
+            plan = build_mxu_spmm_plan(
+                srcp[: adj.num_edges], dstp[: adj.num_edges],
+                wp[: adj.num_edges], adj.num_vertices, adj.num_vertices)
+            if plan is not None:
+                self._mxu = ((*plan.operands, plan.meta), (plan.static,))
 
     def warmup(self, sizes=(8, 64, 512), reps: int = 3, fanout=None,
                seed: int = 0) -> int:
@@ -596,7 +626,7 @@ class InferenceServer:
             family=self.family, num_vertices=self.num_vertices,
             heads=self.heads, batch_norm=self.batch_norm,
             aggregator=self.aggregator, x_scale=self._x_scale,
-            planner=self._planner,
+            planner=self._planner, mxu=self._mxu,
         )
         return np.asarray(logp) if as_numpy else logp
 
