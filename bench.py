@@ -85,13 +85,22 @@ def bench_reddit_sage(scale: float, epochs: int, batch_size: int,
                       dtype: str = "float32",
                       src_pad_factor: float = 0.0,
                       up_degree: bool = False,
-                      feature_dtype: str = "") -> dict:
+                      feature_dtype: str = "",
+                      reorder: str = "") -> dict:
     import numpy as np
 
     from sgnn_tpu.config import RunConfig
     from sgnn_tpu.sampler.blocks import WeightKind
 
     ds = _reddit_like_cached(scale)
+    if reorder:
+        # REORDER locality lever (graph/reorder.py): renumber vertices so
+        # gather row addresses cluster (VERDICT r3 #4)
+        from sgnn_tpu.graph.reorder import apply_vertex_order, vertex_order
+
+        t0 = time.perf_counter()
+        ds, _ = apply_vertex_order(ds, vertex_order(ds, reorder))
+        log(f"[bench] reorder={reorder}: {time.perf_counter()-t0:.1f}s")
     cfg = RunConfig(
         layer_sizes=[602, 128, 41],
         fanout=[25, 10],
@@ -233,10 +242,11 @@ def bench_calibrated_anchor(scale: float, epochs: int, batch: int,
     mean = float(np.mean(accs))
     std = float(np.std(accs))
     # measured-once 3-seed mean at the bench configuration (scale 0.25,
-    # batch 10000, 6 epochs, on chip): see docs/PERF.md round-4 entry.
-    # Other scales (smoke runs) record the accuracies without the window.
+    # batch 10000, 6 epochs, on chip 2026-08-20): seeds 0/1/2 =
+    # 0.7439/0.7638/0.7513, mean 0.7530 ± 0.0082 — see docs/PERF.md
+    # round-4 entry.  Smoke scales record accuracies without the window.
     at_bench_cfg = abs(scale - 0.25) < 1e-9 and batch == 10000 and epochs == 6
-    expected = 0.733 if at_bench_cfg else None
+    expected = 0.753 if at_bench_cfg else None
     ok = (abs(mean - expected) <= 0.02) if expected is not None else None
     log(f"[bench] calibrated anchor{feature_dtype and f' ({feature_dtype})'}"
         f": seeds {seeds} test {[round(a, 4) for a in accs]} "

@@ -93,6 +93,10 @@ class RunConfig:
     # tile plan's padding stays under the knee; on = force (incl. f32 inputs,
     # which the kernel computes in bf16); off = always the windowed XLA path
     mxu_spmm: str = "auto"
+    # opt-in vertex renumbering for gather locality (graph/reorder.py):
+    # none | degree | bfs — Gemini's degree-aware chunk placement analog
+    # (core/graph.hpp:694-751); run_engine applies it at dataset load
+    reorder: str = "none"
     # vertex-range balancing for sharded full-batch: "degree" = α·V+E cost
     # model (reference tune_chunks, graph.hpp:1837), "equal" = equal ranges
     partition_balance: str = "degree"
@@ -191,6 +195,7 @@ _KEYMAP = {
     "PARTITION_GRAPH": ("partition_graph", _to_bool),
     "HALO": ("halo", str),
     "MXU_SPMM": ("mxu_spmm", str),
+    "REORDER": ("reorder", str),
     "PARTITION_BALANCE": ("partition_balance", str),
     "RUNS": ("runs", int),
     "TIME_SKIP": ("time_skip", int),

@@ -892,16 +892,20 @@ def _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted,
     e_total = src.shape[0]
     chunk = plan.chunk if plan is not None else _hm_chunk(e_total, fh)
     windowed = plan is not None and indices_are_sorted
-    # HEAD-BLOCKED path (VERDICT r3 #5): when the concatenated head width
-    # H·fh fits the SAME padded tile the per-head path already budgets
-    # (fh=32 pads to 128 lanes — 4 heads ride the pad for free), run ONE
-    # windowed scan gathering [chunk, H·fh] and expanding the per-head
-    # weights to columns, instead of H sequential scans each gathering a
-    # 4x tile-padded [chunk, fh] slab.  Measured: 4-head GAT resident pass
-    # 1.652 → see docs/PERF.md round 4.  Reference analog: block-per-dst
-    # multi-head kernels, cuda/ntsCUDADistKernel.cuh:319.
-    if (heads > 1 and heads * fh <= _eff_feat(fh) and windowed
+    # HEAD-BLOCKED path (VERDICT r3 #5): whenever ONE gather of the
+    # concatenated [chunk, pad128(H·fh)] layout moves fewer bytes than H
+    # sequential gathers of tile-padded [chunk, pad128(fh)] slabs (fh=32
+    # pads 4x; 4 heads plus the z-rides-free ones-column pad only 2x),
+    # run one windowed scan expanding the per-head weights to columns.
+    # The chunk shrinks to keep the SAME element budget at the wider
+    # tile — smaller chunks keep the plan's measured window spans valid.
+    # Measured: 4-head GAT resident pass 1.773 → see docs/PERF.md round
+    # 4.  Reference analog: block-per-dst multi-head kernels,
+    # cuda/ntsCUDADistKernel.cuh:319.
+    eff_hb = _eff_feat(heads * fh)
+    if (heads > 1 and eff_hb < heads * _eff_feat(fh) and windowed
             and chunk is not None):
+        chunk = min(chunk, max(_CHUNK_ELEMS // eff_hb, _CHUNK_FLOOR))
         window = plan.dst_span
         f = heads * fh
         xp = _pad_feat_tile(x)
@@ -982,11 +986,13 @@ def _hm_bwd(num_dst, indices_are_sorted, plan, res, g):
     e_total = src.shape[0]
     num_src = x.shape[0]
     chunk = plan.chunk if plan is not None else _hm_chunk(e_total, fh)
-    if (heads > 1 and heads * fh <= _eff_feat(fh) and chunk is not None
+    eff_hb = _eff_feat(heads * fh)
+    if (heads > 1 and eff_hb < heads * _eff_feat(fh) and chunk is not None
             and plan is not None and indices_are_sorted
             and perm is not None):
         # head-blocked CSR backward (see _hm_fwd_impl): one windowed scan
         # over the concatenated [chunk, H·fh] layout for BOTH dx and da
+        chunk = min(chunk, max(_CHUNK_ELEMS // eff_hb, _CHUNK_FLOOR))
         window = plan.src_span
         f = heads * fh
         sp, dp = src[perm], dst[perm]

@@ -351,6 +351,16 @@ def run_engine(cfg: RunConfig, dataset: Dataset, epochs: Optional[int] = None):
     from ..utils.logging import get_logger
 
     n_runs = max(getattr(cfg, "runs", 1), 1)
+    # REORDER cfg key (graph/reorder.py): opt-in degree/BFS vertex
+    # renumbering for gather locality before the trainer sees the graph
+    # (Gemini's degree-aware chunk placement, core/graph.hpp:694-751).
+    # Per-vertex report rows then live in the NEW id space; callers that
+    # need original ids translate with the returned dataset's order.
+    mode = getattr(cfg, "reorder", "none")
+    if mode and mode.lower() not in ("none", ""):
+        from ..graph.reorder import apply_vertex_order, vertex_order
+
+        dataset, _ = apply_vertex_order(dataset, vertex_order(dataset, mode))
     report = None
     for r in range(n_runs):
         report = build_trainer(cfg, dataset).run(epochs=epochs)

@@ -81,3 +81,84 @@ def test_native_stable_argsort_fuzz():
         got = stable_argsort(keys, rng_hi)
         ref = np.argsort(keys, kind="stable").astype(np.int32)
         assert np.array_equal(got, ref), (keys.size, rng_hi)
+
+
+# ---------------------------------------------------------------------------
+# Vertex renumbering (graph/reorder.py, REORDER cfg key — VERDICT r3 #4's
+# locality lever; reference: Gemini degree-aware chunk placement,
+# core/graph.hpp:694-751)
+# ---------------------------------------------------------------------------
+
+
+def _reorder_ds(v=300, e=1500, seed=0):
+    import numpy as np
+
+    from sgnn_tpu.data.dataset import Dataset
+
+    rng = np.random.default_rng(seed)
+    edges = np.stack([rng.integers(0, v, e), rng.integers(0, v, e)],
+                     1).astype(np.int32)
+    return Dataset(num_vertices=v, edges=edges,
+                   features=rng.standard_normal((v, 8)).astype(np.float32),
+                   labels=rng.integers(0, 4, v).astype(np.int32),
+                   masks=rng.integers(0, 3, v).astype(np.int32),
+                   name="reorder-test")
+
+
+def test_vertex_order_is_permutation_and_degree_sorted():
+    import numpy as np
+
+    from sgnn_tpu.graph.adjacency import Adjacency
+    from sgnn_tpu.graph.reorder import vertex_order
+
+    ds = _reorder_ds()
+    adj = Adjacency.from_edges(ds.edges, ds.num_vertices)
+    for mode in ("degree", "bfs", "none"):
+        order = vertex_order(ds, mode)
+        assert np.array_equal(np.sort(order), np.arange(ds.num_vertices))
+    deg = np.diff(adj.indptr)
+    d_order = vertex_order(adj, "degree")
+    assert (np.diff(deg[d_order]) <= 0).all()  # descending in-degree
+
+
+def test_apply_vertex_order_preserves_graph_semantics():
+    """The renumbered graph is the SAME graph: every per-vertex quantity
+    moves with its vertex, and whole-graph training reaches the same
+    loss trajectory (aggregation is permutation-equivariant)."""
+    import numpy as np
+
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.graph.reorder import apply_vertex_order, vertex_order
+    from sgnn_tpu.train.fullbatch import FullBatchTrainer
+
+    ds = _reorder_ds()
+    order = vertex_order(ds, "bfs")
+    new_ds, old_to_new = apply_vertex_order(ds, order)
+    # id maps invert each other; labels/features moved with their vertex
+    assert np.array_equal(old_to_new[order], np.arange(ds.num_vertices))
+    assert np.array_equal(new_ds.labels[old_to_new], ds.labels)
+    assert np.array_equal(new_ds.features[old_to_new], ds.features)
+    # edge (s, d) maps to (old_to_new[s], old_to_new[d])
+    assert np.array_equal(new_ds.edges, old_to_new[ds.edges])
+    cfgs = dict(layer_sizes=[8, 16, 4], epochs=3, learn_rate=0.01,
+                drop_rate=0.0, seed=0)
+    tr_a = FullBatchTrainer(RunConfig(**cfgs), ds, family="gcn")
+    tr_b = FullBatchTrainer(RunConfig(**cfgs), new_ds, family="gcn")
+    la = [tr_a.train_epoch()[0] for _ in range(3)]
+    lb = [tr_b.train_epoch()[0] for _ in range(3)]
+    np.testing.assert_allclose(la, lb, rtol=1e-4, atol=1e-5)
+
+
+def test_run_engine_reorder_key():
+    import numpy as np
+
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.train import run_engine
+
+    ds = _reorder_ds(v=200, e=900, seed=3)
+    cfg = RunConfig(layer_sizes=[8, 16, 4], epochs=2, learn_rate=0.01,
+                    batch_size=64, fanout=[5, 5], vertices=200,
+                    algorithm="GCNSAMPLEGPU", reorder="degree", seed=0)
+    report = run_engine(cfg, ds)
+    assert len(report.train_acc) == 2
+    assert np.isfinite(report.train_acc[-1])
