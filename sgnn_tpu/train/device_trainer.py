@@ -204,6 +204,13 @@ class DeviceSampleTrainer(SampleTrainer):
             expected_unique = uniq_sampled + ndst
             est = pad_to(int(expected_unique * cfg.src_pad_factor), 128)
             est = min(est, exact[h])
+            # Measured round-4 (docs/PERF.md scale sweep): snapping a
+            # near-V bottom estimate UP to V (the sampler's no-dedup
+            # identity branch) improves the STANDALONE step 139 -> 98 ms
+            # at 4x scale, but the fused-epoch trainer measured 4% SLOWER
+            # (10.46 -> 10.87 s): the pipelined scan already hides most of
+            # the dedup cost behind fwd/bwd, while identity x0 adds real
+            # +9% bottom-layer rows every step.  The estimate is kept.
             est_pads.append(est)
             ndst = float(est)
         log.info("src pads (b=%d): exact %s -> degree-aware estimate %s",
