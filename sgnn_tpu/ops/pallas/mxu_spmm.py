@@ -500,3 +500,73 @@ def build_mxu_spmm_pair(
     if bwd is None:
         return None
     return MxuSpmmPair(fwd=fwd, bwd=bwd)
+
+
+# Measured on-chip kernel rates per SLOT for the geometry ladder
+# (scripts/profile_mxu_spmm.py round 4: 63.9 ms / 16.64M slots and
+# 86.2 ms / 15.28M slots on the 11.88M-edge graph) and the windowed XLA
+# baseline the kernel must beat (178.9 ms / 11.88M edges).  Bigger slabs
+# cost more MXU FLOPs per slot but pack sparser graphs with less padding
+# — at 2x/4x bench scale the default geometry pads past its knee (2.39 /
+# 4.60) while s_blk=2048 stays at 1.34 / 2.35.
+_GEOMETRIES = (
+    (dict(s_blk=1024, w_win=1280, e_sub=256, e_t=2048), 3.84),
+    (dict(s_blk=2048, w_win=1280, e_sub=256, e_t=2048), 5.64),
+)
+_WINDOWED_NS_EDGE = 15.06
+
+
+def _estimate_slots(src: np.ndarray, dst: np.ndarray, num_src: int,
+                    *, s_blk: int, d_blk: int = 8192, e_sub: int,
+                    e_t: int, **_) -> int:
+    """Cheap LOWER bound on a geometry's slot count: per-(dst block,
+    slab) group sizes rounded up to sub-tiles and steps, ignoring
+    window-split losses (vectorized O(E log E); the full planner's
+    python-loop pass is ~minutes at 47M edges, too slow to run per
+    candidate)."""
+    n_sb = -(-num_src // s_blk)
+    key = (dst.astype(np.int64) // d_blk) * n_sb + src.astype(np.int64) // s_blk
+    _, counts = np.unique(key, return_counts=True)
+    n_sub = e_t // e_sub
+    subtiles = -(-counts // e_sub)
+    steps = -(-subtiles // n_sub)
+    return int(steps.sum()) * e_t
+
+
+def build_mxu_spmm_pair_auto(
+    src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
+    num_src: int, num_dst: int, *, margin: float = 0.95,
+    fwd_only: bool = False,
+):
+    """Pick the geometry whose projected cost (measured ns/slot x
+    estimated pad ratio) is lowest, build it, and accept only if it
+    still beats the windowed XLA path by `margin`.  Returns an
+    MxuSpmmPair (or a single fwd MxuSpmmPlan when fwd_only) or None."""
+    live = np.asarray(weight) != 0
+    e_real = int(live.sum())
+    if e_real == 0:
+        return None
+    s_l, d_l = np.asarray(src)[live], np.asarray(dst)[live]
+    best_kw, best_cost = None, margin * _WINDOWED_NS_EDGE
+    for kw, rate in _GEOMETRIES:
+        est = max(_estimate_slots(s_l, d_l, num_src, **kw),
+                  _estimate_slots(d_l, s_l, num_dst, **kw))
+        cost = rate * est / e_real
+        if cost < best_cost:
+            best_kw, best_cost = (kw, rate), cost
+    if best_kw is None:
+        return None
+    kw, rate = best_kw
+    # the estimate ignores window splits; verify the REAL plan still wins
+    fwd = build_mxu_spmm_plan(s_l, d_l, weight[live], num_src, num_dst,
+                              max_pad_ratio=6.0, **kw)
+    if fwd is None or rate * fwd.pad_ratio(e_real) > margin * _WINDOWED_NS_EDGE:
+        return None
+    if fwd_only:
+        return fwd
+    bwd = build_mxu_spmm_plan(d_l, s_l, weight[live], num_dst, num_src,
+                              max_pad_ratio=6.0, **kw)
+    if (bwd is None
+            or rate * bwd.pad_ratio(e_real) > margin * _WINDOWED_NS_EDGE):
+        return None
+    return MxuSpmmPair(fwd=fwd, bwd=bwd)

@@ -433,9 +433,9 @@ class FullBatchTrainer:
             if eligible and (mode == "on" or (
                     jax.default_backend() == "tpu"
                     and self.compute_dtype == jnp.bfloat16)):
-                from ..ops.pallas.mxu_spmm import build_mxu_spmm_pair
+                from ..ops.pallas.mxu_spmm import build_mxu_spmm_pair_auto
 
-                self.mxu_pair = build_mxu_spmm_pair(
+                self.mxu_pair = build_mxu_spmm_pair_auto(
                     src[: self.adj.num_edges], dst[: self.adj.num_edges],
                     w[: self.adj.num_edges], v, v)
             self._step = self._build_single_step()

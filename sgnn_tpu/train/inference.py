@@ -581,11 +581,12 @@ class InferenceServer:
         if eligible and (mxu_spmm == "on" or (
                 jax.default_backend() == "tpu"
                 and self._x.dtype == jnp.bfloat16)):
-            from ..ops.pallas.mxu_spmm import build_mxu_spmm_plan
+            from ..ops.pallas.mxu_spmm import build_mxu_spmm_pair_auto
 
-            plan = build_mxu_spmm_plan(
+            plan = build_mxu_spmm_pair_auto(
                 srcp[: adj.num_edges], dstp[: adj.num_edges],
-                wp[: adj.num_edges], adj.num_vertices, adj.num_vertices)
+                wp[: adj.num_edges], adj.num_vertices, adj.num_vertices,
+                fwd_only=True)
             if plan is not None:
                 self._mxu = ((*plan.operands, plan.meta), (plan.static,))
 

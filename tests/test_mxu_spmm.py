@@ -187,3 +187,29 @@ def test_mxu_serving_forward_only_matches_full_forward():
                               (plan.static,)))
     np.testing.assert_allclose(np.asarray(withk), np.asarray(base),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_mxu_auto_geometry_selection():
+    """build_mxu_spmm_pair_auto: picks a geometry by projected cost and
+    refuses when no geometry beats the windowed path."""
+    from sgnn_tpu.ops.pallas.mxu_spmm import (
+        _WINDOWED_NS_EDGE,
+        build_mxu_spmm_pair_auto,
+    )
+
+    rng = np.random.default_rng(21)
+    # dense-enough random graph: the default geometry should win
+    v, e = 4000, 120000
+    src = rng.integers(0, v, e).astype(np.int32)
+    dst = rng.integers(0, v, e).astype(np.int32)
+    w = np.abs(rng.standard_normal(e)).astype(np.float32) + 0.1
+    pair = build_mxu_spmm_pair_auto(src, dst, w, v, v)
+    assert pair is not None
+    assert pair.fwd.pad_ratio(e) * 3.84 < _WINDOWED_NS_EDGE
+
+    # pathologically sparse spread: every geometry pads past the knee
+    v2 = 300000
+    src2 = (np.arange(50) * 5913).astype(np.int32) % v2
+    dst2 = (np.arange(50) * 7717).astype(np.int32) % v2
+    w2 = np.ones(50, np.float32)
+    assert build_mxu_spmm_pair_auto(src2, dst2, w2, v2, v2) is None
