@@ -196,7 +196,7 @@ def bench_feature_cache(scale: float, epochs: int, batch_size: int,
         f" (plan {plan}): hit {hit:.3f}, "
         f"saving {100 * saving:.1f}% of {full / 2**20:.0f} MiB, "
         f"acc {report.train_acc[-1]:.3f}")
-    return {
+    out = {
         "hit_rate": round(hit, 4),
         "transfer_saving_pct": round(100 * saving, 2),
         "train_acc": round(report.train_acc[-1], 4),
@@ -204,6 +204,15 @@ def bench_feature_cache(scale: float, epochs: int, batch_size: int,
         "feature_dtype": feature_dtype or "compute",
         "plan": plan,
     }
+    if not feature_dtype and hit < 0.9:
+        # f32 beyond-HBM training is TRANSFER-BOUND on this link (30-46
+        # s/epoch at hit ~0.35; the per-SB plan measured no gain — PERF.md
+        # round 3).  int8 staging (hit 1.0 at the same byte budget) is the
+        # shipped answer; flag the f32 column so nobody reads it as a
+        # healthy configuration.
+        out["warn"] = ("f32 beyond-HBM is host-transfer-bound on this "
+                       "link; use FEATURE_DTYPE:int8 (see the _int8 row)")
+    return out
 
 
 def bench_calibrated_anchor(scale: float, epochs: int, batch: int,

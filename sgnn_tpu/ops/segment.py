@@ -816,6 +816,36 @@ def spmm_coo_multihead(
 # ops above remain for bounded-E chunk-local callers.
 
 
+def gather_rows_hm(
+    table: jax.Array,    # [V, H] per-vertex per-head values (H small)
+    idx: jax.Array,      # [E] int32 vertex ids
+    plan: Optional[SpmmPlan] = None,
+) -> jax.Array:
+    """[H, E] head-major per-edge gather of a narrow per-head table.
+
+    Packs H per-head scalar gathers (H x ~8 ns/edge each at Reddit scale)
+    into ONE lane-padded row gather (~11 ns/edge): the [V, H] table pads
+    to the 128-lane tile (narrow gathers hit the slow lowering,
+    _pad_feat_tile) and each chunk transposes its [chunk, H] slice to
+    head-major — no [E, H] edge-major temp ever materializes at full
+    length.  Win for H >= 2; callers keep the scalar path for H == 1.
+    Feeds the multi-head GAT attention scores (fullbatch.full_forward).
+    Differentiable as plain jax ops (gather VJP = scatter-add)."""
+    e_total = idx.shape[0]
+    h = table.shape[1]
+    tp = _pad_feat_tile(table)
+    chunk = plan.chunk if plan is not None else _edge_chunk(e_total, 128)
+    if chunk is None:
+        return tp[idx][:, :h].T
+    (idx_c,) = _pad_chunks((idx,), e_total, chunk, fills=(0,))
+
+    def body(_, ic):
+        return None, tp[ic][:, :h].T          # [H, chunk]
+
+    _, ys = jax.lax.scan(body, None, idx_c)   # [n_chunks, H, chunk]
+    return jnp.moveaxis(ys, 0, 1).reshape(h, -1)[:, :e_total]
+
+
 def segment_softmax_hm(
     scores: jax.Array,   # [H, E] head-major edge scores
     dst: jax.Array,      # [E] int32 destinations

@@ -31,8 +31,8 @@ from .guard import check_finite_loss
 from ..nn.optim import make_optimizer
 from ..ops.segment import (
     SpmmPlanner, _eff_feat, attention_exp, broadcast_dst_sorted,
-    segment_softmax_coo, spmm_coo, spmm_coo_csc, spmm_coo_fwd_sorted,
-    spmm_coo_multihead_hm,
+    gather_rows_hm, segment_softmax_coo, spmm_coo, spmm_coo_csc,
+    spmm_coo_fwd_sorted, spmm_coo_multihead_hm,
 )
 from ..sampler.blocks import WeightKind, pad_to
 from ..utils.logging import get_logger
@@ -265,9 +265,24 @@ def full_forward(
                 a_d_h = a_dst.reshape(hh, fh)
                 z_free = fast_att and z_rides_free(fh)
                 atts, zs = [], []
+                # src-half scores: ONE lane-padded row gather of the
+                # packed [V, hh] table replaces hh scalar gathers
+                # (~4x92 -> ~131 ms at Reddit scale for 4 heads;
+                # ops/segment.gather_rows_hm) — dst halves stay per-head
+                # (broadcast_dst_sorted at 11.7 ms/head is cheaper than a
+                # second row gather)
+                s_packed = None
+                if hh >= 2:
+                    s_all = jnp.einsum("vhf,hf->vh", ht_h, a_s_h)
+                    s_packed = gather_rows_hm(
+                        s_all, src,
+                        planner.plan(128) if planner is not None and
+                        sorted_dst else None)
                 for i in range(hh):  # per-head 1-D [E] arrays throughout
+                    src_half = (s_packed[i] if s_packed is not None
+                                else (ht_h[:, i, :] @ a_s_h[i])[src])
                     sc = jax.nn.leaky_relu(
-                        (ht_h[:, i, :] @ a_s_h[i])[src]
+                        src_half
                         + dst_half(ht_h[:, i, :] @ a_d_h[i]), 0.2)
                     if fast_att:
                         u = attention_exp(sc, valid)

@@ -676,3 +676,31 @@ def test_segment_extreme_windowed_matches_direct(monkeypatch):
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_gather_rows_hm_matches_per_head():
+    """gather_rows_hm == per-head scalar gathers (chunked + direct)."""
+    import numpy as np
+
+    from sgnn_tpu.ops.segment import SpmmPlan, gather_rows_hm
+
+    rng = np.random.default_rng(0)
+    v, e, h = 500, 3000, 4
+    table = jnp.asarray(rng.standard_normal((v, h)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, v, e).astype(np.int32))
+    ref = np.stack([np.asarray(table)[:, i][np.asarray(idx)]
+                    for i in range(h)])
+    np.testing.assert_allclose(
+        np.asarray(gather_rows_hm(table, idx)), ref, rtol=1e-6)
+    plan = SpmmPlan(chunk=512, dst_span=8, src_span=8)
+    np.testing.assert_allclose(
+        np.asarray(gather_rows_hm(table, idx, plan)), ref, rtol=1e-6)
+    # gradient: d/dtable sum(out * c) scatters c back per head
+    c = rng.standard_normal((h, e)).astype(np.float32)
+    g = jax.grad(lambda t: jnp.sum(gather_rows_hm(t, idx, plan)
+                                   * jnp.asarray(c)))(table)
+    refg = np.zeros((v, h), np.float32)
+    for i in range(h):
+        np.add.at(refg[:, i], np.asarray(idx), c[i])
+    # f32 scatter-add summation order differs from np.add.at
+    np.testing.assert_allclose(np.asarray(g), refg, rtol=1e-4, atol=1e-5)
