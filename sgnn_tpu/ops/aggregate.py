@@ -74,7 +74,11 @@ def _gather_aggregate_bwd(res, g):
         # dW[:, k] = <g[d], x_src[nbr[d,k]]> without a [D,K,F] gather
         dws.append(jnp.sum(g * x_src[nbr[:, k]], axis=-1))
     dw = jnp.stack(dws, axis=1).astype(weight.dtype)
-    return dx, None, dw
+    # shard_map vma typing: a cotangent must vary over every mesh axis its
+    # primal does (utils/vma.py; pure type cast, no reduction)
+    from ..utils.vma import match_cotangent_vma
+
+    return match_cotangent_vma(dx, x_src), None, match_cotangent_vma(dw, weight)
 
 
 gather_aggregate.defvjp(_gather_aggregate_fwd, _gather_aggregate_bwd)

@@ -451,9 +451,10 @@ def mxu_spmm(x: jax.Array,
 
 def _mxu_fwd(x, fs, fd, fw, fv, fm, bs, bd, bw, bv, bm,
              fwd_static, bwd_static):
-    # zero-size token carries x's dtype through the residuals (a dtype
-    # object itself is not a JAX type)
-    tok = jnp.zeros((0,), x.dtype)
+    # zero-size token carries x's dtype AND shard_map vma through the
+    # residuals (a dtype object itself is not a JAX type; a fresh zeros
+    # array would be typed replicated even when x is varying)
+    tok = x[:0, 0]
     return mxu_spmm(x, fs, fd, fw, fv, fm, bs, bd, bw, bv, bm,
                     fwd_static, bwd_static), (tok, bs, bd, bw, bv, bm)
 
@@ -462,7 +463,11 @@ def _mxu_bwd(fwd_static, bwd_static, res, g):
     tok, bs, bd, bw, bv, bm = res
     dx = _apply(g, bs, bd, bw, bv, bm, bwd_static).astype(
         jnp.float32 if tok.dtype == jnp.int8 else tok.dtype)
-    return (dx,) + (None,) * 10
+    # shard_map vma typing: the cotangent must vary over every mesh axis
+    # the primal x does (utils/vma.py; pure type cast, no reduction)
+    from ...utils.vma import match_cotangent_vma
+
+    return (match_cotangent_vma(dx, tok),) + (None,) * 10
 
 
 mxu_spmm.defvjp(_mxu_fwd, _mxu_bwd)

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.vma import match_cotangent_vma
+
 # direct path allowed up to this many E·F elements (≈2G ⇒ ~12 GB of live
 # message temps at f32-backward — the v5e ceiling); SGNN_SPMM_DIRECT_ELEMS
 # overrides (tests force tiny values to exercise chunking).
@@ -75,6 +77,26 @@ def _edge_chunk(e_total: int, feat: int, live_factor: int = 1) -> int | None:
     if e_total * eff * live_factor <= max(_DIRECT_ELEMS, _CHUNK_ELEMS):
         return None
     return max(_CHUNK_ELEMS // eff, _CHUNK_FLOOR)
+
+
+def _shrink_chunk_divisor(plan_chunk: int, target: int) -> int:
+    """Shrink a PLAN chunk toward `target` while keeping it an exact
+    divisor of the plan chunk.
+
+    The head-blocked multihead paths scan with a smaller chunk than the
+    plan's (wider tile ⇒ same element budget at fewer edges) but reuse the
+    plan's dst_span/src_span, which were measured over plan.chunk-aligned
+    edge runs.  A sub-chunk that straddles a measured boundary can span
+    more rows than the window, and _window_ids would then clamp REAL edges
+    onto wrong rows — silently wrong outputs/grads.  Divisor sub-chunks
+    tile the measured runs exactly, and any contiguous sub-run's span is
+    ≤ its parent run's span, so the plan's windows stay valid."""
+    if target >= plan_chunk:
+        return plan_chunk
+    n = -(-plan_chunk // target)          # ceil: number of sub-chunks
+    while plan_chunk % n:
+        n += 1
+    return plan_chunk // n
 
 
 def _pad_chunks(arrs, e_total: int, chunk: int, fills=None):
@@ -340,7 +362,8 @@ def _spmm_bwd(num_dst, res, g):
         dw = jnp.einsum("ef,ef->e", g[dst], x[src],
                         preferred_element_type=jnp.float32
                         ).astype(weight.dtype)
-        return dx, None, None, dw
+        return (match_cotangent_vma(dx, x), None, None,
+                match_cotangent_vma(dw, weight))
     e_total = src.shape[0]
     feat = x.shape[1]
     out_dtype = x.dtype
@@ -361,8 +384,9 @@ def _spmm_bwd(num_dst, res, g):
 
     acc0 = jnp.zeros((num_src, feat), jnp.float32)
     dx, dw = jax.lax.scan(body, acc0, (src_c, dst_c, w_c))
-    return (dx.astype(out_dtype), None, None,
-            dw.reshape(-1)[:e_total].astype(weight.dtype))
+    return (match_cotangent_vma(dx.astype(out_dtype), res[0]), None, None,
+            match_cotangent_vma(
+                dw.reshape(-1)[:e_total].astype(weight.dtype), weight))
 
 
 spmm_coo.defvjp(_spmm_fwd, _spmm_bwd)
@@ -476,6 +500,12 @@ def _spmm_csc_fwd(x, src, dst, weight, perm, inv_perm, num_dst, plan=None):
 
 
 def _spmm_csc_bwd(num_dst, plan, res, g):
+    dx, _, _, dw, _, _ = _spmm_csc_bwd_impl(num_dst, plan, res, g)
+    return (match_cotangent_vma(dx, res[0]), None, None,
+            match_cotangent_vma(dw, res[3]), None, None)
+
+
+def _spmm_csc_bwd_impl(num_dst, plan, res, g):
     x, src, dst, weight, perm, inv_perm = res
     # CSR-order views: [E] int32 gathers, trivially cheap next to the [E, F]
     # row work; sp is ascending so the dx segment sum runs sorted too.
@@ -610,6 +640,12 @@ def _mh_csc_fwd(x, src, dst, att, perm, inv_perm, num_dst, plan=None):
 
 
 def _mh_csc_bwd(num_dst, plan, res, g):
+    dx, _, _, da, _, _ = _mh_csc_bwd_impl(num_dst, plan, res, g)
+    return (match_cotangent_vma(dx, res[0]), None, None,
+            match_cotangent_vma(da, res[3]), None, None)
+
+
+def _mh_csc_bwd_impl(num_dst, plan, res, g):
     x, src, dst, att, perm, inv_perm = res
     e_total, heads = att.shape
     fh = x.shape[1] // heads
@@ -935,7 +971,8 @@ def _hm_fwd_impl(x, src, dst, att_hm, num_dst, indices_are_sorted,
     eff_hb = _eff_feat(heads * fh)
     if (heads > 1 and eff_hb < heads * _eff_feat(fh) and windowed
             and chunk is not None):
-        chunk = min(chunk, max(_CHUNK_ELEMS // eff_hb, _CHUNK_FLOOR))
+        chunk = _shrink_chunk_divisor(
+            chunk, max(_CHUNK_ELEMS // eff_hb, _CHUNK_FLOOR))
         window = plan.dst_span
         f = heads * fh
         xp = _pad_feat_tile(x)
@@ -1010,6 +1047,13 @@ def _hm_fwd(x, src, dst, att_hm, num_dst, indices_are_sorted, plan=None,
 
 
 def _hm_bwd(num_dst, indices_are_sorted, plan, res, g):
+    dx, _, _, da, _, _ = _hm_bwd_impl(num_dst, indices_are_sorted, plan,
+                                      res, g)
+    return (match_cotangent_vma(dx, res[0]), None, None,
+            match_cotangent_vma(da, res[3]), None, None)
+
+
+def _hm_bwd_impl(num_dst, indices_are_sorted, plan, res, g):
     x, src, dst, att_hm, perm, inv_perm = res
     heads = att_hm.shape[0]
     fh = x.shape[1] // heads
@@ -1022,7 +1066,8 @@ def _hm_bwd(num_dst, indices_are_sorted, plan, res, g):
             and perm is not None):
         # head-blocked CSR backward (see _hm_fwd_impl): one windowed scan
         # over the concatenated [chunk, H·fh] layout for BOTH dx and da
-        chunk = min(chunk, max(_CHUNK_ELEMS // eff_hb, _CHUNK_FLOOR))
+        chunk = _shrink_chunk_divisor(
+            chunk, max(_CHUNK_ELEMS // eff_hb, _CHUNK_FLOOR))
         window = plan.src_span
         f = heads * fh
         sp, dp = src[perm], dst[perm]

@@ -73,8 +73,13 @@ def make_dp_step(family: str, drop_rate: float, optimizer, mesh: Mesh,
         local_batch = jax.tree.map(lambda x: x[0], batch)
         loss, grads, acc = local_loss(params, local_batch, key[0], features,
                                       labels, cache_emb, cache_rows, slot_map)
-        # SUM-reduce like the reference's NCCL/MPI AllReduce (no averaging)
-        grads = jax.lax.psum(grads, "data")
+        # SUM-reduce like the reference's NCCL/MPI AllReduce (no averaging).
+        # Version-adaptive (utils/vma.py): under vma-typed JAX the grads of
+        # replicated params are ALREADY the cross-device total and a raw
+        # psum would scale them by n_dev.
+        from ..utils.vma import psum_grads
+
+        grads = psum_grads(grads, "data", loss)
         new_params, new_opt = optimizer.update(grads, opt_state, params)
         return new_params, new_opt, loss[None], acc[None]
 

@@ -26,6 +26,7 @@ from ..train.device_trainer import DeviceSampleTrainer
 from ..train.guard import check_finite_loss
 from ..train.trainer import TrainReport
 from ..utils.logging import get_logger
+from ..utils.vma import psum_grads
 
 log = get_logger("sgnn.dpdev")
 
@@ -142,8 +143,10 @@ class DeviceDataParallelTrainer:
                 (loss, logp), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(params)
-                # reference NCCL AllReduce SUM parity
-                grads = jax.lax.psum(grads, "data")
+                # reference NCCL AllReduce SUM parity; version-adaptive
+                # (utils/vma.py) — vma-typed JAX already totals
+                # replicated-param grads
+                grads = psum_grads(grads, "data", loss)
                 new_p, new_o = optimizer.update(grads, opt_state, params)
                 acc = masked_accuracy(logp, batch.labels, batch.label_valid)
                 n_edges = sum(jnp.sum(b.weight != 0) for b in batch.blocks)
@@ -401,7 +404,7 @@ class DeviceCachedDataParallelTrainer(DeviceDataParallelTrainer):
                 (loss, logp), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(params)
-                grads = jax.lax.psum(grads, "data")
+                grads = psum_grads(grads, "data", loss)
                 new_p, new_o = optimizer.update(grads, opt_state, params)
                 acc = masked_accuracy(logp, batch.labels, batch.label_valid)
                 hits = (jnp.sum(batch.cache_mask)

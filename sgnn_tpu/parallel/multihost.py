@@ -102,7 +102,11 @@ def make_multihost_dp_step(family, drop_rate, optimizer, mesh: Mesh,
         local_batch = jax.tree.map(lambda x: x[0], batch)
         loss, grads, acc = local_loss(params, local_batch, key[0],
                                       features, labels, cache_rows, slot_map)
-        grads = jax.lax.psum(grads, "data")      # SUM parity w/ MPI_Allreduce
+        # SUM parity w/ MPI_Allreduce; version-adaptive (utils/vma.py) —
+        # vma-typed JAX already totals replicated-param grads
+        from ..utils.vma import psum_grads
+
+        grads = psum_grads(grads, "data", loss)
         new_params, new_opt = optimizer.update(grads, opt_state, params)
         return (new_params, new_opt, jax.lax.pmean(loss, "data"),
                 jax.lax.psum(acc, "data"))
@@ -509,4 +513,101 @@ def run_multihost_device_dp_epochs(
             "sample_key": np.asarray(base._sample_key),
             "host_rng": encode_np_rng(base.sampler.rng),
         })
+    return losses
+
+
+def run_multihost_pcmulti_epochs(
+    cfg, dataset, epochs: Optional[int] = None, family: str = "gcn",
+):
+    """*PCMULTI (PD-cache + data-parallel) over EVERY device of EVERY
+    joined process — the in-scan cached device-DP epoch of
+    parallel/dp_device.DeviceCachedDataParallelTrainer with multi-process
+    operand placement.
+
+    Reference parity: the multi-GPU cache engines (GCN_SAMPLE_PC_MULTI.hpp)
+    with the cache shared across devices (NCCL AllGather of cache shards,
+    core/ntsDataloador.hpp:735-762) — here ONE global hot set whose refresh
+    every device recomputes (replicated params make it identical), with the
+    cache-embedding carry, omit map and precomputed aggregate placed as
+    replicated global arrays.  Determinism is process-layout independent
+    exactly as in run_multihost_device_dp_epochs, so a 2-process run equals
+    the single-process run over the same global device count loss-for-loss
+    (tests/test_multihost.py) — the distributed-process regression test the
+    round-4 vma failure showed this engine was missing.
+
+    Returns per-epoch mean losses (same on every process).
+    """
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from ..sampler.blocks import WeightKind
+    from ..train.device_cached import DeviceCachedSampleTrainer
+    from .dp_device import DeviceCachedDataParallelTrainer
+
+    wk = {"gcn": WeightKind.GCN, "sage": WeightKind.MEAN,
+          "gat": WeightKind.NONE}[family]
+    base = DeviceCachedSampleTrainer(cfg, dataset, family=family,
+                                     weight_kind=wk, per_sb=False)
+    devs = jax.devices()
+    mesh = Mesh(np.asarray(devs).reshape(-1), ("data",))
+    dp = DeviceCachedDataParallelTrainer(base, mesh=mesh)
+    n = dp.n_dev
+    pid = jax.process_index()
+    local_ids = [i for i, d in enumerate(devs) if d.process_index == pid]
+    assert local_ids == list(range(min(local_ids), max(local_ids) + 1)), (
+        "expected process-contiguous device ordering"
+    )
+    lo, hi = min(local_ids), max(local_ids) + 1
+
+    def to_g(tree, spec):
+        return multihost_utils.host_local_array_to_global_array(
+            tree, mesh, spec
+        )
+
+    def rep(a):
+        return to_g(np.asarray(a), P())
+
+    params_g = to_g(base.params, P())
+    opt_g = to_g(base.opt_state, P())
+    indptr_g, indices_g = rep(base.dev_indptr), rep(base.dev_indices)
+    indeg_g, outdeg_g = rep(base.dev_in_deg), rep(base.dev_out_deg)
+    labels_g = rep(base.dev_labels)
+    feats_g = rep(base.dev_features)
+    omit_g = rep(base.cache_maps[0])
+    agg_g = rep(base.cache_agg_all[0])
+    hidden = cfg.layer_sizes[1]
+    cache_g = rep(np.zeros((base.cache.num_cached, hidden), np.float32))
+
+    losses = []
+    for ep in range(epochs or cfg.epochs):
+        nids = dp._epoch_nids()
+        seeds_all, valid_all, src_pads = dp._shard_seed_arrays(nids)
+        epoch_fn = dp._get_epoch_fn(src_pads)
+        base._sample_key, key = jax.random.split(base._sample_key)
+        keys = np.asarray(jax.random.split(key, n))
+        n_steps = seeds_all.shape[0]
+        pad = seeds_all.shape[1] // n
+
+        def local_cols(a):  # [n_steps, n·pad] → this process's device block
+            return to_g(
+                a.reshape(n_steps, n, pad)[:, lo:hi].reshape(n_steps, -1),
+                P(None, "data"),
+            )
+
+        (params_g, opt_g, cache_g, loss, _acc, _edges, hits,
+         lookups) = epoch_fn(
+            params_g, opt_g, cache_g, local_cols(seeds_all),
+            local_cols(valid_all), to_g(keys[lo:hi], P("data")),
+            indptr_g, indices_g, indeg_g, outdeg_g, feats_g, labels_g,
+            omit_g, agg_g,
+        )
+        losses.append(float(np.asarray(loss.addressable_shards[0].data)))
+        check_finite_loss(losses[-1], ep, "run_multihost_pcmulti_epochs")
+        log.info(
+            "multihost pcmulti epoch %d (%d proc, %d dev): loss %.6f "
+            "cache %d/%d",
+            ep, jax.process_count(), n, losses[-1],
+            int(np.asarray(hits.addressable_shards[0].data)),
+            int(np.asarray(lookups.addressable_shards[0].data)),
+        )
     return losses

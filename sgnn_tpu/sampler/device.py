@@ -282,7 +282,16 @@ def device_sample_batch(
         # parallel/sharded_features.py, ntsPeerRPC parity)
         x0 = jnp.zeros((1, 1), jnp.float32)
     elif bottom_identity:
-        x0 = features
+        # The whole feature matrix IS x0 here.  Under shard_map DP the
+        # matrix is replicated while the rest of the batch is data-varying;
+        # lift it to the batch's vma so the layer-0 custom-VJP aggregation
+        # sees consistently-varying operands (its per-device cotangent
+        # would otherwise mismatch a replicated primal under strict JAX
+        # vma checking — the r4 driver dryrun failure).  pvary on this
+        # non-differentiated constant is a pure type cast.
+        from ..utils.vma import match_vma
+
+        x0 = match_vma(features, blocks[0].nbr)
     else:
         rows = features[blocks[0].srcs]
         if feat_scale is not None:

@@ -357,13 +357,18 @@ def run_engine(cfg: RunConfig, dataset: Dataset, epochs: Optional[int] = None):
     # Per-vertex report rows then live in the NEW id space; callers that
     # need original ids translate with the returned dataset's order.
     mode = getattr(cfg, "reorder", "none")
+    order = None
     if mode and mode.lower() not in ("none", ""):
         from ..graph.reorder import apply_vertex_order, vertex_order
 
-        dataset, _ = apply_vertex_order(dataset, vertex_order(dataset, mode))
+        order = vertex_order(dataset, mode)
+        dataset, _ = apply_vertex_order(dataset, order)
     report = None
     for r in range(n_runs):
         report = build_trainer(cfg, dataset).run(epochs=epochs)
+        # REORDER provenance: callers translate per-vertex rows back with
+        # order[new_id] = old_id (report.vertex_order; ADVICE r4)
+        report.vertex_order = order
         if n_runs > 1:
             get_logger("sgnn.engine").info(
                 "run %d/%d: avg epoch %.4fs (TIME_SKIP=%d)",

@@ -764,7 +764,12 @@ class FullBatchTrainer:
                 return fwd(p, dkey)
 
             (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            grads = jax.lax.psum(grads, "graph")
+            # the loss is already the GLOBAL mean (psummed above), so under
+            # vma-typed JAX grads come back as the exact global gradient;
+            # psum only per-shard partials (non-vma JAX) — utils/vma.py
+            from ..utils.vma import psum_grads
+
+            grads = psum_grads(grads, "graph", logp)
             new_p, new_o = optimizer.update(grads, opt_state, params)
             if drop_rate > 0.0:
                 # metrics from a dropout-free forward (reference ctx->eval())

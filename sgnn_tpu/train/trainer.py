@@ -52,6 +52,10 @@ class TrainReport:
     # never consumes it — implemented for real here): the first `time_skip`
     # epochs (compile + cache warmup) are excluded from the average.
     time_skip: int = 1
+    # REORDER provenance: order[new_id] = old_id when the engine renumbered
+    # vertices (graph/reorder.py) — row new_id of any per-vertex result in
+    # this report belongs to original vertex order[new_id]; None otherwise.
+    vertex_order: "np.ndarray | None" = None
 
     @property
     def avg_epoch_time(self) -> float:

@@ -20,7 +20,7 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--mode", default="dp",
                 choices=["dp", "fullbatch", "fullbatch_ckpt", "device_dp",
-                         "device_dp_sf", "device_dp_ckpt"])
+                         "device_dp_sf", "device_dp_ckpt", "pcmulti"])
     ap.add_argument("--out", required=True)
     a = ap.parse_args()
 
@@ -32,10 +32,17 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # driver parity: run with the strict custom-VJP cotangent typecheck
+    # that stock JAX ships with (see tests/conftest.py)
+    try:
+        jax.config.update("jax_disable_bwd_checks", False)
+    except AttributeError:
+        pass
 
     from sgnn_tpu.parallel.multihost import (
         initialize_distributed, run_multihost_device_dp_epochs,
         run_multihost_dp_epochs, run_multihost_fullbatch_epochs,
+        run_multihost_pcmulti_epochs,
     )
 
     if a.nprocs > 1:
@@ -73,6 +80,16 @@ def main() -> None:
                 cfg, ds, epochs=a.epochs,
                 shard_features=a.mode.endswith("_sf"),
             )
+    elif a.mode == "pcmulti":
+        # *PCMULTI fast path across processes: device-sampled DP + in-scan
+        # hot cache with one global hot set (GCN_SAMPLE_PC_MULTI.hpp)
+        cfg = RunConfig(
+            layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=32,
+            epochs=a.epochs, drop_rate=0.0, vertices=500,
+            batch_type="sequence", pipeline_num=2, cache_rate=0.1,
+            algorithm="GCNSAMPLEPCMULTI",
+        )
+        losses = run_multihost_pcmulti_epochs(cfg, ds, epochs=a.epochs)
     else:
         cfg = RunConfig(
             layer_sizes=[32, 16, 5], fanout=[4, 3], batch_size=32,

@@ -23,6 +23,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Driver-environment parity: this machine's TPU-tunnel sitecustomize flips
+# jax_disable_bwd_checks=True as a side effect of registering the backend,
+# which silently disables the custom-VJP cotangent typecheck (dtype/shape/
+# varying-manual-axes).  Stock JAX ships with the check ON — round 4 shipped
+# a shard_map vma bug invisible locally for exactly this reason.  Force the
+# strict check so every test runs with driver-equivalent typing.
+try:
+    jax.config.update("jax_disable_bwd_checks", False)
+except AttributeError:
+    pass  # flag retired in a future jax: strict is then the only mode
+
 import numpy as np
 import pytest
 

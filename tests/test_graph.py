@@ -162,3 +162,13 @@ def test_run_engine_reorder_key():
     report = run_engine(cfg, ds)
     assert len(report.train_acc) == 2
     assert np.isfinite(report.train_acc[-1])
+    # REORDER provenance (ADVICE r4): the permutation rides the report so
+    # per-vertex rows translate back — order[new_id] = old_id, a bijection
+    assert report.vertex_order is not None
+    assert np.array_equal(np.sort(report.vertex_order), np.arange(200))
+
+    # without REORDER the field stays None
+    cfg2 = RunConfig(layer_sizes=[8, 16, 4], epochs=1, learn_rate=0.01,
+                     batch_size=64, fanout=[5, 5], vertices=200,
+                     algorithm="GCNSAMPLEGPU", seed=0)
+    assert run_engine(cfg2, ds).vertex_order is None

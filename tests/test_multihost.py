@@ -149,6 +149,31 @@ def test_two_process_device_dp_sharded_features(tmp_path):
     np.testing.assert_allclose(mh, ref, rtol=1e-5)
 
 
+def test_two_process_pcmulti_matches_single_process(tmp_path):
+    """*PCMULTI fast path (device-sampled DP + in-scan hot cache, one
+    global hot set — GCN_SAMPLE_PC_MULTI.hpp + NCCL-AllGather cache
+    discipline ntsDataloador.hpp:735) across TWO jax.distributed
+    processes: loss trajectory == single-process 4-device run.  The
+    round-4 vma regression lived exactly in this engine's epoch program;
+    the worker runs with the strict custom-VJP typecheck on."""
+    ref_out = str(tmp_path / "ref.json")
+    _wait(_launch_mode(1, 0, _free_port(), 4, ref_out, "pcmulti"))
+    ref = json.load(open(ref_out))
+
+    port = _free_port()
+    mh_out = str(tmp_path / "mh.json")
+    p0 = _launch_mode(2, 0, port, 2, mh_out, "pcmulti")
+    p1 = _launch_mode(2, 1, port, 2, str(tmp_path / "unused.json"),
+                      "pcmulti")
+    _wait(p0)
+    _wait(p1)
+    mh = json.load(open(mh_out))
+
+    assert len(ref) == len(mh) == 3
+    np.testing.assert_allclose(mh, ref, rtol=1e-5)
+    assert mh[-1] < mh[0]
+
+
 def test_two_process_fullbatch_checkpoint_resume(tmp_path):
     """Multihost FULLBATCH checkpoint/resume (VERDICT r3 #8 — parity with
     the device-DP path): a 2-process vertex-sharded run that checkpoints at
