@@ -40,6 +40,10 @@ log = get_logger("sgnn.cache")
 class CachedSampleTrainer(SampleTrainer):
     """SampleTrainer + NeutronOrch hot-vertex embedding cache."""
 
+    # this trainer IS the estimator-regime recommendation (hot bottom
+    # layers reused across batches) — advisor reports numbers, no warning
+    _advisor_remedied = True
+
     def __init__(
         self,
         cfg: RunConfig,

@@ -100,6 +100,19 @@ class RunConfig:
     # vertex-range balancing for sharded full-batch: "degree" = α·V+E cost
     # model (reference tune_chunks, graph.hpp:1837), "equal" = equal ranges
     partition_balance: str = "degree"
+    # full-batch per-epoch metrics source: "clean" = an extra dropout-free
+    # forward per epoch (exact accuracies; the historical default), "train"
+    # = reuse the training forward's output (dropout-active — the
+    # REFERENCE's accounting: Train Acc comes from the same X the loss
+    # used, GCN_SAMPLE_ALLGPU.hpp:361 getCorrect(X[last]); saves a full
+    # forward — ~2 SpMM passes — per epoch)
+    metrics: str = "clean"
+    # estimator-regime advisor (train/advisor.py): warn (default) logs a
+    # structured warning when a batch's bottom hop covers most of the
+    # graph (sampled training then redoes near-whole-graph work per step);
+    # route additionally enables the PUSHDOWN bottom-hop composition;
+    # off silences
+    estimator_advisor: str = "warn"
     classes: int = 0
     del_frac: float = 0.0
     # extras (ours)
@@ -196,6 +209,8 @@ _KEYMAP = {
     "HALO": ("halo", str),
     "MXU_SPMM": ("mxu_spmm", str),
     "REORDER": ("reorder", str),
+    "METRICS": ("metrics", str),
+    "ESTIMATOR_ADVISOR": ("estimator_advisor", str),
     "PARTITION_BALANCE": ("partition_balance", str),
     "RUNS": ("runs", int),
     "TIME_SKIP": ("time_skip", int),

@@ -41,6 +41,10 @@ log = get_logger("sgnn.devcache")
 class DeviceCachedSampleTrainer(DeviceSampleTrainer):
     """DeviceSampleTrainer + in-scan hot-vertex cache (GS_SAMPLE_CACHE)."""
 
+    # this trainer IS the estimator-regime recommendation (hot bottom
+    # layers reused across batches) — advisor reports numbers, no warning
+    _advisor_remedied = True
+
     def __init__(
         self,
         cfg: RunConfig,

@@ -203,6 +203,30 @@ def build_trainer(cfg: RunConfig, dataset: Dataset):
         return FullBatchEngine(cfg, dataset, spec.family, spec.weight_kind)
     degree_mode = resolve_degree_mode(cfg)
     pushdown_derived = False
+    if (getattr(cfg, "estimator_advisor", "warn") == "route"
+            and not cfg.pushdown and not spec.use_cache
+            and not spec.multi_device and not spec.fullbatch):
+        # ESTIMATOR_ADVISOR:route — when one batch's bottom hop covers
+        # most of the graph, auto-enable the PUSHDOWN bottom-hop
+        # composition (hot bottom layer from the precomputed aggregate,
+        # cached destinations omitted from sampling) instead of just
+        # warning (train/advisor.py)
+        from ..graph.adjacency import Adjacency
+        from .advisor import advise_estimator_regime
+
+        adj = Adjacency.from_edges(dataset.edges, dataset.num_vertices)
+        advice = advise_estimator_regime(
+            adj, cfg.fanout, cfg.batch_size,
+            len(dataset.nids_with_mask(0)), mode="warn", remedied=True,
+        )
+        if advice is not None:
+            from ..utils.logging import get_logger
+
+            get_logger("sgnn.advisor").warning(
+                "estimator regime (coverage %.1f%%): ESTIMATOR_ADVISOR:"
+                "route enabling the PUSHDOWN bottom-hop composition for %s",
+                100 * advice["bottom_coverage"], spec.name)
+            cfg = dataclasses.replace(cfg, pushdown=True)
     if cfg.pushdown and not spec.use_cache and not spec.multi_device:
         # PUSHDOWN:1 turns the pushdown/PD path on inside non-PD engines
         # (reference: the engines sample one fewer layer and serve the

@@ -100,6 +100,7 @@ def full_forward(
     x_scale: Optional[jax.Array] = None,
     planner: Optional[SpmmPlanner] = None,
     mxu=None,
+    mxu_gat=None,
 ) -> jax.Array:
     """L-layer whole-graph forward (GCN/SAGE via SpMM; GAT via COO softmax).
 
@@ -227,6 +228,27 @@ def full_forward(
                 planner, "softmax_starts")
             if fast_att:
                 att_starts = planner.softmax_starts()
+
+            # One-hot MXU attention tier (ops/pallas/mxu_gat.py): weights
+            # computed IN-KERNEL from per-vertex score tables — the whole
+            # attention layer (score gathers + softmax-weighted SpMM + z)
+            # collapses into one kernel pass per layer.  Forward-only
+            # (serving/eval: the kernel has no VJP; training keeps the
+            # windowed path).  mxu_gat = ((srcs, dsts, meta, visited),
+            # static); arrays are jit ARGUMENTS like `mxu`'s.
+            if (mxu_gat is not None and f <= 128 and hh <= 8
+                    and f % hh == 0):
+                from ..ops.pallas.mxu_gat import mxu_gat_aggregate
+
+                gops, gstatic = mxu_gat
+                h = mxu_gat_aggregate(ht, a_src, a_dst, *gops, gstatic,
+                                      heads=hh)
+                h = jax.nn.relu(h if l == n_layers - 1 else bn(h))
+                if l == n_layers - 1:
+                    h = log_softmax(h.astype(jnp.float32))
+                else:
+                    h = drop(h, l)
+                continue
 
             def dst_half(vec_v):  # [V] per-dst score half → [E]
                 if fast_att:
@@ -469,6 +491,7 @@ class FullBatchTrainer:
         planner = self.planner  # host object; contributes only static ints
         mxu_statics = (None if self.mxu_pair is None else
                        (self.mxu_pair.fwd.static, self.mxu_pair.bwd.static))
+        clean_metrics = getattr(self.cfg, "metrics", "clean") != "train"
 
         @jax.jit
         def step(params, opt_state, x, y, mask, src, dst, w, perm, invp,
@@ -486,8 +509,12 @@ class FullBatchTrainer:
 
             (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             new_p, new_o = optimizer.update(grads, opt_state, params)
-            if drop_rate > 0.0:
-                # metrics from a dropout-free forward (reference ctx->eval())
+            if drop_rate > 0.0 and clean_metrics:
+                # METRICS:clean — an extra dropout-free forward for exact
+                # accuracies; METRICS:train reuses the training logp (the
+                # reference's accounting: getCorrect on the SAME X the
+                # loss used, GCN_SAMPLE_ALLGPU.hpp:361 — saves a full
+                # forward per epoch)
                 logp = full_forward(params, family, x, src, dst, w, v,
                                     aggregator=aggregator, heads=heads,
                                     batch_norm=use_bn, csr=csr, x_scale=xs,

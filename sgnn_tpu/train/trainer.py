@@ -146,6 +146,18 @@ class SampleTrainer:
             k = int(len(self.train_nids) * cfg.del_frac)
             keep = order[k:] if bt == "dellow" else order[: len(order) - k]
             self.train_nids = np.sort(self.train_nids[keep])
+        # Estimator-regime advisor (train/advisor.py): detect near-whole-
+        # graph bottom-hop coverage and recommend FULLBATCH/PD-cache
+        # (ESTIMATOR_ADVISOR cfg key; cache/pushdown trainers set
+        # _advisor_remedied and get the numbers without the warning)
+        from .advisor import advise_estimator_regime
+
+        self.estimator_advice = advise_estimator_regime(
+            self.adj, cfg.fanout, cfg.batch_size, len(self.train_nids),
+            mode=getattr(cfg, "estimator_advisor", "warn"),
+            remedied=getattr(type(self), "_advisor_remedied", False),
+            context=type(self).__name__,
+        )
         wk = WeightKind.NONE if family == "gat" else weight_kind
         self.sampler = HostSampler(
             self.adj,

@@ -710,6 +710,31 @@ def test_sharded_gat_fast_attention_matches_reference(tiny_ds, halo, heads):
                                    rtol=2e-3, atol=2e-4)
 
 
+def test_metrics_train_same_trajectory_cheaper_program(tiny_ds):
+    """METRICS:train (reference accounting: Train Acc from the training
+    forward, GCN_SAMPLE_ALLGPU.hpp:361) must not change the LOSS
+    trajectory — it only drops the extra dropout-free metrics forward."""
+    import dataclasses
+
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.train.fullbatch import FullBatchTrainer
+
+    cfg = RunConfig(layer_sizes=[32, 16, 5], epochs=3, learn_rate=0.02,
+                    drop_rate=0.5, vertices=tiny_ds.num_vertices)
+    clean = FullBatchTrainer(cfg, tiny_ds, family="gcn")
+    train = FullBatchTrainer(dataclasses.replace(cfg, metrics="train"),
+                             tiny_ds, family="gcn")
+    for ep in range(3):
+        lc, ac, _, _ = clean.train_epoch()
+        lt, at, _, _ = train.train_epoch()
+        assert abs(lc - lt) < 1e-6, (ep, lc, lt)
+        assert np.isfinite(at)
+    # params identical: metrics choice never touches the update
+    for wc, wt in zip(clean.params.weights, train.params.weights):
+        np.testing.assert_allclose(np.asarray(wc), np.asarray(wt),
+                                   rtol=1e-6)
+
+
 def test_broadcast_dst_sorted_empty_segments():
     """Telescoping scatter-ADD reconstructs vals[dst] exactly through runs
     of EMPTY destinations (consecutive deltas at one position must sum to

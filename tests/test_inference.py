@@ -345,3 +345,34 @@ def test_server_warmup_precompiles_buckets(tiny_ds):
     out = srv.query(np.array([1, 2, 3, 4]))
     assert len(srv._seen_query_shapes) == seen
     assert out.shape == (4, 5)
+
+
+def test_server_warmup_adaptive_and_neighbor_buckets(tiny_ds):
+    """adaptive warmup stops once draws stop finding new shapes, and
+    neighbors=True pre-compiles the ±1 edge-extent bucket variants with
+    synthetic operands (the warm-stream p99 spikes, VERDICT r4 #6)."""
+    from sgnn_tpu.graph.adjacency import Adjacency
+    from sgnn_tpu.models.gnn import init_model
+    from sgnn_tpu.train.inference import InferenceServer
+
+    adj = Adjacency.from_edges(tiny_ds.edges, tiny_ds.num_vertices)
+    params = init_model(jax.random.PRNGKey(0), "gcn", [32, 16, 5])
+    srv = InferenceServer(params, "gcn", adj, tiny_ds.features)
+    compiled = srv.warmup(sizes=(4, 16), adaptive=True, neighbors=True)
+    assert compiled >= 3  # base shapes + at least some neighbor variants
+    # every neighbor variant of every seen shape is already warm
+    for set_pads, e_pads in list(srv._seen_query_shapes):
+        for li in range(len(e_pads)):
+            up = list(e_pads)
+            up[li] *= 2
+            if (set_pads, tuple(up)) in srv._seen_query_shapes:
+                break
+        else:
+            continue
+        break
+    else:
+        raise AssertionError("no neighbor bucket was pre-warmed")
+    # GAT + multihead goes through _warm_shape's synthetic path too
+    gparams = init_model(jax.random.PRNGKey(1), "gat", [32, 16, 5])
+    gsrv = InferenceServer(gparams, "gat", adj, tiny_ds.features, heads=2)
+    assert gsrv.warmup(sizes=(4,), adaptive=True, neighbors=True) >= 2
