@@ -273,39 +273,65 @@ def bench_calibrated_anchor(scale: float, epochs: int, batch: int,
             "bayes_ceiling": 0.805}
 
 
-def bench_pdcache_beyond_hbm(scale: float, epochs: int, batch: int) -> dict:
+def bench_pdcache_beyond_hbm(scale: float, epochs: int, batch: int,
+                             calibrated: bool = False,
+                             seeds=(0,)) -> dict:
     """Flagship cached engine COMPOSED with beyond-HBM features (VERDICT r2
     Missing #2): CachedSampleTrainer under a forced HBM budget — hot-vertex
     embedding cache refreshed from the precomputed host aggregate, batch
-    features assembled from the partial-HBM cache + compacted cold rows."""
+    features assembled from the partial-HBM cache + compacted cold rows.
+
+    calibrated=True runs the same composition on the NON-saturating anchor
+    dataset (Bayes ceiling ≈0.805) so the cache+quantization composite's
+    accuracy is bounded where a saturating 0.98 cannot hide a defect
+    (VERDICT r4 Missing #5)."""
+    import numpy as np
+
     from sgnn_tpu.cache.orchestrator import CachedSampleTrainer
     from sgnn_tpu.config import RunConfig
     from sgnn_tpu.sampler.blocks import WeightKind
 
-    ds = _reddit_like_cached(scale)
+    ds = _reddit_like_cached(scale, calibrated=calibrated)
     budget = int(0.3 * ds.num_vertices) * ds.features.shape[1] * 4
-    cfg = RunConfig(
-        layer_sizes=[602, 128, 41], fanout=[25, 10], batch_size=batch,
-        epochs=epochs, learn_rate=0.01, drop_rate=0.5,
-        vertices=ds.num_vertices, cache_rate=0.05, feature_cache_rate=1.0,
-        feature_dtype="int8", pipeline_num=4,
-    )
-    tr = CachedSampleTrainer(cfg, ds, family="gcn",
-                             weight_kind=WeightKind.GCN,
-                             degree_mode="global",
-                             features_on_device=False,
-                             hbm_budget_bytes=budget)
-    report = tr.run(epochs=epochs, eval_every=10**9)
-    fc = tr.feat_cache
-    log(f"[bench] pdcache beyond-HBM: epochs "
-        f"{[round(t, 2) for t in report.epoch_times]} acc "
-        f"{report.train_acc[-1]:.4f} emb-hit {tr.cache_hit_rate:.3f} "
-        f"feat-hit {fc.hit_rate:.3f}")
-    return {"epoch_time_s": round(report.avg_epoch_time, 4),
-            "train_acc": round(report.train_acc[-1], 4),
-            "embedding_cache_hit": round(tr.cache_hit_rate, 4),
-            "feature_cache_hit": round(fc.hit_rate, 4),
-            "staged_rows": int(fc.hot_ids.size)}
+    accs, test_accs, times = [], [], []
+    tr = fc = None
+    for seed in seeds:
+        cfg = RunConfig(
+            layer_sizes=[602, 128, 41], fanout=[25, 10], batch_size=batch,
+            epochs=epochs, learn_rate=0.01, drop_rate=0.5,
+            vertices=ds.num_vertices, cache_rate=0.05,
+            feature_cache_rate=1.0, feature_dtype="int8", pipeline_num=4,
+            seed=seed,
+        )
+        tr = CachedSampleTrainer(cfg, ds, family="gcn",
+                                 weight_kind=WeightKind.GCN,
+                                 degree_mode="global",
+                                 features_on_device=False,
+                                 hbm_budget_bytes=budget)
+        report = tr.run(epochs=epochs, eval_every=10**9)
+        fc = tr.feat_cache
+        accs.append(report.train_acc[-1])
+        times.append(report.avg_epoch_time)
+        if calibrated:
+            test_accs.append(float(tr.evaluate(ds.nids_with_mask(2))))
+    tag = " calibrated" if calibrated else ""
+    log(f"[bench] pdcache beyond-HBM{tag}: avg epoch "
+        f"{float(np.mean(times)):.3f}s train acc "
+        f"{[round(a, 4) for a in accs]}"
+        + (f" test {[round(a, 4) for a in test_accs]}" if calibrated
+           else "")
+        + f" emb-hit {tr.cache_hit_rate:.3f} feat-hit {fc.hit_rate:.3f}")
+    out = {"epoch_time_s": round(float(np.mean(times)), 4),
+           "train_acc": round(float(np.mean(accs)), 4),
+           "embedding_cache_hit": round(tr.cache_hit_rate, 4),
+           "feature_cache_hit": round(fc.hit_rate, 4),
+           "staged_rows": int(fc.hot_ids.size)}
+    if calibrated:
+        out["test_acc_mean"] = round(float(np.mean(test_accs)), 4)
+        out["test_acc_std"] = round(float(np.std(test_accs)), 4)
+        out["test_acc_seeds"] = [round(a, 4) for a in test_accs]
+        out["bayes_ceiling"] = 0.805
+    return out
 
 
 def bench_fullbatch(scale: float, epochs: int) -> dict:
@@ -629,6 +655,40 @@ def bench_gat_serving(scale: float) -> dict:
     return out
 
 
+def bench_gat_training(scale: float, epochs: int) -> dict:
+    """Whole-graph GAT TRAINING epochs, bf16 — the trainable kernel-tier
+    attention (ops/pallas/mxu_gat.py mxu_gat_train: in-kernel attention
+    forward + the two-pass kernel backward).  Reference-parity METRICS:
+    train accounting (accuracy from the training forward)."""
+    import numpy as np
+
+    from sgnn_tpu.config import RunConfig
+    from sgnn_tpu.train.fullbatch import FullBatchTrainer
+
+    ds = _reddit_like_cached(scale)
+    out = {}
+    for heads in (1, 4):
+        cfg = RunConfig(
+            layer_sizes=[602, 128, 41], fanout=[1, 1], epochs=epochs,
+            learn_rate=0.01, drop_rate=0.5, vertices=ds.num_vertices,
+            dtype="bfloat16", heads=heads, metrics="train",
+        )
+        tr = FullBatchTrainer(cfg, ds, family="gat")
+        times, acc = [], 0.0
+        for _ in range(epochs):
+            t0 = time.perf_counter()
+            _l, acc, _, _ = tr.train_epoch()
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times[1:] or times))
+        log(f"[bench] gat training heads={heads}: epochs "
+            f"{[round(t, 3) for t in times]} acc {acc:.4f} "
+            f"mxu_gat={tr.mxu_gat_pair is not None}")
+        out[f"gat{heads}h_epoch_time_s"] = round(med, 4)
+        out[f"gat{heads}h_train_acc"] = round(float(acc), 4)
+        out[f"gat{heads}h_mxu_gat"] = tr.mxu_gat_pair is not None
+    return out
+
+
 def bench_cora_gcn(epochs: int) -> dict:
     import numpy as np
 
@@ -787,12 +847,12 @@ def main():
         anchor = {}
     try:
         # the same non-saturating anchor through the int8 feature store:
-        # bounds quantization cost where a saturating 0.99 cannot hide it
-        # (VERDICT r3 weak #3); one seed — the delta vs the 3-seed mean is
-        # the signal, not the seed lottery
+        # bounds quantization cost where a saturating 0.99 cannot hide it.
+        # THREE seeds like the f32 window (VERDICT r4 Missing #5 — one
+        # seed on a ±2-pt window has no statistical power)
         anchor_int8 = bench_calibrated_anchor(
             min(args.scale, 0.25), 6, min(args.batch, 10000),
-            feature_dtype="int8", seeds=(0,),
+            feature_dtype="int8",
         )
     except Exception as e:
         log(f"[bench] int8 calibrated-anchor stage failed ({e!r}); omitting")
@@ -800,6 +860,12 @@ def main():
     try:
         pdcache_bh = bench_pdcache_beyond_hbm(
             min(args.scale, 0.25), 2, min(args.batch, 2500)
+        )
+        # accuracy-bound the SAME composition on the non-saturating
+        # calibrated anchor, 3 seeds (VERDICT r4 Missing #5)
+        pdcache_bh["calibrated"] = bench_pdcache_beyond_hbm(
+            min(args.scale, 0.25), 6, min(args.batch, 2500),
+            calibrated=True, seeds=(0, 1, 2),
         )
     except Exception as e:
         log(f"[bench] pdcache-beyond-hbm stage failed ({e!r}); omitting")
@@ -819,6 +885,11 @@ def main():
     except Exception as e:
         log(f"[bench] gat-serving stage failed ({e!r}); omitting")
         gat_serving = {}
+    try:
+        gat_training = bench_gat_training(args.scale, args.epochs)
+    except Exception as e:
+        log(f"[bench] gat-training stage failed ({e!r}); omitting")
+        gat_training = {}
 
     result = {
         "metric": "reddit_sage_f25-10_edges_per_sec_per_chip",
@@ -854,6 +925,7 @@ def main():
             "fullbatch_gcn": fullbatch,
             "serving_exact": serving,
             "gat_serving": gat_serving,
+            "gat_training": gat_training,
         },
     }
     print(json.dumps(result), flush=True)

@@ -373,3 +373,319 @@ def mxu_gat_aggregate(
     fh = ht.shape[1] // heads
     out3 = out.reshape(-1, heads, fh) / z[:, :, None]
     return out3.reshape(-1, heads * fh).astype(ht.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Training backward on the kernel tier.
+#
+# With ã_e = u_e / z_d the layer is h[d] = Σ_e ã_e m_e (m_e = ht[src_e],
+# per head block).  For cotangent G = dL/dh, the chain gives per edge
+#     t_e  = <G_d, m_e>          r_d = <G_d, h_d>
+#     ds_e = ã_e (t_e − r_d) · leaky_relu'(score_e)
+# and the gradients  dht[s] += Σ_e ã_e G_d   (aggregation transpose),
+# dts[v] = Σ_{src=v} ds_e,  dtd[v] = Σ_{dst=v} ds_e  (score-table
+# cotangents, which expand to dht/da via per-vertex outer products).
+# Folding z into the per-VERTEX operands (Gz = G/z, rz = r/z) leaves only
+# u and score to recompute in-kernel — the same tables the forward reads:
+#     q_e = u_e · lrelu'(score_e) · (<Gz_d, m_e> − rz_d)      (== ds_e)
+# Two generalized passes cover everything:
+#     B1 (TRANSPOSED plan, slab=dst side):  dht_agg[s] = Σ u_e Gz_d  AND
+#        dts[s] = Σ q_e  — dual outputs on the src (window/out) side
+#     B2 (forward plan, slab=src side):     dtd[d] = Σ q_e
+# No per-edge state crosses passes: both recompute u/score/q from the
+# SAME per-vertex tables, so the two plans need no common edge order —
+# the property that makes a kernel-tier GAT backward possible at all.
+# ---------------------------------------------------------------------------
+
+
+class MxuGatPair(NamedTuple):
+    """Forward + transposed plans — the trainable kernel-tier GAT."""
+
+    fwd: MxuGatPlan
+    bwd: MxuGatPlan
+
+    @property
+    def operands(self):
+        return (*self.fwd.operands, *self.bwd.operands)
+
+    @property
+    def statics(self):
+        return (self.fwd.static, self.bwd.static)
+
+
+def build_mxu_gat_pair_auto(
+    src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
+    *, margin: float = 0.95,
+) -> Optional[MxuGatPair]:
+    fwd = build_mxu_gat_plan_auto(src, dst, num_src, num_dst,
+                                  margin=margin)
+    if fwd is None:
+        return None
+    bwd = build_mxu_gat_plan_auto(dst, src, num_dst, num_src,
+                                  margin=margin)
+    if bwd is None:
+        return None
+    return MxuGatPair(fwd=fwd, bwd=bwd)
+
+
+def _gat_bwd_kernel(meta_ref, src_ref, dst_ref, slab_x_ref, slab_t_ref,
+                    win_x_ref, win_t_ref, r_ref, *outs,
+                    static: MxuSpmmStatic, heads: int, fh: int,
+                    neg_slope: float, rz_on_slab: bool, emit_agg: bool):
+    st = static
+    n_sub = st.e_t // st.e_sub
+    step = pl.program_id(0)
+    if emit_agg:
+        agg_ref, dq_ref = outs
+    else:
+        (dq_ref,) = outs
+        agg_ref = None
+
+    @pl.when(meta_ref[step, _M_FIRST] == 1)
+    def _():
+        dq_ref[:] = jnp.zeros_like(dq_ref)
+        if agg_ref is not None:
+            agg_ref[:] = jnp.zeros_like(agg_ref)
+
+    expand = _head_expand(heads, fh)
+    rows_s = lax.broadcasted_iota(jnp.int32, (st.s_blk, st.e_sub), 0)
+    rows_w = lax.broadcasted_iota(jnp.int32, (st.w_win, st.e_sub), 0)
+    for j in range(n_sub):
+        sl = slice(j * st.e_sub, (j + 1) * st.e_sub)
+        r0 = pl.multiple_of(meta_ref[step, _M_HDR + j], 8)
+        srcb = jnp.broadcast_to(src_ref[0, 0:1, sl], (st.s_blk, st.e_sub))
+        oh_s = (rows_s == srcb).astype(jnp.bfloat16)
+        dstb = jnp.broadcast_to(dst_ref[0, 0:1, sl], (st.w_win, st.e_sub))
+        oh_w = (rows_w == dstb).astype(jnp.bfloat16)
+        x1 = lax.dot_general(                     # slab-side rows per edge
+            oh_s, slab_x_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)                                 # [e, F]
+        t1 = lax.dot_general(
+            oh_s, slab_t_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # [e, 8]
+        win_x = win_x_ref[0, pl.ds(r0, st.w_win), :]
+        x2 = lax.dot_general(                     # window-side rows
+            oh_w, win_x,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)                                 # [e, F]
+        t2 = lax.dot_general(
+            oh_w, win_t_ref[0, pl.ds(r0, st.w_win), :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # [e, 8]
+        score = t1 + t2
+        lr_grad = jnp.where(score >= 0, 1.0, neg_slope)
+        score = jnp.where(score >= 0, score, neg_slope * score)
+        u = jnp.exp(jnp.clip(score, -_ATT_CLIP, _ATT_CLIP))    # [e, 8]
+        if rz_on_slab:
+            rz = lax.dot_general(
+                oh_s, r_ref[0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            rz = lax.dot_general(
+                oh_w, r_ref[0, pl.ds(r0, st.w_win), :],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [e, 8]
+        # per-edge per-head <slab_row, win_row> over the head's columns
+        tdot = lax.dot_general(
+            (x1 * x2), expand,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # [e, 8]
+        q = u * lr_grad * (tdot - rz)                          # [e, 8] f32
+        dq_c = lax.dot_general(
+            oh_w.astype(jnp.float32), q,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # [w_win, 8]
+        dq_ref[0, pl.ds(r0, st.w_win), :] += dq_c
+        if agg_ref is not None:
+            ucols = lax.dot_general(
+                u.astype(jnp.bfloat16), expand,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            agg_c = lax.dot_general(
+                oh_w, x1 * ucols,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                  # [w_win, F]
+            agg_ref[0, pl.ds(r0, st.w_win), :] += agg_c
+
+
+def _gat_bwd_apply(slab_x, slab_t, win_x, win_t, r_tbl, srcs, dsts, meta,
+                   visited, static: MxuSpmmStatic, heads: int, feat: int,
+                   *, rz_on_slab: bool, emit_agg: bool,
+                   interpret: Optional[bool] = None):
+    """Run one generalized backward pass over a plan's chunks.
+
+    slab_* live on the plan's SLAB (source) side; win_*/outputs on its
+    window (destination) side.  Returns (agg [num_dst, feat] or None,
+    dq [num_dst, heads])."""
+    st = static
+    f_pad = 128
+    fh = feat // heads
+    n_sb = -(-st.num_src // st.s_blk)
+    n_db = -(-st.num_dst // st.d_blk)
+
+    def rows(a, n, blk, dtype, width):
+        out = _pad_rows(a, n * blk, dtype)
+        if width > a.shape[1]:
+            out = jnp.pad(out, ((0, 0), (0, width - a.shape[1])))
+        return out.reshape(n, blk, width)
+
+    sx = rows(slab_x, n_sb, st.s_blk, jnp.bfloat16, f_pad)
+    stb = rows(slab_t, n_sb, st.s_blk, jnp.bfloat16, 8)
+    wx = rows(win_x, n_db, st.d_blk, jnp.bfloat16, f_pad)
+    wt = rows(win_t, n_db, st.d_blk, jnp.bfloat16, 8)
+    # rz rides in bf16: it subtracts against tdot, itself built from bf16
+    # row products, so the quantization is consistent noise — and the f32
+    # window table measured 116 KB past the 16 MB scoped-vmem limit on
+    # the forward-plan (B2) pass at Reddit scale
+    if rz_on_slab:
+        rt = rows(r_tbl, n_sb, st.s_blk, jnp.bfloat16, 8)
+    else:
+        rt = rows(r_tbl, n_db, st.d_blk, jnp.bfloat16, 8)
+    interp = _interpret_default() if interpret is None else interpret
+
+    def run_chunk(mt, sr, ds):
+        def espec():
+            return pl.BlockSpec((1, 1, st.e_t), lambda i, m: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def sspec(width):
+            return pl.BlockSpec((1, st.s_blk, width),
+                                lambda i, m: (m[i, _M_SLAB], 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def wspec(width):
+            return pl.BlockSpec((1, st.d_blk, width),
+                                lambda i, m: (m[i, _M_DBLK], 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        out_specs = ((wspec(f_pad), wspec(8)) if emit_agg
+                     else (wspec(8),))
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((n_db, st.d_blk, w), jnp.float32)
+            for w in ((f_pad, 8) if emit_agg else (8,)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(st.chunk_steps,),
+            in_specs=[espec(), espec(), sspec(f_pad), sspec(8),
+                      wspec(f_pad), wspec(8),
+                      sspec(8) if rz_on_slab else wspec(8)],
+            out_specs=out_specs,
+        )
+        res = pl.pallas_call(
+            functools.partial(_gat_bwd_kernel, static=st, heads=heads,
+                              fh=fh, neg_slope=0.2, rz_on_slab=rz_on_slab,
+                              emit_agg=emit_agg),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interp,
+        )(mt, sr, ds, sx, stb, wx, wt, rt)
+        return res if emit_agg else (None, res[0])
+
+    def body(acc, ops):
+        mt, sr, ds, vis = ops
+        agg_p, dq_p = run_chunk(mt, sr, ds)
+        acc_a, acc_q = acc
+        m = vis[:, None, None] > 0
+        acc_q = acc_q + jnp.where(m, dq_p, 0.0)
+        if acc_a is not None:
+            acc_a = acc_a + jnp.where(m, agg_p, 0.0)
+        return (acc_a, acc_q), None
+
+    acc0 = (jnp.zeros((n_db, st.d_blk, f_pad), jnp.float32)
+            if emit_agg else None,
+            jnp.zeros((n_db, st.d_blk, 8), jnp.float32))
+    (agg, dq), _ = lax.scan(body, acc0, (meta, srcs, dsts, visited))
+    dq = dq.reshape(n_db * st.d_blk, 8)[:st.num_dst, :heads]
+    if agg is not None:
+        agg = agg.reshape(n_db * st.d_blk, f_pad)[:st.num_dst, :feat]
+    return agg, dq
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def mxu_gat_train(ht, a_src, a_dst,
+                  f_srcs, f_dsts, f_meta, f_vis,
+                  b_srcs, b_dsts, b_meta, b_vis,
+                  fwd_static: MxuSpmmStatic, bwd_static: MxuSpmmStatic,
+                  heads: int):
+    """Differentiable attention aggregation on the kernel tier (whole
+    graph, num_src == num_dst).  Forward == mxu_gat_aggregate; backward =
+    two generalized kernel passes (see module section comment)."""
+    ts, td = pack_score_tables(ht, a_src, a_dst, heads)
+    out, z = _gat_apply(ht, ts, td, f_srcs, f_dsts, f_meta, f_vis,
+                        fwd_static, heads)
+    return _gat_norm(out, z, ht, heads)
+
+
+def _gat_norm(out, z, ht, heads):
+    z = jnp.maximum(z, jnp.finfo(jnp.float32).tiny)
+    fh = ht.shape[1] // heads
+    out3 = out.reshape(-1, heads, fh) / z[:, :, None]
+    return out3.reshape(-1, heads * fh).astype(ht.dtype)
+
+
+def _gat_train_fwd(ht, a_src, a_dst, f_srcs, f_dsts, f_meta, f_vis,
+                   b_srcs, b_dsts, b_meta, b_vis,
+                   fwd_static, bwd_static, heads):
+    ts, td = pack_score_tables(ht, a_src, a_dst, heads)
+    out, z = _gat_apply(ht, ts, td, f_srcs, f_dsts, f_meta, f_vis,
+                        fwd_static, heads)
+    h = _gat_norm(out, z, ht, heads)
+    res = (ht, a_src, a_dst, out, z, ts, td,
+           f_srcs, f_dsts, f_meta, f_vis, b_srcs, b_dsts, b_meta, b_vis)
+    return h, res
+
+
+def _gat_train_bwd(fwd_static, bwd_static, heads, res, g):
+    (ht, a_src, a_dst, out, z, ts, td,
+     f_srcs, f_dsts, f_meta, f_vis, b_srcs, b_dsts, b_meta, b_vis) = res
+    v, f = ht.shape
+    fh = f // heads
+    g32 = g.astype(jnp.float32).reshape(v, heads, fh)
+    # z-folded per-vertex operands: Gz = G/z, rz = <G, out>/z² (per head).
+    # z == 0 rows (no in-edges) have ã ≡ 0 — their cotangents through the
+    # attention are exactly zero, so the fold uses 0, not 1/tiny (inf)
+    zinv = jnp.where(z > 0, 1.0 / jnp.maximum(z, 1e-30), 0.0)  # [V, H]
+    gz = (g32 * zinv[:, :, None]).reshape(v, f)             # [V, F]
+    rz = jnp.einsum("vhf,vhf->vh", g32,
+                    out.reshape(v, heads, fh)) * zinv * zinv  # [V, H]
+    rz8 = jnp.pad(rz, ((0, 0), (0, 8 - heads)))
+    # B1 (transposed plan): slab = dst side (Gz, td, rz);
+    # window/out = src side (ht, ts) → dht_agg + dts
+    dht_agg, dts = _gat_bwd_apply(
+        gz, td, ht, ts, rz8, b_srcs, b_dsts, b_meta, b_vis, bwd_static,
+        heads, f, rz_on_slab=True, emit_agg=True)
+    # B2 (forward plan): slab = src side (ht, ts);
+    # window/out = dst side (Gz, td, rz) → dtd
+    _, dtd = _gat_bwd_apply(
+        ht, ts, gz, td, rz8, f_srcs, f_dsts, f_meta, f_vis, fwd_static,
+        heads, f, rz_on_slab=False, emit_agg=False)
+    # expand table cotangents: d ts[v,h] → dht[v, block h] += dts·a_src_h,
+    # da_src_h += Σ_v dts[v,h]·ht[v, block h]  (and the td analogues)
+    a_s_h = a_src.astype(jnp.float32).reshape(heads, fh)
+    a_d_h = a_dst.astype(jnp.float32).reshape(heads, fh)
+    ht3 = ht.astype(jnp.float32).reshape(v, heads, fh)
+    dht = (dht_agg.reshape(v, heads, fh)
+           + jnp.einsum("vh,hf->vhf", dts, a_s_h)
+           + jnp.einsum("vh,hf->vhf", dtd, a_d_h)).reshape(v, f)
+    da_src = jnp.einsum("vh,vhf->hf", dts, ht3).reshape(f)
+    da_dst = jnp.einsum("vh,vhf->hf", dtd, ht3).reshape(f)
+    from ...utils.vma import match_cotangent_vma
+
+    return (match_cotangent_vma(dht.astype(ht.dtype), ht),
+            match_cotangent_vma(da_src.astype(a_src.dtype), a_src),
+            match_cotangent_vma(da_dst.astype(a_dst.dtype), a_dst),
+            None, None, None, None, None, None, None, None)
+
+
+mxu_gat_train.defvjp(_gat_train_fwd, _gat_train_bwd)

@@ -232,17 +232,24 @@ def full_forward(
             # One-hot MXU attention tier (ops/pallas/mxu_gat.py): weights
             # computed IN-KERNEL from per-vertex score tables — the whole
             # attention layer (score gathers + softmax-weighted SpMM + z)
-            # collapses into one kernel pass per layer.  Forward-only
-            # (serving/eval: the kernel has no VJP; training keeps the
-            # windowed path).  mxu_gat = ((srcs, dsts, meta, visited),
-            # static); arrays are jit ARGUMENTS like `mxu`'s.
+            # collapses into one kernel pass per layer.
+            # mxu_gat = (ops, static) with a single static → forward-only
+            # plan (serving/eval); (ops8, (fwd_static, bwd_static)) →
+            # TRAINABLE pair (mxu_gat_train's two-pass kernel backward).
+            # Arrays are jit ARGUMENTS like `mxu`'s.
             if (mxu_gat is not None and f <= 128 and hh <= 8
                     and f % hh == 0):
-                from ..ops.pallas.mxu_gat import mxu_gat_aggregate
-
                 gops, gstatic = mxu_gat
-                h = mxu_gat_aggregate(ht, a_src, a_dst, *gops, gstatic,
-                                      heads=hh)
+                if len(gops) == 8:      # trainable pair (fwd + bwd plans)
+                    from ..ops.pallas.mxu_gat import mxu_gat_train
+
+                    h = mxu_gat_train(ht, a_src, a_dst, *gops,
+                                      gstatic[0], gstatic[1], hh)
+                else:
+                    from ..ops.pallas.mxu_gat import mxu_gat_aggregate
+
+                    h = mxu_gat_aggregate(ht, a_src, a_dst, *gops,
+                                          gstatic, heads=hh)
                 h = jax.nn.relu(h if l == n_layers - 1 else bn(h))
                 if l == n_layers - 1:
                     h = log_softmax(h.astype(jnp.float32))
@@ -464,17 +471,27 @@ class FullBatchTrainer:
             # auto: TPU + bf16 + weighted-sum families only — GAT's
             # attention weights are dynamic and min/max are not SpMMs.
             self.mxu_pair = None
+            self.mxu_gat_pair = None
             mode = getattr(cfg, "mxu_spmm", "auto").lower()
-            eligible = (family != "gat" and self.aggregator == "sum"
-                        and mode != "off")
-            if eligible and (mode == "on" or (
-                    jax.default_backend() == "tpu"
-                    and self.compute_dtype == jnp.bfloat16)):
+            auto_on = (mode == "on" or (
+                mode != "off" and jax.default_backend() == "tpu"
+                and self.compute_dtype == jnp.bfloat16))
+            if family != "gat" and self.aggregator == "sum" and auto_on:
                 from ..ops.pallas.mxu_spmm import build_mxu_spmm_pair_auto
 
                 self.mxu_pair = build_mxu_spmm_pair_auto(
                     src[: self.adj.num_edges], dst[: self.adj.num_edges],
                     w[: self.adj.num_edges], v, v)
+            elif family == "gat" and auto_on:
+                # TRAINABLE kernel-tier attention (ops/pallas/mxu_gat.py):
+                # forward + the two-pass kernel backward — one kernel
+                # family for all three model families, GAT included
+                # (reference parity: ntsCUDADistKernel.cuh:319-441)
+                from ..ops.pallas.mxu_gat import build_mxu_gat_pair_auto
+
+                self.mxu_gat_pair = build_mxu_gat_pair_auto(
+                    src[: self.adj.num_edges], dst[: self.adj.num_edges],
+                    v, v)
             self._step = self._build_single_step()
         else:
             self._init_sharded(src, dst, w)
@@ -491,20 +508,25 @@ class FullBatchTrainer:
         planner = self.planner  # host object; contributes only static ints
         mxu_statics = (None if self.mxu_pair is None else
                        (self.mxu_pair.fwd.static, self.mxu_pair.bwd.static))
+        gat_statics = (None if self.mxu_gat_pair is None else
+                       self.mxu_gat_pair.statics)
         clean_metrics = getattr(self.cfg, "metrics", "clean") != "train"
 
         @jax.jit
         def step(params, opt_state, x, y, mask, src, dst, w, perm, invp,
-                 mxu_ops, dkey):
+                 mxu_ops, gat_ops, dkey):
             csr = (perm, invp)
             mxu = None if mxu_ops is None else (mxu_ops, mxu_statics)
+            mxu_gat = (None if gat_ops is None
+                       else (gat_ops, gat_statics))
 
             def loss_fn(p):
                 logp = full_forward(p, family, x, src, dst, w, v,
                                     aggregator=aggregator, heads=heads,
                                     batch_norm=use_bn, drop_rate=drop_rate,
                                     dropout_key=dkey, csr=csr, x_scale=xs,
-                                    planner=planner, mxu=mxu)
+                                    planner=planner, mxu=mxu,
+                                    mxu_gat=mxu_gat)
                 return nll_loss_masked(logp, y, mask), logp
 
             (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -518,7 +540,8 @@ class FullBatchTrainer:
                 logp = full_forward(params, family, x, src, dst, w, v,
                                     aggregator=aggregator, heads=heads,
                                     batch_norm=use_bn, csr=csr, x_scale=xs,
-                                    planner=planner, mxu=mxu)
+                                    planner=planner, mxu=mxu,
+                                    mxu_gat=mxu_gat)
             pred = jnp.argmax(logp, axis=-1)
             return new_p, new_o, loss, pred
 
@@ -532,6 +555,13 @@ class FullBatchTrainer:
             return None
         p = self.mxu_pair
         return (*p.fwd.operands, p.fwd.meta, *p.bwd.operands, p.bwd.meta)
+
+    def _mxu_gat_ops(self):
+        """The 8 traced attention-plan arrays, or None (same argument
+        discipline as _mxu_ops)."""
+        if getattr(self, "mxu_gat_pair", None) is None:
+            return None
+        return self.mxu_gat_pair.operands
 
     # ------------------------------------------------------------- sharded
     def _init_sharded(self, src, dst, w):
@@ -853,7 +883,7 @@ class FullBatchTrainer:
             self.params, self.opt_state, loss, pred = self._step(
                 self.params, self.opt_state, self.x, self.y, self.train_mask,
                 self.src, self.dst, self.w, self.perm, self.inv_perm,
-                self._mxu_ops(), dkey,
+                self._mxu_ops(), self._mxu_gat_ops(), dkey,
             )
         else:
             self.params, self.opt_state, loss, pred = self._step(
@@ -943,13 +973,16 @@ class FullBatchTrainer:
         mxu = (None if mxu_ops is None else
                (mxu_ops, (self.mxu_pair.fwd.static,
                           self.mxu_pair.bwd.static)))
+        gat_ops = self._mxu_gat_ops() if self.mesh is None else None
+        mxu_gat = (None if gat_ops is None
+                   else (gat_ops, self.mxu_gat_pair.statics))
         logp = full_forward(
             self.params, self.family, x, src, dst, w,
             self.adj.num_vertices, aggregator=self.aggregator,
             heads=self.cfg.heads,
             batch_norm=bool(getattr(self.cfg, "batch_norm", False)),
             x_scale=self.x_scale, fwd_sorted=True, planner=planner,
-            mxu=mxu,
+            mxu=mxu, mxu_gat=mxu_gat,
         )
         return np.asarray(logp, dtype=np.float32)
 
