@@ -338,7 +338,8 @@ def _kernel(meta_ref, src_ref, dst_ref, w_ref, slab_ref, out_ref, *,
     for j in range(n_sub):
         sl = slice(j * st.e_sub, (j + 1) * st.e_sub)
         if st.s_win < st.s_blk:
-            s0 = meta_ref[step, _M_HDR + n_sub + j]
+            # planner 8-aligns s0 (_align_down); Mosaic can't prove it
+            s0 = pl.multiple_of(meta_ref[step, _M_HDR + n_sub + j], 8)
             rows_s = lax.broadcasted_iota(
                 jnp.int32, (st.s_win, st.e_sub), 0)
             srcb = jnp.broadcast_to(src_ref[0, 0:1, sl],
