@@ -389,17 +389,20 @@ def bench_fullbatch(scale: float, epochs: int) -> dict:
         x128 = jnp.zeros((ds.num_vertices, 128), jnp.bfloat16)
         p = tr.mxu_pair
 
-        def one_pass(x):
+        # plan operands as jit ARGUMENTS — closing over them inlines up
+        # to ~GBs of constants into the HLO and the remote-compile POST
+        # dies with HTTP 413 at 4x scale
+        def one_pass(x, *ops_meta):
             from sgnn_tpu.ops.pallas.mxu_spmm import mxu_spmm_fwd
 
-            return mxu_spmm_fwd(x, *p.fwd.operands, p.fwd.meta,
-                                p.fwd.static)
+            return mxu_spmm_fwd(x, *ops_meta, p.fwd.static)
 
         jfn = jax.jit(one_pass)
-        float(jnp.sum(jfn(x128)))
+        call = (x128, *p.fwd.operands, p.fwd.meta)
+        float(jnp.sum(jfn(*call)))
         t0 = time.perf_counter()
         for _ in range(4):
-            float(jnp.sum(jfn(x128)))
+            float(jnp.sum(jfn(*call)))
         stage["spmm_kernel_pass_s"] = round((time.perf_counter() - t0) / 4,
                                             4)
         stage["spmm_kernel_passes_per_update"] = 4

@@ -83,6 +83,14 @@ def main():
         dict(s_blk=512, d_blk=8192, w_win=1280, e_sub=256, e_t=2048),
         dict(s_blk=1024, d_blk=8192, w_win=1280, e_sub=256, e_t=1024),
         dict(s_blk=768, d_blk=8192, w_win=1024, e_sub=128, e_t=2048),
+        # split-window rungs (runnable since the r5 pl.multiple_of fix):
+        # big slabs merge sparse groups, small s_win keeps MXU cost low
+        dict(s_blk=4096, s_win=2048, d_blk=8192, w_win=2048, e_sub=256,
+             e_t=2048),
+        dict(s_blk=8192, s_win=2048, d_blk=8192, w_win=2048, e_sub=256,
+             e_t=2048),
+        dict(s_blk=8192, s_win=1024, d_blk=8192, w_win=1280, e_sub=256,
+             e_t=2048),
     ]
     plans = []
     for i, kw in enumerate(cfgs):

@@ -510,14 +510,19 @@ def build_mxu_spmm_pair(
 
 # Measured on-chip kernel rates per SLOT for the geometry ladder
 # (scripts/profile_mxu_spmm.py round 4: 63.9 ms / 16.64M slots and
-# 86.2 ms / 15.28M slots on the 11.88M-edge graph) and the windowed XLA
-# baseline the kernel must beat (178.9 ms / 11.88M edges).  Bigger slabs
-# cost more MXU FLOPs per slot but pack sparser graphs with less padding
-# — at 2x/4x bench scale the default geometry pads past its knee (2.39 /
-# 4.60) while s_blk=2048 stays at 1.34 / 2.35.
+# 86.2 ms / 15.28M slots on the 11.88M-edge graph; round 5 cfgs 12-13
+# for the split-window rungs) and the windowed XLA baseline the kernel
+# must beat (178.9 ms / 11.88M edges).  Bigger slabs cost more MXU FLOPs
+# per slot but pack sparser graphs with less padding; the SPLIT-WINDOW
+# rungs (s_win < s_blk, unlocked by the r5 pl.multiple_of fix) merge the
+# sparse (dst-block x slab) groups of large-V graphs while paying only
+# the (s_win + w_win) window rate — at 4x bench scale they cut pad
+# 2.35 -> ~1.3 (docs/PERF.md r5 scale-4 entry).
 _GEOMETRIES = (
     (dict(s_blk=1024, w_win=1280, e_sub=256, e_t=2048), 3.84),
     (dict(s_blk=2048, w_win=1280, e_sub=256, e_t=2048), 5.64),
+    (dict(s_blk=4096, s_win=2048, w_win=2048, e_sub=256, e_t=2048), 7.27),
+    (dict(s_blk=8192, s_win=2048, w_win=2048, e_sub=256, e_t=2048), 7.79),
 )
 _WINDOWED_NS_EDGE = 15.06
 
@@ -553,26 +558,31 @@ def build_mxu_spmm_pair_auto(
     if e_real == 0:
         return None
     s_l, d_l = np.asarray(src)[live], np.asarray(dst)[live]
-    best_kw, best_cost = None, margin * _WINDOWED_NS_EDGE
+    # rank candidates by projected cost (measured ns/slot x estimated
+    # pad), then build REAL plans in that order and accept the first
+    # winner: the estimator ignores window-split losses, which bite the
+    # split-window rungs hardest, so a single best-estimate pick could
+    # select a geometry whose real plan loses while a runner-up wins
+    ranked = []
     for kw, rate in _GEOMETRIES:
         est = max(_estimate_slots(s_l, d_l, num_src, **kw),
                   _estimate_slots(d_l, s_l, num_dst, **kw))
         cost = rate * est / e_real
-        if cost < best_cost:
-            best_kw, best_cost = (kw, rate), cost
-    if best_kw is None:
-        return None
-    kw, rate = best_kw
-    # the estimate ignores window splits; verify the REAL plan still wins
-    fwd = build_mxu_spmm_plan(s_l, d_l, weight[live], num_src, num_dst,
-                              max_pad_ratio=6.0, **kw)
-    if fwd is None or rate * fwd.pad_ratio(e_real) > margin * _WINDOWED_NS_EDGE:
-        return None
-    if fwd_only:
-        return fwd
-    bwd = build_mxu_spmm_plan(d_l, s_l, weight[live], num_dst, num_src,
-                              max_pad_ratio=6.0, **kw)
-    if (bwd is None
-            or rate * bwd.pad_ratio(e_real) > margin * _WINDOWED_NS_EDGE):
-        return None
-    return MxuSpmmPair(fwd=fwd, bwd=bwd)
+        if cost < margin * _WINDOWED_NS_EDGE:
+            ranked.append((cost, kw, rate))
+    ranked.sort(key=lambda t: t[0])
+    for _, kw, rate in ranked:
+        fwd = build_mxu_spmm_plan(s_l, d_l, weight[live], num_src, num_dst,
+                                  max_pad_ratio=6.0, **kw)
+        if (fwd is None
+                or rate * fwd.pad_ratio(e_real) > margin * _WINDOWED_NS_EDGE):
+            continue
+        if fwd_only:
+            return fwd
+        bwd = build_mxu_spmm_plan(d_l, s_l, weight[live], num_dst, num_src,
+                                  max_pad_ratio=6.0, **kw)
+        if (bwd is not None
+                and rate * bwd.pad_ratio(e_real)
+                <= margin * _WINDOWED_NS_EDGE):
+            return MxuSpmmPair(fwd=fwd, bwd=bwd)
+    return None
